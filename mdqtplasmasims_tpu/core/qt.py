@@ -1,0 +1,219 @@
+"""Quantum-trajectory engine: vectorized non-Hermitian RK4 + stochastic jumps.
+
+One engine replaces the reference's four copy-edited ``qstep()`` variants
+(laserCoolingPlusExpansionMDQTSpeedUp.cpp:438-717,
+MonteCarloFollowedByQTTagging408Quad.cpp:554-755,
+randomFrozenStartTag422Linear.cpp:390-566,
+laserCoolNoPlasmaThreeState.cpp:140-293).  The per-ion algorithm is identical
+across them (SURVEY.md L4):
+
+1. jump probability ``dp = h * <psi| sum g^2 c^t c |psi>`` — with our
+   :class:`~mdqtplasmasims_tpu.levels.LevelScheme` tables the decay operator
+   is diagonal, so ``dp = h * sum_s w_s |psi_s|^2``.
+2. no-jump: evolve by RK4 (3/8 rule) applied to the normalized non-Hermitian
+   propagator ``G(phi) = (1-dp(phi))^(-1/2) (I - i h H) phi`` with the
+   Hamiltonian frozen over the tick; apply the Ehrenfest optical force.
+3. jump: pick the emitting excited sublevel prop. to its population, roll
+   S-vs-D by the fixed branching ratio, collapse via the C-G-weighted
+   destination table, reset the ion clock, apply +-recoil along x.
+
+TPU-native design notes: instead of building per-ion [S,S] Hamiltonians
+(the reference does ~6 Armadillo matmuls per RK stage per ion), H*psi is
+evaluated as (a) a diagonal term (elementwise), (b) one shared [N,S]x[S,S]
+matmul for the static coupling, and (c) <=2 scatter terms for the
+time-dependent channels.  Both branches are computed for every ion and
+merged with ``jnp.where`` — no data-dependent control flow under ``jit``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Callable, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..levels import LevelScheme
+
+
+class QTParams(NamedTuple):
+    """Runtime arrays derived from a LevelScheme (device constants)."""
+    decay_w: jax.Array      # [S]
+    e0: jax.Array           # [S]
+    e1: jax.Array           # [S]
+    coupling_t: jax.Array   # [S,S] = coupling.T (for psi @ C.T)
+    jump_src_mask: jax.Array   # [S] float
+    jump_dest_cum: jax.Array   # [S,2,S] cumulative dest probabilities
+
+
+def _params(scheme: LevelScheme, rdtype, cdtype) -> QTParams:
+    src_mask = np.zeros(scheme.n_states)
+    src_mask[list(scheme.jump_src)] = 1.0
+    return QTParams(
+        decay_w=jnp.asarray(scheme.decay_w, rdtype),
+        e0=jnp.asarray(scheme.e0, rdtype),
+        e1=jnp.asarray(scheme.e1, rdtype),
+        coupling_t=jnp.asarray(scheme.coupling.T, cdtype),
+        jump_src_mask=jnp.asarray(src_mask, rdtype),
+        jump_dest_cum=jnp.asarray(np.cumsum(scheme.jump_dest, axis=-1), rdtype),
+    )
+
+
+def _categorical(u: jax.Array, cum: jax.Array) -> jax.Array:
+    """Index of first cumulative bin exceeding u.  u: [N], cum: [N,S]."""
+    return jnp.sum((u[:, None] >= cum).astype(jnp.int32), axis=-1)
+
+
+@dataclasses.dataclass(frozen=True)
+class QTEngine:
+    """Jittable quantum-trajectory stepper for one level scheme.
+
+    Args:
+      scheme: level-scheme tables.
+      h: quantum timestep in gamma-time units (``dtQuant*gamToEinsteinFreq``
+         for the plasma-coupled schemes; plain ``dt`` for the 3-state toy).
+      dt_plasma: quantum timestep in plasma units (increment of the per-ion
+         clock ``t_part``); equals ``h`` for the toy.
+      plas_to_quant_vel: velocity conversion a*omega_E -> gamma/k.
+      gamma_to_einstein: clock conversion used for the time-dependent phase
+         (``t_gamma = t_part * gamma_to_einstein``).
+      apply_force: whether kicks (Ehrenfest + recoil) modify vx — the
+         tagging schemes compute but never apply them (SURVEY.md L4 step 3).
+      renormalize: explicit norm division after each tick
+         (laserCoolingPlusExpansionMDQTSpeedUp.cpp:706-712).
+    """
+
+    scheme: LevelScheme
+    h: float
+    dt_plasma: float
+    plas_to_quant_vel: float = 1.0
+    gamma_to_einstein: float = 1.0
+    apply_force: bool = True
+    renormalize: bool = False
+
+    def _hpsi(self, p: QTParams, phi: jax.Array, u: jax.Array,
+              tq: jax.Array) -> jax.Array:
+        """H(u, t_gamma) @ phi for all ions.  phi: [N,S], u/tq: [N]."""
+        diag = (p.e0[None, :] + u[:, None] * p.e1[None, :]
+                - 0.5j * p.decay_w[None, :])
+        out = diag * phi + phi @ p.coupling_t
+        if self.scheme.tdep_rows:
+            phase = jnp.exp(1j * (self.scheme.tdep_freq * u * tq)
+                            .astype(phi.real.dtype))
+            for r, c, m in zip(self.scheme.tdep_rows, self.scheme.tdep_cols,
+                               self.scheme.tdep_coefs):
+                m = jnp.asarray(m, phi.dtype)
+                out = out.at[:, r].add(m * phase * phi[:, c])
+                out = out.at[:, c].add(jnp.conj(m * phase) * phi[:, r])
+        return out
+
+    def _dp(self, p: QTParams, phi: jax.Array) -> jax.Array:
+        return self.h * jnp.sum(p.decay_w[None, :] * (phi.real ** 2 + phi.imag ** 2),
+                                axis=-1)
+
+    def step(self, psi: jax.Array, vx: jax.Array, t_part: jax.Array,
+             key: jax.Array, exp_det=0.0):
+        """Advance every ion by one quantum tick.
+
+        Returns ``(psi, vx, t_part)``.  ``exp_det`` is the scalar
+        expansion-frame detuning (units of gamma) added to the Doppler shift.
+        """
+        rdtype = vx.dtype
+        p = _params(self.scheme, rdtype, psi.dtype)
+        h = jnp.asarray(self.h, rdtype)
+        n = psi.shape[0]
+
+        t_part = t_part + jnp.asarray(self.dt_plasma, rdtype)
+        u = vx * self.plas_to_quant_vel + exp_det          # [N]
+        tq = t_part * self.gamma_to_einstein
+
+        rolls = jax.random.uniform(key, (5, n), rdtype)
+        dp0 = self._dp(p, psi)
+        # reference: rand>dp -> no jump (jump iff rand<=dp).  We use strict <
+        # so dp=0 can never trigger a jump even when the uniform draw is 0.
+        jumped = rolls[0] < dp0
+
+        # ---- no-jump branch: RK4 (3/8) on the normalized propagator ----
+        def g_slope(phi):
+            pref = (1.0 / jnp.sqrt(1.0 - self._dp(p, phi)))[:, None]
+            stepped = pref.astype(phi.dtype) * (phi - 1j * h * self._hpsi(p, phi, u, tq))
+            return (stepped - phi) / h
+
+        k1 = g_slope(psi)
+        k2 = g_slope(psi + 0.5 * h * k1)
+        k3 = g_slope(psi + 0.5 * h * k2)
+        k4 = g_slope(psi + h * k3)
+        psi_evolved = psi + (k1 + 3 * k2 + 3 * k3 + k4) * (h / 8.0)
+
+        # Ehrenfest optical force from the *initial* wavefunction
+        # (laserCoolingPlusExpansionMDQTSpeedUp.cpp:490-503)
+        kick_nojump = jnp.zeros((n,), rdtype)
+        if self.scheme.force_w:
+            for a, b, w in zip(self.scheme.force_a, self.scheme.force_b,
+                               self.scheme.force_w):
+                kick_nojump = kick_nojump + jnp.asarray(w, rdtype) * (
+                    jnp.imag(psi[:, a] * jnp.conj(psi[:, b])))
+            kick_nojump = kick_nojump * h
+
+        # ---- jump branch: collapse ----
+        pop = psi.real ** 2 + psi.imag ** 2
+        src_w = pop * p.jump_src_mask[None, :]
+        src_cum = jnp.cumsum(src_w, axis=-1)
+        tot = src_cum[:, -1:]
+        src = _categorical(rolls[1] * jnp.maximum(tot[:, 0], 1e-30), src_cum)
+        src = jnp.minimum(src, self.scheme.n_states - 1)
+
+        d_branch = rolls[2] < self.scheme.branch_d_prob     # D-decay?
+        dest_cum = p.jump_dest_cum[src, d_branch.astype(jnp.int32)]  # [N,S]
+        dest = jnp.minimum(_categorical(rolls[4], dest_cum),
+                           self.scheme.n_states - 1)
+        psi_jumped = jax.nn.one_hot(dest, self.scheme.n_states,
+                                    dtype=psi.dtype)
+
+        sign = jnp.where(rolls[3] < 0.5, 1.0, -1.0).astype(rdtype)
+        kick_jump = sign * jnp.where(d_branch,
+                                     jnp.asarray(self.scheme.kick_d, rdtype),
+                                     jnp.asarray(self.scheme.kick_s, rdtype))
+        if not self.scheme.apply_recoil:
+            kick_jump = jnp.zeros_like(kick_jump)
+
+        # ---- merge ----
+        psi_new = jnp.where(jumped[:, None], psi_jumped, psi_evolved)
+        t_part = jnp.where(jumped, jnp.zeros_like(t_part), t_part)
+        if self.apply_force and self.scheme.has_force:
+            vx = vx + jnp.where(jumped, kick_jump, kick_nojump)
+
+        if self.renormalize:
+            norm = jnp.sqrt(jnp.sum(psi_new.real ** 2 + psi_new.imag ** 2,
+                                    axis=-1, keepdims=True))
+            psi_new = psi_new / norm.astype(psi.dtype)
+
+        return psi_new, vx, t_part
+
+
+def random_s_superposition(key: jax.Array, n: int, n_states: int,
+                           dtype=jnp.complex64) -> jax.Array:
+    """Random superposition of the two S sublevels used by every plasma
+    initializer (laserCoolingPlusExpansionMDQTSpeedUp.cpp:317-332):
+    ``psi = sqrt(r1)|1> + (s2*sqrt((1-r1) r2) + i s1*sqrt((1-r1)(1-r2)))|2>``.
+    """
+    r1, r2, s1, s2 = jax.random.uniform(key, (4, n))
+    sign1 = jnp.where(s1 < 0.5, -1.0, 1.0)
+    sign2 = jnp.where(s2 < 0.5, -1.0, 1.0)
+    c0 = jnp.sqrt(r1)
+    c1 = (sign2 * jnp.sqrt((1 - r1) * r2)
+          + 1j * sign1 * jnp.sqrt((1 - r1) * (1 - r2)))
+    psi = jnp.zeros((n, n_states), dtype)
+    psi = psi.at[:, 0].set(c0.astype(dtype))
+    psi = psi.at[:, 1].set(c1.astype(dtype))
+    return psi
+
+
+def state_populations(psi: jax.Array, manifolds) -> list:
+    """Total population per manifold, e.g. S/P/D
+    (laserCoolingPlusExpansionMDQTSpeedUp.cpp:1019-1021).
+    ``manifolds`` is a list of index tuples."""
+    pop = psi.real ** 2 + psi.imag ** 2
+    return [jnp.sum(pop[:, list(idx)], axis=-1) for idx in manifolds]
