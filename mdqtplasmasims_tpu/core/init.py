@@ -1,0 +1,91 @@
+"""System initializers.
+
+1. Frozen-gas random cell: uniform positions in the L^3 cell with a
+   Poissonian particle count around N0, zero velocities, random S-manifold
+   superposition wavefunctions (laserCoolingPlusExpansionMDQTSpeedUp.cpp:289-348).
+2. Cubic lattice + Maxwell-Boltzmann velocities (MC transport family,
+   MonteCarloFollowedByMDAndTempAnisotropy.cpp:173-203).
+
+The frozen-gas initializer returns a *fixed-capacity* set of ``n_max``
+particles plus a float mask: the reference samples ions from a 9L box and
+keeps the ones landing in the cell, giving a run-dependent N.  On TPU the
+shapes must be static, so we draw N ~ Binomial(N9L, 1/729) on the host and
+mask the tail.  ``exact_n=True`` pins N = N0 for ensemble vmapping.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..units import PlasmaUnits
+
+
+def sample_cell_count(rng: np.random.Generator, n0: int) -> int:
+    """Number of ions falling in the unit cell when N9L = 729*N0 candidates
+    are scattered over a 9L box (laserCooling...SpeedUp.cpp:299-308)."""
+    L = PlasmaUnits.box_length(n0)
+    n9l = int(9.0 ** 3 * L ** 3 * 3.0 / (4.0 * math.pi))  # = 729*N0
+    return int(rng.binomial(n9l, 1.0 / 729.0))            # p = L^3/(9L)^3
+
+
+def frozen_gas_positions(key: jax.Array, n: int, L: float,
+                         dtype=jnp.float32) -> jax.Array:
+    """n uniform positions in (0, L)^3."""
+    return jax.random.uniform(key, (n, 3), dtype, minval=0.0, maxval=L)
+
+
+def frozen_gas_init(key: jax.Array, n0: int, *, n_states: int = 0,
+                    exact_n: bool = True, dtype=jnp.float32,
+                    seed_for_count: Optional[int] = None):
+    """Positions, velocities(=0), wavefunctions, mask for a frozen-gas start.
+
+    Returns (R, V, psi, n_actual).  With ``exact_n`` the count is pinned to
+    n0 (recommended for vmapped ensembles); otherwise it is Poissonian about
+    n0 as in the reference, still materialized with n0-sized arrays when the
+    draw is below capacity (capacity errors raise).
+    """
+    from .qt import random_s_superposition
+
+    L = PlasmaUnits.box_length(n0)
+    if exact_n:
+        n = n0
+    else:
+        rng = np.random.default_rng(seed_for_count)
+        n = sample_cell_count(rng, n0)
+    kr, kp = jax.random.split(key)
+    R = frozen_gas_positions(kr, n, L, dtype)
+    V = jnp.zeros((n, 3), dtype)
+    psi = None
+    if n_states:
+        cdtype = jnp.complex64 if dtype == jnp.float32 else jnp.complex128
+        psi = random_s_superposition(kp, n, n_states, cdtype)
+    return R, V, psi, n
+
+
+def lattice_init(key: jax.Array, n: int, gamma: float, L: float,
+                 dtype=jnp.float32) -> Tuple[jax.Array, jax.Array]:
+    """Cubic lattice positions + MB velocities with spread sqrt(1/Gamma)
+    (MonteCarloFollowedByMDAndTempAnisotropy.cpp:173-203).  ``n`` must be a
+    perfect cube."""
+    side = round(n ** (1.0 / 3.0))
+    if side ** 3 != n:
+        raise ValueError(f"lattice_init needs a cubic N, got {n}")
+    idx = jnp.arange(side, dtype=dtype)
+    ii, jj, kk = jnp.meshgrid(idx, idx, idx, indexing="ij")
+    spacing = L / side
+    R = jnp.stack([ii.ravel() * spacing + 0.5,
+                   jj.ravel() * spacing + 0.5,
+                   kk.ravel() * spacing + 0.5], axis=-1)
+    V = jax.random.normal(key, (n, 3), dtype) * jnp.sqrt(1.0 / gamma).astype(dtype)
+    return R, V
+
+
+def mb_velocities(key: jax.Array, n: int, sigma: float,
+                  dtype=jnp.float32) -> jax.Array:
+    """Maxwell-Boltzmann velocities with per-axis spread sigma."""
+    return jax.random.normal(key, (n, 3), dtype) * jnp.asarray(sigma, dtype)

@@ -1,0 +1,206 @@
+"""All-pairs Yukawa (screened-Coulomb) force and potential kernels.
+
+The reference computes O(N^2/2) pair forces with an OpenMP loop and a racy
+Newton's-third-law scatter (laserCoolingPlusExpansionMDQTSpeedUp.cpp:192-236;
+MonteCarloFollowedByMDAndTempAnisotropy.cpp:387-448).  Here the interaction
+is evaluated over the *full* N x N tile set (both triangles) so every output
+row is an independent reduction — no scatter, no race, and a perfect fit for
+TPU tiling.  Physics:
+
+    force:      f(r) = (1/r + 1/lDeb) * exp(-r/lDeb) / r^2 * dr_vec
+                (laserCooling...SpeedUp.cpp:224; equivalently
+                 exp(-kappa r)(1/r^3 + kappa/r^2), MC family calcAIJ :161-169)
+    potential:  u(r) = exp(-r/lDeb)/r            (Epotential :268, calcUIJ :155)
+    minimum-image convention, half-box cutoff Rcut = L/2, r > 0.
+
+Layout note (TPU): coordinates are handled as *per-axis* 2-D arrays — an
+[N, 3] layout would pad the minor dimension 3 -> 128 lanes and waste ~40x
+memory bandwidth.  Two implementations:
+
+  * ``yukawa_forces`` / ``yukawa_forces_potential`` — pure XLA, row-chunked
+    per-axis broadcast (any backend, f64-able for validation).
+  * ``yukawa_forces_potential_pallas`` — tiled Pallas TPU kernel; the i-side
+    positions ride lanes ([3, Np]) and the j-side rides sublanes ([Np, 8])
+    so the pairwise (TJ, TI) tile reduces over sublanes straight onto the
+    lane-aligned output accumulator.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+try:  # Pallas is TPU-only at runtime; importing is safe everywhere.
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+    _HAS_PALLAS = True
+except Exception:  # pragma: no cover
+    _HAS_PALLAS = False
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def yukawa_forces_potential(R: jax.Array, L: float, ldeb: float,
+                            mask: Optional[jax.Array] = None,
+                            chunk: int = 512) -> Tuple[jax.Array, jax.Array]:
+    """Forces [N,3] and per-ion potential sums [N] (pure XLA).
+
+    ``sum(pot)/(2*N)`` equals the reference's Epot per particle.
+    """
+    n = R.shape[0]
+    rcut2 = (L / 2.0) ** 2
+    chunk = min(chunk, n)
+    npad = _round_up(n, chunk)
+    Rx, Ry, Rz = R[:, 0], R[:, 1], R[:, 2]
+    mj = mask if mask is not None else None
+
+    def pad(v):
+        return jnp.pad(v, (0, npad - n)).reshape(-1, chunk)
+
+    def row_block(args):
+        xi, yi, zi = args
+        dx = xi[:, None] - Rx[None, :]
+        dy = yi[:, None] - Ry[None, :]
+        dz = zi[:, None] - Rz[None, :]
+        dx -= L * jnp.round(dx / L)
+        dy -= L * jnp.round(dy / L)
+        dz -= L * jnp.round(dz / L)
+        r2 = dx * dx + dy * dy + dz * dz
+        valid = (r2 > 0) & (r2 < rcut2)
+        if mj is not None:
+            valid = valid & (mj[None, :] > 0)
+        r = jnp.sqrt(jnp.where(valid, r2, 1.0))
+        expf = jnp.exp(-r / ldeb)
+        ft = jnp.where(valid, (1.0 / r + 1.0 / ldeb) * expf / r2, 0.0)
+        up = jnp.where(valid, expf / r, 0.0)
+        return (jnp.sum(dx * ft, 1), jnp.sum(dy * ft, 1), jnp.sum(dz * ft, 1),
+                jnp.sum(up, 1))
+
+    fx, fy, fz, pot = jax.lax.map(row_block, (pad(Rx), pad(Ry), pad(Rz)))
+    F = jnp.stack([fx.ravel()[:n], fy.ravel()[:n], fz.ravel()[:n]], axis=-1)
+    pot = pot.ravel()[:n]
+    if mask is not None:
+        F = F * mask[:, None]
+        pot = pot * mask
+    return F, pot
+
+
+def yukawa_forces(R, L, ldeb, mask=None, chunk: int = 512) -> jax.Array:
+    return yukawa_forces_potential(R, L, ldeb, mask, chunk)[0]
+
+
+def yukawa_potential(R, L, ldeb, mask=None, chunk: int = 512) -> jax.Array:
+    """Potential energy per particle (scalar), reference Epotential()."""
+    _, pot = yukawa_forces_potential(R, L, ldeb, mask, chunk)
+    n_eff = jnp.sum(mask) if mask is not None else R.shape[0]
+    return 0.5 * jnp.sum(pot) / n_eff
+
+
+# ----------------------------------------------------------------------
+# Pallas TPU kernel
+# ----------------------------------------------------------------------
+
+def _yukawa_kernel(xl_ref, ys_ref, f_ref, *, L, ldeb, rcut2):
+    """Grid (i_tiles, j_tiles).  xl_ref: [3, TI] i-block (lanes), ys_ref:
+    [TJ, 8] j-block (sublanes; cols 0-2 = xyz, col 3 = mask), f_ref: [4, TI]
+    accumulator (rows 0-2 force, row 3 potential)."""
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _():
+        f_ref[...] = jnp.zeros_like(f_ref)
+
+    # (1, TI) - (TJ, 1) -> (TJ, TI): j-reduction over sublanes, i on lanes.
+    dx = xl_ref[0:1, :] - ys_ref[:, 0:1]
+    dy = xl_ref[1:2, :] - ys_ref[:, 1:2]
+    dz = xl_ref[2:3, :] - ys_ref[:, 2:3]
+    dx -= L * jnp.round(dx * (1.0 / L))
+    dy -= L * jnp.round(dy * (1.0 / L))
+    dz -= L * jnp.round(dz * (1.0 / L))
+    r2 = dx * dx + dy * dy + dz * dz
+    valid = (r2 > 0) & (r2 < rcut2) & (ys_ref[:, 3:4] > 0)
+    r = jnp.sqrt(jnp.where(valid, r2, 1.0))
+    inv_r = 1.0 / r
+    expf = jnp.exp(-r * (1.0 / ldeb))
+    ft = jnp.where(valid, (inv_r + 1.0 / ldeb) * expf * inv_r * inv_r, 0.0)
+    up = jnp.where(valid, expf * inv_r, 0.0)
+
+    f_ref[0, :] += jnp.sum(dx * ft, axis=0)
+    f_ref[1, :] += jnp.sum(dy * ft, axis=0)
+    f_ref[2, :] += jnp.sum(dz * ft, axis=0)
+    f_ref[3, :] += jnp.sum(up, axis=0)
+
+
+@functools.partial(jax.jit, static_argnames=("L", "ldeb", "tile"))
+def _yukawa_pallas(Rl: jax.Array, Rs: jax.Array, *, L: float, ldeb: float,
+                   tile: int) -> jax.Array:
+    npad = Rl.shape[1]
+    grid = (npad // tile, npad // tile)
+    kern = functools.partial(_yukawa_kernel, L=L, ldeb=ldeb,
+                             rcut2=(L / 2.0) ** 2)
+    return pl.pallas_call(
+        kern,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((3, tile), lambda i, j: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, 8), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((4, tile), lambda i, j: (0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((4, npad), Rl.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary")),
+    )(Rl, Rs)
+
+
+def pack_soa(R: jax.Array, mask: Optional[jax.Array], tile: int):
+    """[N,3] -> ([3,Np] lane layout, [Np,8] sublane layout with mask col)."""
+    n = R.shape[0]
+    npad = _round_up(max(n, tile), tile)
+    m = mask if mask is not None else jnp.ones((n,), R.dtype)
+    Rl = jnp.zeros((3, npad), R.dtype).at[:, :n].set(R.T)
+    Rs = jnp.zeros((npad, 8), R.dtype).at[:n, :3].set(R).at[:n, 3].set(m)
+    return Rl, Rs
+
+
+def yukawa_forces_potential_pallas(R: jax.Array, L: float, ldeb: float,
+                                   mask: Optional[jax.Array] = None,
+                                   tile: int = 512):
+    """Fused forces + per-ion potential sums via the Pallas kernel.
+
+    Returns ``(F [N,3], pot_per_ion [N])``.
+    """
+    n = R.shape[0]
+    Rl, Rs = pack_soa(R, mask, tile)
+    out = _yukawa_pallas(Rl, Rs, L=float(L), ldeb=float(ldeb), tile=tile)
+    F = out[:3, :n].T
+    pot = out[3, :n]
+    if mask is not None:
+        F = F * mask[:, None]
+        pot = pot * mask
+    return F, pot
+
+
+def yukawa_forces_pallas(R, L, ldeb, mask=None, tile: int = 512):
+    return yukawa_forces_potential_pallas(R, L, ldeb, mask, tile)[0]
+
+
+def yukawa_potential_pallas(R, L, ldeb, mask=None, tile: int = 512):
+    _, pot = yukawa_forces_potential_pallas(R, L, ldeb, mask, tile)
+    n_eff = jnp.sum(mask) if mask is not None else R.shape[0]
+    return 0.5 * jnp.sum(pot) / n_eff
+
+
+def best_forces_fn(n: int, L: float, ldeb: float, mask=None,
+                   use_pallas: Optional[bool] = None, tile: int = 512):
+    """Return a ``R -> (F, pot_per_ion)`` callable for the current backend."""
+    if use_pallas is None:
+        use_pallas = _HAS_PALLAS and jax.default_backend() not in ("cpu",)
+    if use_pallas:
+        return lambda R: yukawa_forces_potential_pallas(R, L, ldeb, mask, tile)
+    return lambda R: yukawa_forces_potential(R, L, ldeb, mask)

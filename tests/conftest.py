@@ -1,0 +1,31 @@
+"""Test configuration: force CPU with 8 virtual devices and 64-bit mode.
+
+The TPU in this container sits behind the axon relay; tests run on the CPU
+backend (f64-capable) with a virtual 8-device mesh for sharding tests.
+TPU-only tests are marked ``tpu`` and skipped here.
+"""
+
+import os
+
+os.environ.setdefault("XLA_FLAGS",
+                      "--xla_force_host_platform_device_count=8")
+
+import jax  # noqa: E402
+
+# The axon sitecustomize pins jax_platforms to "axon,cpu"; override to cpu.
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
+
+import pytest  # noqa: E402
+
+
+def pytest_configure(config):
+    config.addinivalue_line("markers", "tpu: requires real TPU hardware")
+    config.addinivalue_line("markers", "slow: long-running test")
+
+
+def pytest_collection_modifyitems(config, items):
+    skip_tpu = pytest.mark.skip(reason="CPU-only test session")
+    for item in items:
+        if "tpu" in item.keywords:
+            item.add_marker(skip_tpu)

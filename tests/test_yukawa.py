@@ -1,0 +1,95 @@
+"""Force/potential kernel validation against brute-force numpy."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mdqtplasmasims_tpu.ops.yukawa import (
+    yukawa_forces, yukawa_forces_potential, yukawa_potential)
+from mdqtplasmasims_tpu.units import PlasmaUnits
+
+
+def brute_force(R, L, ldeb, mask=None):
+    d = R[:, None, :] - R[None, :, :]
+    d -= L * np.round(d / L)
+    r = np.sqrt((d ** 2).sum(-1))
+    valid = (r > 0) & (r < L / 2)
+    if mask is not None:
+        valid = valid & (mask[None, :] > 0)
+    rs = np.where(valid, r, 1.0)
+    ft = np.where(valid, (1 / rs + 1 / ldeb) * np.exp(-rs / ldeb) / rs ** 2, 0.0)
+    F = (d * ft[:, :, None]).sum(1)
+    pot = np.where(valid, np.exp(-rs / ldeb) / rs, 0.0).sum(1)
+    if mask is not None:
+        F = F * mask[:, None]
+        pot = pot * mask
+    return F, pot
+
+
+@pytest.fixture(scope="module")
+def system():
+    n0 = 300
+    pu = PlasmaUnits(density=2.0, Ge=0.1)
+    L = PlasmaUnits.box_length(n0)
+    rng = np.random.default_rng(42)
+    R = rng.uniform(0, L, (n0, 3))
+    return R, L, pu.debye_length
+
+
+def test_forces_match_numpy(system):
+    R, L, ldeb = system
+    F_np, pot_np = brute_force(R, L, ldeb)
+    F, pot = yukawa_forces_potential(jnp.asarray(R), L, ldeb, chunk=128)
+    assert np.abs(np.array(F) - F_np).max() < 1e-10
+    assert np.abs(np.array(pot) - pot_np).max() < 1e-10
+
+
+def test_potential_scalar(system):
+    R, L, ldeb = system
+    _, pot_np = brute_force(R, L, ldeb)
+    ep = float(yukawa_potential(jnp.asarray(R), L, ldeb))
+    assert ep == pytest.approx(pot_np.sum() / 2 / R.shape[0], rel=1e-12)
+
+
+def test_newton_third_law(system):
+    """Total force vanishes (the reference's racy scatter violates this
+    nondeterministically; ours is exact)."""
+    R, L, ldeb = system
+    F = np.array(yukawa_forces(jnp.asarray(R), L, ldeb))
+    assert np.abs(F.sum(0)).max() < 1e-9
+
+
+def test_mask(system):
+    R, L, ldeb = system
+    n = R.shape[0]
+    mask = np.ones(n)
+    mask[n // 2:] = 0.0
+    F_np, _ = brute_force(R, L, ldeb, mask)
+    F = np.array(yukawa_forces(jnp.asarray(R), L, ldeb,
+                               mask=jnp.asarray(mask), chunk=128))
+    assert np.abs(F - F_np).max() < 1e-10
+    assert np.abs(F[n // 2:]).max() == 0.0
+
+
+def test_uneven_chunking(system):
+    R, L, ldeb = system
+    F_a = np.array(yukawa_forces(jnp.asarray(R), L, ldeb, chunk=128))
+    F_b = np.array(yukawa_forces(jnp.asarray(R), L, ldeb, chunk=77))
+    assert np.abs(F_a - F_b).max() < 1e-10
+
+
+def test_mc_family_equivalence(system):
+    """The MC family force law exp(-kr)(1/r^3 + k/r^2) equals the cooling
+    family law (1/r + 1/lDeb) exp(-r/lDeb)/r^2 with k = 1/lDeb."""
+    R, L, ldeb = system
+    kappa = 1.0 / ldeb
+    d = R[:, None, :] - R[None, :, :]
+    d -= L * np.round(d / L)
+    r = np.sqrt((d ** 2).sum(-1))
+    valid = (r > 0) & (r < L / 2)
+    rs = np.where(valid, r, 1.0)
+    aij = np.where(valid, np.exp(-kappa * rs) * (rs ** -3 + kappa / rs ** 2), 0.0)
+    F_mc = (d * aij[:, :, None]).sum(1)
+    F = np.array(yukawa_forces(jnp.asarray(R), L, ldeb, chunk=128))
+    assert np.abs(F - F_mc).max() < 1e-10
