@@ -1,0 +1,151 @@
+"""Multirate MDQT schedulers: the coupling contract between the classical MD
+core and the quantum-trajectory engine (SURVEY.md L5).
+
+Three schemes from the reference:
+
+* **SpeedUp / cooling** (laserCoolingPlusExpansionMDQTSpeedUp.cpp:1365-1378):
+  recompute forces once per full MD step; apply drift/kick in quantum-sized
+  substeps so the QT code never sees large velocity jumps.  One
+  ``cooling_md_step`` = [forces; ratio x (leapfrog substep; qstep)].
+
+* **Frozen-tag** (randomFrozenStartTag422Linear.cpp:997-1027): full MD step
+  (dt = ratio*qdt, forces inside) every ``ratio`` quantum ticks; ``qstep``
+  runs only inside the pump window, otherwise time just advances.
+
+* **MC-tag** (MonteCarloFollowedByQTTagging408Quad.cpp:1230-1235): per MD
+  step, ``ratio`` qsteps then one velocity-Verlet MDStep.
+
+All are built as pure ``SimState -> SimState`` functions suitable for
+``lax.scan``; a whole run compiles to a single device program with no host
+round-trips inside the loop.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..state import SimState
+from .md import leapfrog_substep, wrap_pbc
+from .qt import QTEngine
+
+
+@dataclasses.dataclass(frozen=True)
+class CoolingScheduler:
+    """SpeedUp-scheme stepper: quantum-substepped leapfrog."""
+
+    engine: QTEngine
+    forces_fn: Callable  # R -> (F, pot_per_ion)
+    L: float
+    qdt: float           # quantum timestep, plasma units
+    ratio: int           # quantum substeps per MD step
+    exp_det_fn: Optional[Callable] = None   # t -> expansion detuning (gamma units)
+
+    def md_step(self, state: SimState) -> SimState:
+        F, _ = self.forces_fn(state.R)
+
+        def tick(c, _):
+            R, V, psi, tp, key, tick_i = c
+            key, sub = jax.random.split(key)
+            t = tick_i.astype(R.dtype) * self.qdt
+            first = t <= 0.0
+            R, V = leapfrog_substep(R, V, F, self.qdt, self.L, first)
+            exp_det = self.exp_det_fn(t) if self.exp_det_fn is not None else 0.0
+            psi, vx, tp = self.engine.step(psi, V[:, 0], tp, sub, exp_det)
+            V = V.at[:, 0].set(vx)
+            return (R, V, psi, tp, key, tick_i + 1), None
+
+        (R, V, psi, tp, key, tick_i), _ = jax.lax.scan(
+            tick, (state.R, state.V, state.psi, state.t_part, state.key,
+                   state.tick), None, length=self.ratio)
+        return state._replace(R=R, V=V, F=F, psi=psi, t_part=tp, key=key,
+                              tick=tick_i,
+                              t=tick_i.astype(state.t.dtype) * self.qdt)
+
+
+@dataclasses.dataclass(frozen=True)
+class FrozenTagScheduler:
+    """Frozen-start tagging stepper: full-dt leapfrog MD + windowed pumping.
+
+    The reference order per ``ratio``-tick block is [step(); ratio x
+    (qstep-or-advance)] with forces recomputed inside step_V
+    (randomFrozenStartTag422Linear.cpp:352-382,1015-1026)."""
+
+    engine: QTEngine
+    forces_fn: Callable
+    L: float
+    qdt: float
+    ratio: int
+    t_pump_start: float
+    t_pump_end: float
+
+    def md_step(self, state: SimState) -> SimState:
+        dt = self.qdt * self.ratio
+        t0 = state.tick.astype(state.R.dtype) * self.qdt
+        first = t0 <= 0.0
+        # step(): step_R(dt/2); forces(); step_V(dt); step_R(dt/2)
+        R = state.R
+        V = state.V
+        from .md import step_R
+        R = step_R(R, V, state.F, 0.5 * dt, self.L, first)
+        F, _ = self.forces_fn(R)
+        V = V + dt * F
+        R = step_R(R, V, F, 0.5 * dt, self.L, first)
+
+        def tick(c, _):
+            psi, V, tp, key, tick_i = c
+            key, sub = jax.random.split(key)
+            t = tick_i.astype(R.dtype) * self.qdt
+            in_window = (t > self.t_pump_start) & (t < self.t_pump_end)
+
+            def pump(args):
+                psi, tp = args
+                psi2, _, tp2 = self.engine.step(psi, V[:, 0], tp, sub)
+                return psi2, tp2
+
+            # outside the pump window time advances with no quantum work
+            # (randomFrozenStartTag422Linear.cpp:1020-1025); lax.cond skips
+            # the QT update entirely on-device.
+            psi, tp = jax.lax.cond(in_window, pump, lambda a: a, (psi, tp))
+            return (psi, V, tp, key, tick_i + 1), None
+
+        (psi, V, tp, key, tick_i), _ = jax.lax.scan(
+            tick, (state.psi, V, state.t_part, state.key, state.tick),
+            None, length=self.ratio)
+        return state._replace(R=R, V=V, F=F, psi=psi, t_part=tp, key=key,
+                              tick=tick_i,
+                              t=tick_i.astype(state.t.dtype) * self.qdt)
+
+
+@dataclasses.dataclass(frozen=True)
+class MCTagScheduler:
+    """MC-family pump stepper: ratio x qstep then one velocity-Verlet MDStep
+    (MonteCarloFollowedByQTTagging408Quad.cpp:1230-1235)."""
+
+    engine: QTEngine
+    forces_fn: Callable
+    L: float
+    dt: float            # MD timestep (0.005)
+    ratio: int
+
+    def md_step(self, state: SimState) -> SimState:
+        def tick(c, _):
+            psi, tp, key = c
+            key, sub = jax.random.split(key)
+            psi, _, tp = self.engine.step(psi, state.V[:, 0], tp, sub)
+            return (psi, tp, key), None
+
+        (psi, tp, key), _ = jax.lax.scan(
+            tick, (state.psi, state.t_part, state.key), None,
+            length=self.ratio)
+        # velocity-Verlet with fresh accelerations
+        R = wrap_pbc(state.R + self.dt * state.V + 0.5 * self.dt ** 2 * state.F,
+                     self.L)
+        F, _ = self.forces_fn(R)
+        V = state.V + 0.5 * self.dt * (state.F + F)
+        return state._replace(R=R, V=V, F=F, psi=psi, t_part=tp, key=key,
+                              tick=state.tick + self.ratio,
+                              t=state.t + self.dt)

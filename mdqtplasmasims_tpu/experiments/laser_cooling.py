@@ -1,0 +1,246 @@
+"""Flagship experiment: MDQT laser cooling + expansion of a Sr+ Yukawa OCP.
+
+TPU-native re-expression of laserCoolingPlusExpansionMDQTSpeedUp.cpp — the
+reference's north-star configuration (N0=3500, Ge=0.1, density=2, tmax=30,
+12-level S/P/D scheme with S->P cooling and D->P repump lasers along x, in a
+self-similarly expanding frame).
+
+Design: the full run compiles to a single ``lax.scan`` over output segments,
+each segment an inner scan over ``sample_freq`` multirate MD steps (forces
+refreshed once per MD step; drift/kick + QT at the quantum substep — the
+SpeedUp scheme, reference lines 1365-1378).  All diagnostics (energies, KDE
+velocity distributions, S/P/D populations-vs-velocity) are computed on
+device and stacked; the host fetches once at the end and writes the
+reference-compatible .dat files.
+
+Output cadence note: the reference emits sample k one quantum tick into MD
+step ``40k + 39`` (its ``(c0+1)%sampleFreq==0 && timeStepCounter==1`` gate);
+we emit at the completion of MD step ``40(k+1)`` — a fixed offset of one MD
+step minus one tick (0.00192 omega_E^-1), physically negligible and
+documented here for cross-validation.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.init import frozen_gas_init
+from ..core.md import kinetic_energies
+from ..core.qt import QTEngine, state_populations
+from ..core.scheduler import CoolingScheduler
+from ..io import checkpoint as ckpt
+from ..io.datfiles import DatWriter
+from ..io.dirs import cooling_dir
+from ..levels import sr12_cooling, with_recoil
+from ..ops.kde import folded_bins, gaussian_kde
+from ..ops.yukawa import best_forces_fn, yukawa_potential
+from ..state import SimState, make_state
+from ..units import (PlasmaUnits, QTUnits, VKICK_408_QUANTUM, K_RATIO_1033,
+                     qt_units_408)
+
+S_MANIFOLD = (0, 1)
+P_MANIFOLD = (2, 3, 4, 5)
+D_MANIFOLD = (6, 7, 8, 9, 10, 11)
+
+
+@dataclasses.dataclass(frozen=True)
+class CoolingConfig:
+    """User inputs of the reference (README.md:40-55; SpeedUp.cpp:56-108)."""
+
+    ge: float = 0.1
+    density: float = 2.0          # units of 1e14 m^-3
+    sig0: float = 4.0             # initial cloud width, mm
+    te: float = 19.0              # electron temperature, K
+    frac_of_sig: float = 0.0      # chunk position in units of sigma
+    n0: int = 3500
+    detuning: float = -1.0        # SP detuning / gamma_SP
+    detuning_dp: float = 1.0      # DP detuning / gamma_SP
+    om: float = 1.0               # SP Rabi freq / gamma_SP
+    om_dp: float = 1.0            # DP Rabi freq / gamma_SP
+    tmax: float = 30.0
+    timestep: float = 0.002
+    sample_freq: int = 40
+    renormalize: bool = False
+    job: int = 1
+    exact_n: bool = True          # pin N = n0 (False: Poissonian as reference)
+    dtype: str = "float32"
+    use_pallas: Optional[bool] = None
+    save_directory: Optional[str] = None   # base dir; None = no file output
+
+    @property
+    def units(self) -> QTUnits:
+        return qt_units_408(self.density)
+
+    @property
+    def ratio(self) -> int:
+        return self.units.ratio_cooling()
+
+    @property
+    def qdt(self) -> float:
+        return self.timestep / self.ratio
+
+    @property
+    def vkick(self) -> float:
+        return VKICK_408_QUANTUM / self.units.plas_to_quant_vel
+
+    @property
+    def np_dtype(self):
+        return jnp.float64 if self.dtype == "float64" else jnp.float32
+
+
+def build_engine(cfg: CoolingConfig) -> QTEngine:
+    scheme = with_recoil(
+        sr12_cooling(cfg.detuning, cfg.detuning_dp, cfg.om, cfg.om_dp),
+        kick_s=cfg.vkick, kick_d=cfg.vkick * K_RATIO_1033)
+    u = cfg.units
+    return QTEngine(scheme, h=cfg.qdt * u.gamma_to_einstein,
+                    dt_plasma=cfg.qdt,
+                    plas_to_quant_vel=u.plas_to_quant_vel,
+                    gamma_to_einstein=u.gamma_to_einstein,
+                    apply_force=True, renormalize=cfg.renormalize)
+
+
+def expansion_detuning_fn(cfg: CoolingConfig):
+    """Time-dependent expanding-frame detuning (SpeedUp.cpp:447), traced."""
+    c1 = 0.0126 * cfg.frac_of_sig * cfg.te / (math.sqrt(cfg.density) * cfg.sig0)
+    c2 = 0.00014314 * cfg.te / (cfg.density * cfg.sig0 ** 2)
+
+    def f(t):
+        return c1 * t / jnp.sqrt(1.0 + c2 * t * t)
+    return f
+
+
+def build_scheduler(cfg: CoolingConfig, mask=None) -> CoolingScheduler:
+    pu = PlasmaUnits(cfg.density, cfg.ge)
+    L = PlasmaUnits.box_length(cfg.n0)
+    forces_fn = best_forces_fn(cfg.n0, L, pu.debye_length, mask=mask,
+                               use_pallas=cfg.use_pallas)
+    return CoolingScheduler(
+        engine=build_engine(cfg), forces_fn=forces_fn, L=L, qdt=cfg.qdt,
+        ratio=cfg.ratio,
+        exp_det_fn=expansion_detuning_fn(cfg) if cfg.frac_of_sig else None)
+
+
+def initial_state(cfg: CoolingConfig, seed: Optional[int] = None) -> SimState:
+    key = jax.random.PRNGKey(cfg.job if seed is None else seed)
+    k_init, k_run = jax.random.split(key)
+    R, V, psi, n = frozen_gas_init(k_init, cfg.n0, n_states=12,
+                                   exact_n=cfg.exact_n, dtype=cfg.np_dtype,
+                                   seed_for_count=cfg.job)
+    return make_state(R, V, psi, k_run, dtype=cfg.np_dtype)
+
+
+def _sample_outputs(state: SimState, cfg: CoolingConfig, L, ldeb, bins):
+    """On-device observables for one output sample (reference output())."""
+    ekx, eky, ekz, vx_mean = kinetic_energies(state.V, subtract_mean_vx=True)
+    epot = yukawa_potential(state.R, L, ldeb)
+    vx = state.V[:, 0] - vx_mean
+    pvel_x = gaussian_kde(vx, bins, folded=True)
+    pvel_y = gaussian_kde(state.V[:, 1], bins, folded=True)
+    pvel_z = gaussian_kde(state.V[:, 2], bins, folded=True)
+    pops = state_populations(state.psi, [S_MANIFOLD, P_MANIFOLD, D_MANIFOLD])
+    return dict(
+        t=state.t, ekin=jnp.stack([ekx, eky, ekz]), epot=epot,
+        vx_mean=vx_mean, pvel=jnp.stack([pvel_x, pvel_y, pvel_z]),
+        vx_ions=state.V[:, 0], pops=jnp.stack(pops, axis=-1))
+
+
+@partial(jax.jit, static_argnames=("cfg", "n_segments"))
+def run_compiled(cfg: CoolingConfig, state: SimState, n_segments: int):
+    """The full cooling run as one device program.
+
+    Returns final state + stacked per-sample outputs.
+    """
+    pu = PlasmaUnits(cfg.density, cfg.ge)
+    L = PlasmaUnits.box_length(cfg.n0)
+    sched = build_scheduler(cfg)
+    bins = folded_bins(cfg.np_dtype)
+
+    def segment(state, _):
+        state = jax.lax.fori_loop(
+            0, cfg.sample_freq, lambda i, s: sched.md_step(s), state)
+        return state, _sample_outputs(state, cfg, L, pu.debye_length, bins)
+
+    return jax.lax.scan(segment, state, None, length=n_segments)
+
+
+def run(cfg: CoolingConfig, seed: Optional[int] = None):
+    """Execute the experiment; write reference-schema .dat files when
+    ``cfg.save_directory`` is set.  Returns (final_state, outputs dict)."""
+    state = initial_state(cfg, seed)
+    pu = PlasmaUnits(cfg.density, cfg.ge)
+    L = PlasmaUnits.box_length(cfg.n0)
+    epot0 = yukawa_potential(state.R, L, pu.debye_length)
+
+    n_md = int(round(cfg.tmax / cfg.timestep))
+    n_segments = n_md // cfg.sample_freq
+    final, outs = run_compiled(cfg, state, n_segments)
+    jax.block_until_ready(final)
+
+    outs = jax.device_get(outs)
+    final_np = jax.device_get(final)
+    epot0 = float(epot0)
+    results = dict(outs=outs, epot0=epot0, final=final_np)
+
+    if cfg.save_directory is not None:
+        d = cooling_dir(cfg.save_directory, ge=cfg.ge, density=cfg.density,
+                        sig0=cfg.sig0, te=cfg.te, frac_of_sig=cfg.frac_of_sig,
+                        detuning=cfg.detuning, detuning_dp=cfg.detuning_dp,
+                        om=cfg.om, om_dp=cfg.om_dp, n0=cfg.n0, job=cfg.job)
+        write_outputs(d, cfg, outs, epot0, final_np, n_md)
+    return final_np, results
+
+
+def write_outputs(directory: str, cfg: CoolingConfig, outs, epot0: float,
+                  final, n_md: int) -> None:
+    """Emit energies.dat, vel_dist{X,Y,Z}_time*.dat,
+    statePopulationsVsVTime*.dat and the terminal checkpoint."""
+    w = DatWriter(directory)
+    bins = np.asarray(folded_bins(jnp.float64))
+    n_samples = outs["t"].shape[0]
+    energies = np.zeros((n_samples, 7))
+    for k in range(n_samples):
+        t = float(outs["t"][k])
+        ekx, eky, ekz = (float(x) for x in outs["ekin"][k])
+        epot = float(outs["epot"][k])
+        vxm = float(outs["vx_mean"][k])
+        energies[k] = (t, ekx, eky, ekz, epot,
+                       ekx + eky + ekz + epot - epot0, vxm)
+        pv = outs["pvel"][k]
+        w.write(f"vel_distX_time{k:06d}.dat",
+                np.stack([bins + vxm, pv[0]], axis=-1))
+        w.write(f"vel_distY_time{k:06d}.dat", np.stack([bins, pv[1]], axis=-1))
+        w.write(f"vel_distZ_time{k:06d}.dat", np.stack([bins, pv[2]], axis=-1))
+        w.write(f"statePopulationsVsVTime{k:06d}.dat",
+                np.concatenate([outs["vx_ions"][k][:, None],
+                                outs["pops"][k]], axis=-1))
+    w.append("energies.dat", energies)
+
+    c0 = n_md - 1
+    n = final.R.shape[0]
+    ckpt.write_ions(directory, c0, n, n_samples)
+    ckpt.write_conditions(directory, c0, np.asarray(final.R), np.asarray(final.V))
+    ckpt.write_wvfns(directory, c0, np.asarray(final.psi))
+    # SpeedUp main never fills Vholder (VAF intervals are commented out);
+    # it still writes 13 zero-filled VZERO interval files (lines 752-763).
+    ckpt.write_vzero(directory, c0, np.zeros((13, n, 3)))
+    ckpt.save_native(directory, c0, R=final.R, V=final.V, psi=final.psi,
+                     counter=n_samples)
+
+
+def resume_state(directory: str, c0: int, cfg: CoolingConfig) -> SimState:
+    """Reference-compatible restart (readConditions, SpeedUp.cpp:785-916)."""
+    R, V = ckpt.read_conditions(directory, c0)
+    psi = ckpt.read_wvfns(directory, c0)
+    key = jax.random.PRNGKey(cfg.job * 7919 + c0)
+    st = make_state(R, V, psi, key, dtype=cfg.np_dtype,
+                    t=ckpt.restore_time(c0, cfg.timestep))
+    tick = int(round(ckpt.restore_time(c0, cfg.timestep) / cfg.qdt))
+    return st._replace(tick=jnp.asarray(tick, jnp.int32))

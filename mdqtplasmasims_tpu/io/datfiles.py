@@ -1,0 +1,65 @@
+"""Reference-compatible .dat file emission.
+
+Every observable in the reference is appended to tab-separated ASCII files
+with ``%lg`` (= ``%g``, 6 significant digits) formatting; schema documented
+in README.md:103-142 of the reference.  A fast C codec (native/datio) is
+used when built; the Python fallback is always available.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Iterable, Sequence
+
+import numpy as np
+
+try:
+    from . import _datio_native as _native   # C extension, optional
+except Exception:  # pragma: no cover
+    _native = None
+
+
+def format_rows(arr: np.ndarray) -> str:
+    """Tab-separated %g rows, one trailing newline per row."""
+    arr = np.asarray(arr)
+    if _native is not None:
+        return _native.format_rows(np.ascontiguousarray(arr, dtype=np.float64))
+    if arr.ndim == 1:
+        arr = arr[:, None]
+    return "".join("\t".join("%g" % v for v in row) + "\n" for row in arr)
+
+
+def append_rows(path: str, arr: np.ndarray) -> None:
+    with open(path, "a") as f:
+        f.write(format_rows(arr))
+
+
+def write_rows(path: str, arr: np.ndarray) -> None:
+    with open(path, "w") as f:
+        f.write(format_rows(arr))
+
+
+def read_rows(path: str) -> np.ndarray:
+    """Whitespace-separated float table (fscanf-compatible)."""
+    return np.loadtxt(path, ndmin=2)
+
+
+class DatWriter:
+    """Output-file manager bound to one run directory."""
+
+    def __init__(self, directory: str):
+        self.dir = directory
+        os.makedirs(directory, exist_ok=True)
+
+    def path(self, name: str) -> str:
+        return os.path.join(self.dir, name)
+
+    def append(self, name: str, arr) -> None:
+        append_rows(self.path(name), np.asarray(arr))
+
+    def write(self, name: str, arr) -> None:
+        write_rows(self.path(name), np.asarray(arr))
+
+    def write_text(self, name: str, text: str) -> None:
+        with open(self.path(name), "w") as f:
+            f.write(text)
