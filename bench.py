@@ -1,0 +1,60 @@
+"""Benchmark: flagship MDQT cooling throughput on the north-star config.
+
+Measures sustained ion-QT-updates/s (each update = one RK4(3/8) non-Hermitian
+step + jump sampling of a 12-state wavefunction, with the multirate MD force
+schedule running alongside) for N0=3500, density=2, Ge=0.1 — the reference's
+N=3500/tmax=30 configuration (README.md:51; BASELINE.md).
+
+Baseline: 4.56e4 ion-QT-updates/s sustained on 4 CPU cores (8 h for tmax=30,
+BASELINE.md).  Prints one JSON line.
+
+NOTE (axon relay): any device->host fetch permanently degrades subsequent
+dispatch latency to ~26 ms in this container, so everything is compiled and
+timed before the first fetch.
+"""
+
+import json
+import time
+
+import jax
+
+from mdqtplasmasims_tpu.experiments.laser_cooling import (
+    CoolingConfig, initial_state, run_compiled)
+
+BASELINE_UPDATES_PER_SEC = 4.56e4   # BASELINE.md derived throughput
+N_MD_TOTAL = 15000                  # tmax=30 at dt=0.002
+
+
+def main():
+    cfg = CoolingConfig(n0=3500, tmax=30.0, sample_freq=40)
+    state = initial_state(cfg)
+
+    # compile + warm up (no host fetches before timing)
+    jax.block_until_ready(run_compiled(cfg, state, 2))
+
+    n_segments = 25                     # 1000 MD steps = 25k quantum ticks
+    t0 = time.perf_counter()
+    final, outs = run_compiled(cfg, state, n_segments)
+    jax.block_until_ready(final)
+    dt = time.perf_counter() - t0
+
+    ticks = n_segments * cfg.sample_freq * cfg.ratio
+    updates_per_sec = cfg.n0 * ticks / dt
+    est_full_minutes = dt / (n_segments * cfg.sample_freq) * N_MD_TOTAL / 60.0
+
+    print(json.dumps({
+        "metric": "ion_qt_updates_per_sec",
+        "value": round(updates_per_sec, 1),
+        "unit": "updates/s",
+        "vs_baseline": round(updates_per_sec / BASELINE_UPDATES_PER_SEC, 2),
+        "extra": {
+            "config": "N0=3500 density=2 Ge=0.1 tmax=30 (north star)",
+            "us_per_quantum_tick": round(dt / ticks * 1e6, 2),
+            "est_full_run_minutes": round(est_full_minutes, 2),
+            "baseline_full_run_minutes": 480.0,
+        },
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -47,20 +47,28 @@ def _round_up(x: int, m: int) -> int:
 
 def yukawa_forces_potential(R: jax.Array, L: float, ldeb: float,
                             mask: Optional[jax.Array] = None,
-                            chunk: int = 512) -> Tuple[jax.Array, jax.Array]:
+                            chunk: int = 512,
+                            cols: Optional[jax.Array] = None,
+                            ) -> Tuple[jax.Array, jax.Array]:
     """Forces [N,3] and per-ion potential sums [N] (pure XLA).
 
     ``sum(pot)/(2*N)`` equals the reference's Epot per particle.
+    ``cols`` optionally supplies a different source set (e.g. the
+    all-gathered global positions when ``R`` is an ion shard); ``mask``
+    applies to the column/source set.
     """
     n = R.shape[0]
     rcut2 = (L / 2.0) ** 2
     chunk = min(chunk, n)
     npad = _round_up(n, chunk)
-    Rx, Ry, Rz = R[:, 0], R[:, 1], R[:, 2]
+    Rc = R if cols is None else cols
+    Rx, Ry, Rz = Rc[:, 0], Rc[:, 1], Rc[:, 2]
     mj = mask if mask is not None else None
 
     def pad(v):
         return jnp.pad(v, (0, npad - n)).reshape(-1, chunk)
+
+    Rrx, Rry, Rrz = R[:, 0], R[:, 1], R[:, 2]
 
     def row_block(args):
         xi, yi, zi = args
@@ -81,10 +89,10 @@ def yukawa_forces_potential(R: jax.Array, L: float, ldeb: float,
         return (jnp.sum(dx * ft, 1), jnp.sum(dy * ft, 1), jnp.sum(dz * ft, 1),
                 jnp.sum(up, 1))
 
-    fx, fy, fz, pot = jax.lax.map(row_block, (pad(Rx), pad(Ry), pad(Rz)))
+    fx, fy, fz, pot = jax.lax.map(row_block, (pad(Rrx), pad(Rry), pad(Rrz)))
     F = jnp.stack([fx.ravel()[:n], fy.ravel()[:n], fz.ravel()[:n]], axis=-1)
     pot = pot.ravel()[:n]
-    if mask is not None:
+    if mask is not None and cols is None:
         F = F * mask[:, None]
         pot = pot * mask
     return F, pot

@@ -1,0 +1,80 @@
+"""Ensemble + ion-sharded execution over a device mesh.
+
+Replaces the reference's share-nothing SLURM job array
+(exampleSlurmFile.slurm) with a single SPMD program: trajectories are
+batched on the ``ens`` mesh axis (vmap within a device, shard_map across
+devices) and the ion axis may additionally be sharded for the O(N^2) force
+kernel, with one ``all_gather`` of positions over ICI per force refresh.
+
+RNG: every (job, ion-shard) pair gets an independent threefry key via
+``fold_in`` — replacing (and fixing) the reference's ``srand48(time+job)``
+plus unseeded ``std::random_device`` (SURVEY.md L4).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+from jax.experimental.shard_map import shard_map
+
+from ..state import SimState
+from ..core.scheduler import CoolingScheduler
+from ..core.qt import QTEngine
+from ..ops.yukawa import yukawa_forces_potential
+from .mesh import ENS_AXIS, ION_AXIS, state_pspec
+
+
+def batched_initial_states(init_one: Callable[[jax.Array], SimState],
+                           keys: jax.Array) -> SimState:
+    """vmap an initializer over per-job keys -> SimState with leading E."""
+    return jax.vmap(init_one)(keys)
+
+
+def sharded_forces_fn(L: float, ldeb: float, chunk: int = 512):
+    """Row-sharded force evaluation: gather the global positions over the
+    ion axis, compute this shard's force rows locally."""
+
+    def fn(R_local):
+        R_full = jax.lax.all_gather(R_local, ION_AXIS, axis=0, tiled=True)
+        return yukawa_forces_potential(R_local, L, ldeb, chunk=chunk,
+                                       cols=R_full)
+    return fn
+
+
+def make_sharded_md_step(scheduler_factory: Callable[[Callable], "CoolingScheduler"],
+                         mesh: Mesh, L: float, ldeb: float):
+    """Build a jitted [E, N, ...] SimState -> SimState step over the mesh.
+
+    ``scheduler_factory(forces_fn)`` returns a scheduler whose ``md_step``
+    advances one single-system state; it is vmapped over the local ensemble
+    block inside shard_map.
+    """
+    sched = scheduler_factory(sharded_forces_fn(L, ldeb))
+    spec = state_pspec()
+
+    def local_step(state: SimState) -> SimState:
+        # state leaves are local blocks [E_loc, N_loc, ...]; key is
+        # [E_loc, 1] typed keys (one per (ens, ion-shard)); tick/t: [E_loc].
+        def one(member: SimState) -> SimState:
+            member = member._replace(key=member.key[0])
+            out = sched.md_step(member)
+            return out._replace(key=out.key[None])
+        return jax.vmap(one)(state)
+
+    step = shard_map(local_step, mesh=mesh, in_specs=(spec,), out_specs=spec,
+                     check_rep=False)
+    return jax.jit(step)
+
+
+def shard_keys(base_key: jax.Array, n_ens: int, n_ion_shards: int) -> jax.Array:
+    """[E, I] typed keys: independent stream per (job, ion shard)."""
+    ens_keys = jax.random.split(base_key, n_ens)
+
+    def per_ens(k):
+        return jax.random.split(k, n_ion_shards)
+    return jax.vmap(per_ens)(ens_keys)
