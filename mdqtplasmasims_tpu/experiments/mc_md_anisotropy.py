@@ -1,0 +1,279 @@
+"""Pure classical transport study: MC equilibration -> collisional MD ->
+tagged-moment + autocorrelation recording -> temperature-anisotropy
+relaxation (instantaneous rescale and slow anisotropic-force versions).
+
+TPU-native re-expression of MonteCarloFollowedByMDAndTempAnisotropy.cpp
+(call stack SURVEY.md 3.2).  Each stage is one jitted device program; the
+velocity history for the autocorrelation suite stays on device and the
+O(T^2 N) reference post-pass becomes batched FFTs.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.init import lattice_init
+from ..core.mc import MetropolisMC
+from ..core.tagging import tag_classical, tagged_moments
+from ..core.thermostat import (anisotropize_velocities, collide_and_kick,
+                               laser_force, temperature, temperature_per_axis)
+from ..core.md import wrap_pbc
+from ..io.datfiles import DatWriter
+from ..io.dirs import mc_transport_dir
+from ..ops.correlations import power_autocorr
+from ..ops.structure import pair_correlation
+from ..ops.yukawa import yukawa_forces_potential
+from ..units import PlasmaUnits
+
+
+@dataclasses.dataclass(frozen=True)
+class MCTransportConfig:
+    """Inputs of MonteCarloFollowedByMDAndTempAnisotropy.cpp:62-107."""
+
+    n: int = 4096                 # must be a perfect cube
+    kappa: float = 0.5
+    gamma: float = 3.0
+    density: float = 0.4          # 1e14 m^-3 (units only)
+    collision_freq: float = 0.25
+    mc_steps: int = 200_000
+    max_r_step: float = 0.3
+    timestep: float = 0.005
+    pre_record_md_steps: int = 200
+    record_steps: int = 2500      # numVelAutoCorrsSteps
+    instant_aniso_steps: int = 2500
+    reequil_steps: int = 500
+    temp_percent_diff: float = 0.15
+    beta: float = 26000.0
+    aniso_time_us: float = 10.0   # anisotropyEstablishmentTime
+    aniso_relax_steps: int = 2000
+    one_axis_force: bool = False
+    gr_every_mc: int = 10_000
+    gr_every_record: int = 100
+    job: int = 1
+    dtype: str = "float32"
+    save_directory: Optional[str] = None
+
+    @property
+    def aniso_establish_steps(self) -> int:
+        # MonteCarlo...cpp:106
+        return int(round(0.8 * self.aniso_time_us * np.sqrt(self.density)
+                         / self.timestep))
+
+    @property
+    def L(self) -> float:
+        return (self.n * 4.0 * np.pi / 3.0) ** (1.0 / 3.0)
+
+    @property
+    def ldeb(self) -> float:
+        return 1.0 / self.kappa
+
+    @property
+    def np_dtype(self):
+        return jnp.float64 if self.dtype == "float64" else jnp.float32
+
+
+def _forces(cfg: MCTransportConfig):
+    def fn(R):
+        return yukawa_forces_potential(R, cfg.L, cfg.ldeb)[0]
+    return fn
+
+
+def make_md_stage(cfg: MCTransportConfig, *, collision_freq: float,
+                  add_laser_force: bool = False):
+    """One velocity-Verlet MD step incl. thermostat/laser options as a
+    scannable (R, V, A, key) -> ... function."""
+    forces = _forces(cfg)
+    dt = cfg.timestep
+
+    def step(carry, _):
+        R, V, A, key = carry
+        key, kc = jax.random.split(key)
+        R = wrap_pbc(R + dt * V + 0.5 * dt * dt * A, cfg.L)
+        A_new = forces(R)
+        V_verlet = V + 0.5 * dt * (A + A_new)
+        V = collide_and_kick(V_verlet, kc, dt=dt,
+                             collision_freq=collision_freq, gamma=cfg.gamma)
+        if add_laser_force:
+            V = laser_force(V, dt=dt, beta=cfg.beta, density=cfg.density,
+                            one_axis_only=cfg.one_axis_force)
+        return (R, V, A_new, key), None
+
+    return step
+
+
+@partial(jax.jit, static_argnames=("cfg", "n_steps", "collision_freq",
+                                   "add_laser_force", "record"))
+def md_stage(cfg: MCTransportConfig, R, V, A, key, n_steps: int,
+             collision_freq: float = 0.0, add_laser_force: bool = False,
+             record: str = "none"):
+    """Run n_steps of velocity-Verlet.  record: none | temp | temp_axes |
+    full (tagged moments need tags; handled by record_stage below)."""
+    step = make_md_stage(cfg, collision_freq=collision_freq,
+                         add_laser_force=add_laser_force)
+
+    def body(carry, x):
+        carry, _ = step(carry, x)
+        R, V, A, key = carry
+        if record == "temp":
+            out = temperature(V)
+        elif record == "temp_axes":
+            out = temperature_per_axis(V)
+        else:
+            out = jnp.zeros((), R.dtype)
+        return carry, out
+
+    (R, V, A, key), rec = jax.lax.scan(body, (R, V, A, key), None,
+                                       length=n_steps)
+    return (R, V, A, key), rec
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def record_stage(cfg: MCTransportConfig, R, V, A, key, tags):
+    """The collisionless recording phase (main :1095-1104): per step emit
+    tagged moments (all four taggings) and scalar temperature *before* the
+    MD step, store velocities *after* it (the reference order), with a
+    g(r) snapshot at the top of every ``gr_every_record``-step chunk."""
+    step = make_md_stage(cfg, collision_freq=0.0)
+    t1, t2, t3, t4 = tags
+    assert cfg.record_steps % cfg.gr_every_record == 0
+    n_chunks = cfg.record_steps // cfg.gr_every_record
+
+    def body(carry, _):
+        R, V, A, key = carry
+        moments = jnp.stack([
+            tagged_moments(V[:, 0], t, subtract_equilibrium=True,
+                           gamma=cfg.gamma)
+            for t in (t1, t2, t3, t4)])
+        temp = temperature(V)
+        (R, V, A, key), _ = step((R, V, A, key), None)
+        return (R, V, A, key), (moments, temp, V)
+
+    def chunk(carry, _):
+        g = pair_correlation(carry[0], cfg.L)
+        carry, recs = jax.lax.scan(body, carry, None,
+                                   length=cfg.gr_every_record)
+        return carry, (g,) + recs
+
+    (R, V, A, key), (grs, moments, temps, vstore) = jax.lax.scan(
+        chunk, (R, V, A, key), None, length=n_chunks)
+    moments = moments.reshape((-1,) + moments.shape[2:])
+    temps = temps.reshape(-1)
+    vstore = vstore.reshape((-1,) + vstore.shape[2:])
+    return (R, V, A, key), grs, moments, temps, vstore
+
+
+def run(cfg: MCTransportConfig, seed: Optional[int] = None) -> dict:
+    """Execute the full staged pipeline; returns all observables and writes
+    reference-schema .dat files when save_directory is set."""
+    dt = cfg.np_dtype
+    key = jax.random.PRNGKey(cfg.job if seed is None else seed)
+    k_lat, k_mc, k_tag, k_run = jax.random.split(key, 4)
+
+    # Stage 1-2: lattice init + per-particle U (implicit in our dU rows)
+    R, V = lattice_init(k_lat, cfg.n, cfg.gamma, cfg.L, dtype=dt)
+
+    # Stage 3: Metropolis MC with g(r) snapshots every gr_every_mc steps
+    mc = MetropolisMC(L=cfg.L, ldeb=cfg.ldeb, gamma=cfg.gamma,
+                      max_r_step=cfg.max_r_step)
+
+    n_chunks = max(1, cfg.mc_steps // cfg.gr_every_mc)
+
+    @jax.jit
+    def mc_chunked(R, key):
+        def chunk(carry, k):
+            R, n_acc = carry
+            g = pair_correlation(R, cfg.L)
+            R, acc = mc.run(R, k, cfg.mc_steps // n_chunks)
+            return (R, n_acc + acc), g
+        keys = jax.random.split(key, n_chunks)
+        (R, n_acc), gr = jax.lax.scan(chunk, (R, jnp.zeros((), jnp.int32)),
+                                      keys)
+        return R, n_acc, gr
+
+    R, n_acc, gr_mc = mc_chunked(R, k_mc)
+
+    # Stage 4: collisional MD equilibration
+    A = _forces(cfg)(R)
+    (R, V, A, k_run), _ = md_stage(cfg, R, V, A, k_run,
+                                   cfg.pre_record_md_steps,
+                                   collision_freq=cfg.collision_freq)
+
+    # Stage 5: tag + collisionless recording
+    tags = tag_classical(V[:, 0], k_tag, cfg.gamma)
+    (R, V, A, k_run), gr_record, moments, temps, vstore = record_stage(
+        cfg, R, V, A, k_run, tags)
+
+    # Stage 6: autocorrelation suite (FFT; reference O(T^2 N) post-pass)
+    vaf = power_autocorr(vstore, 1, cfg.gamma)
+    long_visc = power_autocorr(vstore, 2, cfg.gamma)
+    v_cube = power_autocorr(vstore, 3, cfg.gamma)
+    v_fourth = power_autocorr(vstore, 4, cfg.gamma)
+
+    # Stage 7: instantaneous anisotropy + relaxation
+    V = anisotropize_velocities(V, cfg.temp_percent_diff)
+    (R, V, A, k_run), temps_inst = md_stage(
+        cfg, R, V, A, k_run, cfg.instant_aniso_steps, record="temp_axes")
+
+    # re-equilibration (collisional)
+    (R, V, A, k_run), _ = md_stage(cfg, R, V, A, k_run, cfg.reequil_steps,
+                                   collision_freq=cfg.collision_freq)
+
+    # Stage 8: anisotropic force application + relaxation
+    (R, V, A, k_run), temps_force = md_stage(
+        cfg, R, V, A, k_run, cfg.aniso_establish_steps,
+        add_laser_force=True, record="temp_axes")
+    (R, V, A, k_run), temps_relax = md_stage(
+        cfg, R, V, A, k_run, cfg.aniso_relax_steps, record="temp_axes")
+
+    results = {k: jax.device_get(v) for k, v in dict(
+        gr_mc=gr_mc, gr_record=gr_record, mc_accepted=n_acc,
+        moments=moments, temps=temps, vaf=vaf, long_visc=long_visc,
+        v_cube=v_cube, v_fourth=v_fourth, temps_inst=temps_inst,
+        temps_force=temps_force, temps_relax=temps_relax,
+        R=R, V=V).items()}
+
+    if cfg.save_directory is not None:
+        _write_outputs(cfg, results)
+    return results
+
+
+def _write_outputs(cfg: MCTransportConfig, res: dict) -> None:
+    d = mc_transport_dir(cfg.save_directory, gamma=cfg.gamma,
+                         kappa=cfg.kappa, n=cfg.n, job=cfg.job)
+    w = DatWriter(d)
+    dr = 0.05
+    rr = np.arange(400) * dr
+
+    for i, g in enumerate(res["gr_mc"]):
+        w.write(f"pairPairCorrStepNum{i * cfg.gr_every_mc}.dat",
+                np.stack([rr, g], -1))
+    # record-phase g(r) snapshots (the reference reuses the same filename
+    # pattern with the record-step index, MonteCarlo...cpp:1099)
+    for i, g in enumerate(res["gr_record"]):
+        w.write(f"pairPairCorrStepNum{i * cfg.gr_every_record}.dat",
+                np.stack([rr, g], -1))
+    t_axis = np.arange(cfg.record_steps) * cfg.timestep
+    for name, arr in (("VAF", res["vaf"]), ("longViscAutoCorr", res["long_visc"]),
+                      ("vCubeAutoCorr", res["v_cube"]),
+                      ("vFourthAutoCorr", res["v_fourth"])):
+        w.write(f"{name}.dat", np.stack([t_axis, arr], -1))
+    w.write("temperature.dat", res["temps"][:, None])
+    names = ("taggedVOneMoments", "taggedVTwoMoments", "taggedVThreeMoments",
+             "taggedVFourMoments")
+    for k, name in enumerate(names):
+        w.write(f"{name}.dat",
+                np.concatenate([t_axis[:, None], res["moments"][:, k]], -1))
+    for fname, arr in (("TemperaturesAlongAxesInstantaneous.dat",
+                        res["temps_inst"]),
+                       ("TemperaturesAlongAxesDuringForcePeriod.dat",
+                        res["temps_force"]),
+                       ("TemperaturesAlongAxesAfterForcePeriod.dat",
+                        res["temps_relax"])):
+        steps = np.arange(arr.shape[0]) * cfg.timestep
+        w.write(fname, np.concatenate([steps[:, None], arr], -1))
