@@ -136,8 +136,15 @@ class QTEngine:
         jumped = rolls[0] < dp0
 
         # ---- no-jump branch: RK4 (3/8) on the normalized propagator ----
+        # The stage dp is clamped below 1: the renormalized propagator grows
+        # the norm by O(h^2 |H psi|^2) per tick, so an ion that survives an
+        # exceptionally long stretch without jumping can inflate until a
+        # stage dp reaches 1 and 1/sqrt(1-dp) blows up (the reference has
+        # the identical pathology, laserCooling...SpeedUp.cpp:532).  Any ion
+        # near the cap jumps within a tick or two anyway (P(jump) = dp0).
         def g_slope(phi):
-            pref = (1.0 / jnp.sqrt(1.0 - self._dp(p, phi)))[:, None]
+            dphi = jnp.clip(self._dp(p, phi), 0.0, 0.9)
+            pref = (1.0 / jnp.sqrt(1.0 - dphi))[:, None]
             stepped = pref.astype(phi.dtype) * (phi - 1j * h * self._hpsi(p, phi, u, tq))
             return (stepped - phi) / h
 

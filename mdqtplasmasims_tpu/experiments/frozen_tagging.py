@@ -1,0 +1,283 @@
+"""Frozen-gas-start quantum-trajectory velocity tagging.
+
+TPU-native re-expression of randomFrozenStartTag{408Linear,408Quad,
+422Linear}.cpp (call stack SURVEY.md 3.4): frozen (T=0) random positions
+undergo disorder-induced heating under pure Yukawa MD; inside the pump
+window [tstart, tstart+tpump] an optical-pumping QT engine spin-polarizes a
+velocity class (no recoil); at the window's end every ion is projectively
+measured (spin-up list); afterwards the tagged subset's moments, KDE
+velocity distribution, and streaming VAF (or v^2 autocorrelation "LongKin"
+for the 408Quad variant) are recorded.
+
+Phase structure (each phase one jitted device program):
+  A: MD + windowed pumping up to the pump end (no outputs);
+  tag: projective measurement, interval snapshot, first output row;
+  B: MD to tmax, output block every sample_freq MD steps (aligned to the
+     reference's global (c0+1) %% sampleFreq gate).
+
+Granularity note: the reference checks the tag condition every quantum
+tick; we tag at the enclosing MD-step boundary.  The wavefunctions are
+frozen outside the pump window, so the measurement distribution is
+identical; only the Vholder snapshot shifts by < 1 MD step.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.init import frozen_gas_init
+from ..core.md import kinetic_energies
+from ..core.qt import QTEngine
+from ..core.scheduler import FrozenTagScheduler
+from ..core.tagging import (spin_up_probability_408, spin_up_probability_422,
+                            tagged_moments)
+from ..io import checkpoint as ckpt
+from ..io.datfiles import DatWriter
+from ..io.dirs import frozen_tag_dir
+from ..levels import tag408, tag422
+from ..ops.correlations import streaming_long_kin, streaming_vaf
+from ..ops.kde import centered_bins, gaussian_kde
+from ..ops.yukawa import best_forces_fn, yukawa_potential
+from ..state import SimState, make_state
+from ..units import (PlasmaUnits, pump_window_einstein, qt_units_408,
+                     qt_units_422)
+
+VARIANTS = ("408linear", "408quad", "422linear")
+
+
+@dataclasses.dataclass(frozen=True)
+class FrozenTagConfig:
+    """Inputs of the randomFrozenStartTag family (e.g. 422Linear:52-83)."""
+
+    variant: str = "422linear"
+    detuning: float = -1.0        # / gamma of the pump line
+    om: float = 1.3
+    tpump_seconds: float = 1e-7
+    tstart: float = 15.0          # tstartV0
+    tmax: float = 25.0
+    ge: float = 0.1
+    density: float = 2.0
+    n0: int = 3500
+    timestep: float = 0.002
+    sample_freq: int = 40
+    job: int = 1
+    exact_n: bool = True
+    dtype: str = "float32"
+    use_pallas: Optional[bool] = None
+    save_directory: Optional[str] = None
+
+    def __post_init__(self):
+        assert self.variant in VARIANTS, self.variant
+
+    @property
+    def units(self):
+        return (qt_units_422(self.density) if self.variant == "422linear"
+                else qt_units_408(self.density))
+
+    @property
+    def ratio(self) -> int:
+        return self.units.ratio_frozen()
+
+    @property
+    def qdt(self) -> float:
+        return self.timestep / self.ratio
+
+    @property
+    def tpump(self) -> float:
+        return pump_window_einstein(self.tpump_seconds, self.density)
+
+    @property
+    def tend(self) -> float:
+        return self.tstart + self.tpump
+
+    @property
+    def n_states(self) -> int:
+        return 5 if self.variant == "422linear" else 7
+
+    @property
+    def np_dtype(self):
+        return jnp.float64 if self.dtype == "float64" else jnp.float32
+
+    def scheme(self):
+        if self.variant == "422linear":
+            return tag422(self.detuning, self.om)
+        return tag408(self.detuning, self.om,
+                      linear=(self.variant == "408linear"))
+
+    def spin_up_probability(self, psi):
+        if self.variant == "422linear":
+            return spin_up_probability_422(psi)
+        return spin_up_probability_408(psi)
+
+
+def build_scheduler(cfg: FrozenTagConfig) -> FrozenTagScheduler:
+    pu = PlasmaUnits(cfg.density, cfg.ge)
+    L = PlasmaUnits.box_length(cfg.n0)
+    u = cfg.units
+    engine = QTEngine(cfg.scheme(), h=cfg.qdt * u.gamma_to_einstein,
+                      dt_plasma=cfg.qdt,
+                      plas_to_quant_vel=u.plas_to_quant_vel,
+                      gamma_to_einstein=u.gamma_to_einstein,
+                      apply_force=False)
+    return FrozenTagScheduler(
+        engine=engine,
+        forces_fn=best_forces_fn(cfg.n0, L, pu.debye_length,
+                                 use_pallas=cfg.use_pallas),
+        L=L, qdt=cfg.qdt, ratio=cfg.ratio,
+        t_pump_start=cfg.tstart, t_pump_end=cfg.tend)
+
+
+def initial_state(cfg: FrozenTagConfig, seed: Optional[int] = None) -> SimState:
+    key = jax.random.PRNGKey(cfg.job if seed is None else seed)
+    k_init, k_run = jax.random.split(key)
+    R, V, psi, _ = frozen_gas_init(k_init, cfg.n0, n_states=cfg.n_states,
+                                   exact_n=cfg.exact_n, dtype=cfg.np_dtype,
+                                   seed_for_count=cfg.job)
+    return make_state(R, V, psi, k_run, dtype=cfg.np_dtype)
+
+
+@partial(jax.jit, static_argnames=("cfg", "n_md"))
+def run_phase_a(cfg: FrozenTagConfig, state: SimState, n_md: int) -> SimState:
+    sched = build_scheduler(cfg)
+    return jax.lax.fori_loop(0, n_md, lambda i, s: sched.md_step(s), state)
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def measure(cfg: FrozenTagConfig, state: SimState):
+    """Projective spin measurement + interval snapshot (measureSpinUps)."""
+    key, sub = jax.random.split(state.key)
+    p = cfg.spin_up_probability(state.psi)
+    spin_up = jax.random.uniform(sub, p.shape, p.dtype) < p
+    vholder = state.V[:, 0]
+    return state._replace(key=key), spin_up, vholder
+
+
+def _output_block(cfg, state, spin_up, vholder, epot0, L, ldeb, bins):
+    """One post-tag output (reference output() + Zfunc/LongKin)."""
+    ekx, eky, ekz, _ = kinetic_energies(state.V)
+    epot = yukawa_potential(state.R, L, ldeb)
+    w = spin_up.astype(state.V.dtype)
+    pvel_x = gaussian_kde(state.V[:, 0], bins, folded=False, weights=w)
+    moments = tagged_moments(state.V[:, 0], spin_up)
+    vaf = streaming_vaf(state.V[:, 0], vholder, x_only=True)
+    long_kin = streaming_long_kin(state.V[:, 0], vholder)
+    return dict(t=state.t,
+                energies=jnp.stack([ekx, eky, ekz, epot,
+                                    ekx + eky + ekz + epot - epot0]),
+                pvel_x=pvel_x, moments=moments, vaf=vaf, long_kin=long_kin,
+                n_up=jnp.sum(spin_up))
+
+
+@partial(jax.jit, static_argnames=("cfg", "seg_lengths"))
+def run_phase_b(cfg: FrozenTagConfig, state: SimState, spin_up, vholder,
+                epot0, seg_lengths: tuple):
+    """Post-tag MD with an output block after each segment.  seg_lengths
+    must all be equal (one scan) except possibly the first (alignment)."""
+    pu = PlasmaUnits(cfg.density, cfg.ge)
+    L = PlasmaUnits.box_length(cfg.n0)
+    sched = build_scheduler(cfg)
+    bins = centered_bins(cfg.np_dtype)
+
+    outs = []
+    first, rest = seg_lengths[0], seg_lengths[1:]
+    state = jax.lax.fori_loop(0, first, lambda i, s: sched.md_step(s), state)
+    out0 = _output_block(cfg, state, spin_up, vholder, epot0, L,
+                         pu.debye_length, bins)
+
+    if rest:
+        n_rest = len(rest)
+        assert all(r == rest[0] for r in rest)
+
+        def segment(state, _):
+            state = jax.lax.fori_loop(0, rest[0],
+                                      lambda i, s: sched.md_step(s), state)
+            return state, _output_block(cfg, state, spin_up, vholder, epot0,
+                                        L, pu.debye_length, bins)
+
+        state, outs = jax.lax.scan(segment, state, None, length=n_rest)
+        # prepend the first (alignment) output
+        outs = jax.tree.map(lambda a, b: jnp.concatenate([a[None], b]),
+                            out0, outs)
+    else:
+        outs = jax.tree.map(lambda a: a[None], out0)
+    return state, outs
+
+
+def run(cfg: FrozenTagConfig, seed: Optional[int] = None):
+    state = initial_state(cfg, seed)
+    pu = PlasmaUnits(cfg.density, cfg.ge)
+    L = PlasmaUnits.box_length(cfg.n0)
+    epot0 = yukawa_potential(state.R, L, pu.debye_length)
+
+    n_md_a = int(np.ceil(cfg.tend / cfg.timestep))
+    n_md_total = int(round(cfg.tmax / cfg.timestep))
+    state = run_phase_a(cfg, state, n_md_a)
+    state, spin_up, vholder = measure(cfg, state)
+    out_tag = None
+
+    # phase B segment lengths: align to the global sample_freq grid
+    first = cfg.sample_freq - (n_md_a % cfg.sample_freq)
+    if first == cfg.sample_freq:
+        first = cfg.sample_freq
+    remaining = n_md_total - n_md_a - first
+    n_full = max(0, remaining // cfg.sample_freq)
+    seg_lengths = (first,) + (cfg.sample_freq,) * n_full
+    state, outs = run_phase_b(cfg, state, spin_up, vholder, epot0,
+                              seg_lengths)
+    jax.block_until_ready(state)
+
+    outs = jax.device_get(outs)
+    final = jax.device_get(state)
+    spin_up_np = np.asarray(jax.device_get(spin_up))
+    results = dict(outs=outs, spin_up=spin_up_np, epot0=float(epot0),
+                   final=final, n_md_a=n_md_a)
+
+    if cfg.save_directory is not None:
+        d = frozen_tag_dir(cfg.save_directory,
+                           tpump_seconds=cfg.tpump_seconds,
+                           tstart=cfg.tstart, detuning=cfg.detuning,
+                           om=cfg.om, density=cfg.density, ge=cfg.ge,
+                           n0=cfg.n0, job=cfg.job)
+        write_outputs(d, cfg, results, n_md_total)
+    return final, results
+
+
+def write_outputs(directory: str, cfg: FrozenTagConfig, res: dict,
+                  n_md_total: int) -> None:
+    w = DatWriter(directory)
+    outs = res["outs"]
+    bins = (np.arange(4001) - 2000) * 0.0025
+    n_samples = outs["t"].shape[0]
+
+    c0_tag = res["n_md_a"]
+    w.write_text(f"spinUpIons_timestep{c0_tag:06d}.dat",
+                 str(int(res["outs"]["n_up"][0])))
+
+    energies = np.concatenate([outs["t"][:, None], outs["energies"]], axis=1)
+    w.append("energies.dat", energies)
+    moments = np.concatenate([outs["t"][:, None], outs["moments"]], axis=1)
+    w.append("taggedMoments.dat", moments)
+    if cfg.variant == "408quad":
+        w.append("vSquareAutoCorr.dat",
+                 np.stack([outs["t"], outs["long_kin"]], -1))
+    else:
+        w.append("VAF.dat", np.stack([outs["t"], outs["vaf"]], -1))
+    for k in range(n_samples):
+        w.write(f"vel_distX_timestep{k:06d}.dat",
+                np.stack([bins, outs["pvel_x"][k]], -1))
+
+    c0 = n_md_total - 1
+    n = res["final"].R.shape[0]
+    ckpt.write_ions(directory, c0, n, n_samples)
+    ckpt.write_conditions(directory, c0, np.asarray(res["final"].R),
+                          np.asarray(res["final"].V))
+    ckpt.write_spinup_list(directory, c0, res["spin_up"].astype(int))
+    ckpt.save_native(directory, c0, R=res["final"].R, V=res["final"].V,
+                     psi=res["final"].psi, counter=n_samples,
+                     spin_up=res["spin_up"])

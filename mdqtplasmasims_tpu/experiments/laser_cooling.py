@@ -203,7 +203,7 @@ def write_outputs(directory: str, cfg: CoolingConfig, outs, epot0: float,
     """Emit energies.dat, vel_dist{X,Y,Z}_time*.dat,
     statePopulationsVsVTime*.dat and the terminal checkpoint."""
     w = DatWriter(directory)
-    bins = np.asarray(folded_bins(jnp.float64))
+    bins = np.arange(2001) * 0.0025
     n_samples = outs["t"].shape[0]
     energies = np.zeros((n_samples, 7))
     for k in range(n_samples):

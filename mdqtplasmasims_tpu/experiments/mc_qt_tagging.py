@@ -1,0 +1,268 @@
+"""MC-equilibrated quantum-trajectory velocity tagging.
+
+TPU-native re-expression of MonteCarloFollowedByQTTagging{408Linear,
+408Quad,422Linear}.cpp (call stack SURVEY.md 3.3): cubic lattice + MB
+velocities + random S-superposition wavefunctions, Metropolis MC anneal,
+collisional velocity-Verlet MD, then an optical-pumping phase (``ratio``
+qsteps then one MD step, per pump MD step), a projective tag, and a
+collisionless recording phase emitting tagged moments + tagged KDE velocity
+distribution, g(r), temperature and the stored-velocity autocorrelation
+suite.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.init import lattice_init
+from ..core.mc import MetropolisMC
+from ..core.qt import QTEngine, random_s_superposition
+from ..core.scheduler import MCTagScheduler
+from ..core.tagging import (spin_up_probability_408, spin_up_probability_422,
+                            tagged_moments)
+from ..core.thermostat import collide_and_kick, temperature
+from ..core.md import wrap_pbc
+from ..io.datfiles import DatWriter
+from ..io.dirs import mc_tag_dir
+from ..levels import DECAY_RATIO_422_MC, tag408, tag422
+from ..ops.correlations import power_autocorr
+from ..ops.kde import centered_bins, gaussian_kde
+from ..ops.structure import pair_correlation
+from ..ops.yukawa import yukawa_forces_potential
+from ..state import make_state
+from ..units import (QTUnits, GAMMA422_FACTOR, K422_FACTOR,
+                     pump_window_einstein)
+
+VARIANT_DEFAULTS = {  # (tpump_seconds, detuning, om) per reference file
+    "408linear": (2e-7, -2.5, 0.7),
+    "408quad": (1e-7, 0.0, 2.0),
+    "422linear": (5e-8, -1.0, 1.3),
+}
+
+
+@dataclasses.dataclass(frozen=True)
+class MCTagConfig:
+    variant: str = "408quad"
+    n: int = 4096                 # perfect cube
+    kappa: float = 0.5
+    gamma: float = 3.0
+    density: float = 2.0
+    tpump_seconds: Optional[float] = None
+    detuning: Optional[float] = None
+    om: Optional[float] = None
+    mc_steps: int = 100_000
+    pre_record_md_steps: int = 200
+    record_steps: int = 1500
+    collision_freq: float = 0.25
+    timestep: float = 0.005
+    gr_every_record: int = 100
+    job: int = 1
+    dtype: str = "float32"
+    dist_every: int = 1           # reference writes vel_dist every step
+    save_directory: Optional[str] = None
+
+    def __post_init__(self):
+        assert self.variant in VARIANT_DEFAULTS
+        d = VARIANT_DEFAULTS[self.variant]
+        if self.tpump_seconds is None:
+            object.__setattr__(self, "tpump_seconds", d[0])
+        if self.detuning is None:
+            object.__setattr__(self, "detuning", d[1])
+        if self.om is None:
+            object.__setattr__(self, "om", d[2])
+
+    @property
+    def is_422(self) -> bool:
+        return self.variant == "422linear"
+
+    @property
+    def units(self) -> QTUnits:
+        return QTUnits(self.density,
+                       gamma_factor=GAMMA422_FACTOR if self.is_422 else 1.0,
+                       k_factor=K422_FACTOR if self.is_422 else 1.0)
+
+    @property
+    def ratio(self) -> int:
+        # round(87*gamma_factor/sqrt(n)): 408Quad.cpp:111, 422Linear.cpp:116
+        return self.units.ratio_mc_tagging()
+
+    @property
+    def qdt(self) -> float:
+        return self.timestep / self.ratio
+
+    @property
+    def pump_md_steps(self) -> int:
+        tpump = pump_window_einstein(self.tpump_seconds, self.density)
+        return int(round(tpump / self.timestep))
+
+    @property
+    def n_states(self) -> int:
+        return 5 if self.is_422 else 7
+
+    @property
+    def L(self) -> float:
+        return (self.n * 4.0 * np.pi / 3.0) ** (1.0 / 3.0)
+
+    @property
+    def np_dtype(self):
+        return jnp.float64 if self.dtype == "float64" else jnp.float32
+
+    def scheme(self):
+        if self.is_422:
+            return tag422(self.detuning, self.om,
+                          decay_ratio=DECAY_RATIO_422_MC)
+        return tag408(self.detuning, self.om,
+                      linear=(self.variant == "408linear"))
+
+    def spin_up_probability(self, psi):
+        return (spin_up_probability_422(psi) if self.is_422
+                else spin_up_probability_408(psi))
+
+
+def _forces(cfg: MCTagConfig):
+    def fn(R):
+        return yukawa_forces_potential(R, cfg.L, 1.0 / cfg.kappa)
+    return fn
+
+
+@partial(jax.jit, static_argnames=("cfg", "n_steps", "collision_freq"))
+def md_phase(cfg: MCTagConfig, R, V, A, key, n_steps: int,
+             collision_freq: float):
+    forces = _forces(cfg)
+    dt = cfg.timestep
+
+    def step(carry, _):
+        R, V, A, key = carry
+        key, kc = jax.random.split(key)
+        R = wrap_pbc(R + dt * V + 0.5 * dt * dt * A, cfg.L)
+        A_new = forces(R)[0]
+        V_verlet = V + 0.5 * dt * (A + A_new)
+        V = collide_and_kick(V_verlet, kc, dt=dt,
+                             collision_freq=collision_freq, gamma=cfg.gamma)
+        return (R, V, A_new, key), None
+
+    return jax.lax.scan(step, (R, V, A, key), None, length=n_steps)[0]
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def pump_phase(cfg: MCTagConfig, R, V, A, psi, t_part, key):
+    """pumpMDTimeSteps x [ratio qsteps; MDStep]
+    (MonteCarlo...408Quad.cpp:1230-1235)."""
+    u = cfg.units
+    engine = QTEngine(cfg.scheme(), h=cfg.qdt * u.gamma_to_einstein,
+                      dt_plasma=cfg.qdt,
+                      plas_to_quant_vel=u.plas_to_quant_vel,
+                      gamma_to_einstein=u.gamma_to_einstein,
+                      apply_force=False)
+    sched = MCTagScheduler(engine=engine, forces_fn=_forces(cfg), L=cfg.L,
+                           dt=cfg.timestep, ratio=cfg.ratio)
+    state = make_state(R, V, psi, key, dtype=cfg.np_dtype)
+    state = state._replace(F=A, t_part=t_part)
+    state = jax.lax.fori_loop(0, cfg.pump_md_steps,
+                              lambda i, s: sched.md_step(s), state)
+    return state
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def record_phase(cfg: MCTagConfig, R, V, A, key, tags):
+    """Collisionless recording: tagged moments + tagged KDE dist before the
+    step, velocity storage after, g(r) per chunk."""
+    forces = _forces(cfg)
+    dt = cfg.timestep
+    bins = centered_bins(cfg.np_dtype)
+    assert cfg.record_steps % cfg.gr_every_record == 0
+    n_chunks = cfg.record_steps // cfg.gr_every_record
+    w = tags.astype(cfg.np_dtype)
+
+    def body(carry, _):
+        R, V, A, key = carry
+        moments = tagged_moments(V[:, 0], tags)
+        dist = gaussian_kde(V[:, 0], bins, folded=False, weights=w)
+        temp = temperature(V)
+        R = wrap_pbc(R + dt * V + 0.5 * dt * dt * A, cfg.L)
+        A_new = forces(R)[0]
+        V = V + 0.5 * dt * (A + A_new)
+        return (R, V, A_new, key), (moments, dist, temp, V)
+
+    def chunk(carry, _):
+        g = pair_correlation(carry[0], cfg.L)
+        carry, recs = jax.lax.scan(body, carry, None,
+                                   length=cfg.gr_every_record)
+        return carry, (g,) + recs
+
+    carry, (grs, moments, dists, temps, vstore) = jax.lax.scan(
+        chunk, (R, V, A, key), None, length=n_chunks)
+    flat = lambda a: a.reshape((-1,) + a.shape[2:])
+    return carry, grs, flat(moments), flat(dists), flat(temps), flat(vstore)
+
+
+def run(cfg: MCTagConfig, seed: Optional[int] = None) -> dict:
+    dt = cfg.np_dtype
+    key = jax.random.PRNGKey(cfg.job if seed is None else seed)
+    k_lat, k_psi, k_mc, k_tag, k_run = jax.random.split(key, 5)
+
+    R, V = lattice_init(k_lat, cfg.n, cfg.gamma, cfg.L, dtype=dt)
+    psi = random_s_superposition(
+        k_psi, cfg.n, cfg.n_states,
+        jnp.complex128 if cfg.dtype == "float64" else jnp.complex64)
+
+    mc = MetropolisMC(L=cfg.L, ldeb=1.0 / cfg.kappa, gamma=cfg.gamma)
+    R, n_acc = jax.jit(mc.run, static_argnums=2)(R, k_mc, cfg.mc_steps)
+
+    A = _forces(cfg)(R)[0]
+    R, V, A, k_run = md_phase(cfg, R, V, A, k_run, cfg.pre_record_md_steps,
+                              cfg.collision_freq)
+
+    state = pump_phase(cfg, R, V, A, psi, jnp.zeros((cfg.n,), dt), k_run)
+
+    key2, k_meas = jax.random.split(state.key)
+    p = cfg.spin_up_probability(state.psi)
+    tags = jax.random.uniform(k_meas, p.shape, p.dtype) < p
+
+    (R, V, A, _), grs, moments, dists, temps, vstore = record_phase(
+        cfg, state.R, state.V, state.F, key2, tags)
+
+    vaf = power_autocorr(vstore, 1, cfg.gamma)
+    long_visc = power_autocorr(vstore, 2, cfg.gamma)
+    v_cube = power_autocorr(vstore, 3, cfg.gamma)
+    v_fourth = power_autocorr(vstore, 4, cfg.gamma)
+
+    results = {k: jax.device_get(v) for k, v in dict(
+        mc_accepted=n_acc, tags=tags, grs=grs, moments=moments,
+        dists=dists, temps=temps, vaf=vaf, long_visc=long_visc,
+        v_cube=v_cube, v_fourth=v_fourth, R=R, V=V).items()}
+
+    if cfg.save_directory is not None:
+        _write_outputs(cfg, results)
+    return results
+
+
+def _write_outputs(cfg: MCTagConfig, res: dict) -> None:
+    d = mc_tag_dir(cfg.save_directory, gamma=cfg.gamma, kappa=cfg.kappa,
+                   n=cfg.n, tpump_seconds=cfg.tpump_seconds,
+                   detuning=cfg.detuning, om=cfg.om, density=cfg.density,
+                   job=cfg.job)
+    w = DatWriter(d)
+    t_axis = np.arange(cfg.record_steps) * cfg.timestep
+    bins = (np.arange(4001) - 2000) * 0.0025
+    w.append("taggedMoments.dat",
+             np.concatenate([t_axis[:, None], res["moments"]], axis=1))
+    for k in range(0, cfg.record_steps, cfg.dist_every):
+        w.write(f"vel_distX_timestep{k:06d}.dat",
+                np.stack([bins, res["dists"][k]], -1))
+    rr = np.arange(400) * 0.05
+    for i, g in enumerate(res["grs"]):
+        w.write(f"pairPairCorrStepNum{i * cfg.gr_every_record}.dat",
+                np.stack([rr, g], -1))
+    w.write("temperature.dat", res["temps"][:, None])
+    for name, arr in (("VAF", res["vaf"]),
+                      ("longViscAutoCorr", res["long_visc"]),
+                      ("vCubeAutoCorr", res["v_cube"]),
+                      ("vFourthAutoCorr", res["v_fourth"])):
+        w.write(f"{name}.dat", np.stack([t_axis, arr], -1))

@@ -1,0 +1,119 @@
+"""QT-only toy: 3-level laser cooling of free (non-interacting) ions.
+
+TPU-native re-expression of laserCoolNoPlasmaThreeState.cpp: N0 ions with
+MB velocities at ``temperature`` K, ground-state wavefunctions, evolved by
+the 3-state QT engine with counter-propagating beams along x (recoil kicks
+applied when ``apply_force``).  No Coulomb forces; time is in 1/gamma units
+(dt = 0.01).  Output: mean x kinetic energy every ``sample_freq`` ticks
+(energies.dat: t, EkinX — reference output(), lines 296-347).
+
+This is the minimum end-to-end slice and the Doppler-limit validation
+vehicle (SURVEY.md 3.5).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.qt import QTEngine
+from ..io.datfiles import DatWriter
+from ..io.dirs import three_state_dir
+from ..levels import three_state
+from ..units import SQRT_KELVIN_TO_PLASMA_VEL
+
+
+@dataclasses.dataclass(frozen=True)
+class ThreeStateConfig:
+    n0: int = 1000
+    detuning: float = -0.5
+    om: float = 0.5
+    temperature_k: float = 0.01
+    tmax: float = 45000.0
+    dt: float = 0.01
+    sample_freq: int = 1000
+    apply_force: bool = True
+    vkick: float = 0.0012076       # laserCoolNoPlasmaThreeState.cpp:88
+    job: int = 1
+    dtype: str = "float32"
+    save_directory: Optional[str] = None
+
+    @property
+    def np_dtype(self):
+        return jnp.float64 if self.dtype == "float64" else jnp.float32
+
+
+def build_engine(cfg: ThreeStateConfig) -> QTEngine:
+    return QTEngine(three_state(cfg.detuning, cfg.om, cfg.vkick),
+                    h=cfg.dt, dt_plasma=cfg.dt, plas_to_quant_vel=1.0,
+                    gamma_to_einstein=1.0, apply_force=cfg.apply_force)
+
+
+@partial(jax.jit, static_argnames=("cfg", "n_segments"))
+def run_compiled(cfg: ThreeStateConfig, V, psi, t_part, key,
+                 n_segments: int):
+    eng = build_engine(cfg)
+
+    def tick(c, _):
+        V, psi, tp, key = c
+        key, sub = jax.random.split(key)
+        psi, vx, tp = eng.step(psi, V[:, 0], tp, sub)
+        V = V.at[:, 0].set(vx)
+        return (V, psi, tp, key), None
+
+    def segment(c, _):
+        c, _ = jax.lax.scan(tick, c, None, length=cfg.sample_freq)
+        V = c[0]
+        return c, jnp.stack([jnp.mean(0.5 * V[:, 0] ** 2),
+                             jnp.mean(jnp.abs(c[1][:, 0]) ** 2)])
+
+    (V, psi, t_part, key), recs = jax.lax.scan(
+        segment, (V, psi, t_part, key), None, length=n_segments)
+    return (V, psi, t_part, key), recs
+
+
+def run(cfg: ThreeStateConfig, seed: Optional[int] = None):
+    key = jax.random.PRNGKey(cfg.job if seed is None else seed)
+    kv, krun = jax.random.split(key)
+    sigma = SQRT_KELVIN_TO_PLASMA_VEL * np.sqrt(cfg.temperature_k)
+    V = jax.random.normal(kv, (cfg.n0, 3), cfg.np_dtype) * jnp.asarray(
+        sigma, cfg.np_dtype)
+    psi = jnp.zeros((cfg.n0, 3),
+                    jnp.complex128 if cfg.dtype == "float64" else jnp.complex64
+                    ).at[:, 0].set(1.0)
+    t_part = jnp.zeros((cfg.n0,), cfg.np_dtype)
+
+    n_segments = int(cfg.tmax / cfg.dt) // cfg.sample_freq
+    (V, psi, t_part, _), recs = run_compiled(cfg, V, psi, t_part, krun,
+                                             n_segments)
+    jax.block_until_ready(V)
+    recs = np.asarray(jax.device_get(recs))
+    t_axis = (np.arange(1, n_segments + 1) * cfg.sample_freq) * cfg.dt
+    results = dict(t=t_axis, ekin_x=recs[:, 0], ground_pop=recs[:, 1],
+                   V=np.asarray(jax.device_get(V)))
+
+    if cfg.save_directory is not None:
+        d = three_state_dir(cfg.save_directory, om=cfg.om,
+                            detuning=cfg.detuning, n0=cfg.n0,
+                            temperature_k=cfg.temperature_k, job=cfg.job)
+        w = DatWriter(d)
+        w.append("energies.dat", np.stack([t_axis, recs[:, 0]], -1))
+    return results
+
+
+def doppler_limit_ekin(detuning: float, om: float = 0.0) -> float:
+    """Textbook Doppler-limit x kinetic energy (in gamma/k velocity units):
+    T_D = (hbar*gamma/4)(1/|2 det| + |2 det|)/ ... expressed directly as
+    <v_x^2>/2 for recoil 0.0012076 and unit gamma.  Used as a sanity scale,
+    not an exact target (the 3-level scheme differs O(1) from two-level)."""
+    g = 1.0
+    d = abs(detuning)
+    # standard result: kB T = hbar g/4 * (1 + (2d/g)^2)/(2d/g)
+    kbt = 0.25 * (1.0 + (2 * d) ** 2) / (2 * d)   # in hbar*gamma
+    # v^2 = kB T / m -> in (gamma/k)^2 units: kbt * (recoil vkick)
+    return 0.5 * kbt * 0.0012076

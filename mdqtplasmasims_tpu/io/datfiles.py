@@ -41,6 +41,14 @@ def write_rows(path: str, arr: np.ndarray) -> None:
 
 def read_rows(path: str) -> np.ndarray:
     """Whitespace-separated float table (fscanf-compatible)."""
+    if _native is not None:
+        with open(path) as f:
+            text = f.read()
+        first = text.split("\n", 1)[0]
+        ncol = len(first.split())
+        flat = np.frombuffer(bytes(_native.parse_floats(text)), np.float64)
+        if ncol and flat.size % ncol == 0:
+            return flat.reshape(-1, ncol)
     return np.loadtxt(path, ndmin=2)
 
 
