@@ -1,0 +1,101 @@
+"""Config-driven command-line runner.
+
+One CLI replaces the reference's 11 copy-edited ``main()``s (each of which
+had to be recompiled to change a parameter — README.md:40-55).  Every
+experiment family is a subcommand whose flags are generated from its config
+dataclass:
+
+    python -m mdqtplasmasims_tpu.cli cooling --n0 3500 --tmax 30 \
+        --save-directory dataLaserCool/ --job 1
+    python -m mdqtplasmasims_tpu.cli frozen-tag --variant 422linear ...
+    python -m mdqtplasmasims_tpu.cli mc-tag --variant 408quad ...
+    python -m mdqtplasmasims_tpu.cli transport --n 4096 --gamma 3 ...
+    python -m mdqtplasmasims_tpu.cli three-state --detuning -0.5 ...
+    python -m mdqtplasmasims_tpu.cli cooling-ensemble --jobs 16 ...
+
+``--job N`` replaces the SLURM array index (exampleSlurmFile.slurm:16); an
+ensemble subcommand batches trajectories on-device instead.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import sys
+import time
+import typing
+
+
+def _add_dataclass_args(parser: argparse.ArgumentParser, cls) -> None:
+    hints = typing.get_type_hints(cls)
+    for f in dataclasses.fields(cls):
+        name = "--" + f.name.replace("_", "-")
+        t = hints.get(f.name, str)
+        origin = typing.get_origin(t)
+        if origin is typing.Union:  # Optional[...]
+            args = [a for a in typing.get_args(t) if a is not type(None)]
+            t = args[0] if args else str
+        default = f.default if f.default is not dataclasses.MISSING else None
+        if t is bool:
+            parser.add_argument(name, type=lambda s: s.lower() in
+                                ("1", "true", "yes"), default=default,
+                                metavar="BOOL")
+        elif t is tuple or origin is tuple:
+            parser.add_argument(name, type=lambda s: tuple(
+                float(x) for x in s.split(",") if x), default=default,
+                metavar="CSV")
+        elif t in (int, float, str):
+            parser.add_argument(name, type=t, default=default)
+        # unsupported field types are construction-time only
+
+
+def _build_cfg(cls, ns: argparse.Namespace):
+    kwargs = {}
+    for f in dataclasses.fields(cls):
+        if hasattr(ns, f.name) and getattr(ns, f.name) is not None:
+            kwargs[f.name] = getattr(ns, f.name)
+    return cls(**kwargs)
+
+
+def main(argv=None) -> int:
+    from .experiments import (frozen_tagging, laser_cooling,
+                              mc_md_anisotropy, mc_qt_tagging, three_state)
+
+    families = {
+        "cooling": (laser_cooling.CoolingConfig, laser_cooling.run),
+        "frozen-tag": (frozen_tagging.FrozenTagConfig, frozen_tagging.run),
+        "mc-tag": (mc_qt_tagging.MCTagConfig, mc_qt_tagging.run),
+        "transport": (mc_md_anisotropy.MCTransportConfig,
+                      mc_md_anisotropy.run),
+        "three-state": (three_state.ThreeStateConfig, three_state.run),
+    }
+
+    parser = argparse.ArgumentParser(prog="mdqtplasmasims_tpu")
+    sub = parser.add_subparsers(dest="cmd", required=True)
+    for name, (cls, _) in families.items():
+        p = sub.add_parser(name)
+        _add_dataclass_args(p, cls)
+    pe = sub.add_parser("cooling-ensemble")
+    _add_dataclass_args(pe, laser_cooling.CoolingConfig)
+    pe.add_argument("--jobs", type=int, default=8)
+    pe.add_argument("--seed", type=int, default=0)
+
+    ns = parser.parse_args(argv)
+    t0 = time.perf_counter()
+    if ns.cmd == "cooling-ensemble":
+        cfg = _build_cfg(laser_cooling.CoolingConfig, ns)
+        final, outs = laser_cooling.run_ensemble(cfg, ns.jobs, ns.seed)
+        print(f"[{ns.cmd}] {ns.jobs} trajectories, "
+              f"{outs['t'].shape[1]} samples each, "
+              f"{time.perf_counter() - t0:.1f}s")
+    else:
+        cls, runner = families[ns.cmd]
+        cfg = _build_cfg(cls, ns)
+        runner(cfg)
+        print(f"[{ns.cmd}] done in {time.perf_counter() - t0:.1f}s"
+              + (f" -> {cfg.save_directory}" if cfg.save_directory else ""))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

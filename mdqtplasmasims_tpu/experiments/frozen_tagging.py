@@ -44,6 +44,7 @@ from ..levels import tag408, tag422
 from ..ops.correlations import streaming_long_kin, streaming_vaf
 from ..ops.kde import centered_bins, gaussian_kde
 from ..ops.yukawa import best_forces_fn, yukawa_potential
+from ..util import safe_device_get
 from ..state import SimState, make_state
 from ..units import (PlasmaUnits, pump_window_einstein, qt_units_408,
                      qt_units_422)
@@ -232,9 +233,9 @@ def run(cfg: FrozenTagConfig, seed: Optional[int] = None):
                               seg_lengths)
     jax.block_until_ready(state)
 
-    outs = jax.device_get(outs)
-    final = jax.device_get(state)
-    spin_up_np = np.asarray(jax.device_get(spin_up))
+    outs = safe_device_get(outs)
+    final = safe_device_get(state)
+    spin_up_np = np.asarray(safe_device_get(spin_up))
     results = dict(outs=outs, spin_up=spin_up_np, epot0=float(epot0),
                    final=final, n_md_a=n_md_a)
 

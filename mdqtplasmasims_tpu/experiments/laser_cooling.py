@@ -41,6 +41,7 @@ from ..io.dirs import cooling_dir
 from ..levels import sr12_cooling, with_recoil
 from ..ops.kde import folded_bins, gaussian_kde
 from ..ops.yukawa import best_forces_fn, yukawa_potential
+from ..util import safe_device_get
 from ..state import SimState, make_state
 from ..units import (PlasmaUnits, QTUnits, VKICK_408_QUANTUM, K_RATIO_1033,
                      qt_units_408)
@@ -73,6 +74,17 @@ class CoolingConfig:
     dtype: str = "float32"
     use_pallas: Optional[bool] = None
     save_directory: Optional[str] = None   # base dir; None = no file output
+    # interval diagnostics of the pre-SpeedUp code (active in
+    # LaserCoolingPlusExpansionMDQT.cpp:1252-1362; commented out of the
+    # SpeedUp main) — evaluated post-hoc from per-sample phase-space
+    # snapshots, which is exact because the reference also only evaluates
+    # them at sample times:
+    record_snapshots: bool = False         # keep V (and R) per sample
+    vaf_intervals: tuple = ()              # start times, e.g. (3,5,...,27)
+    record_lccf: bool = False              # J(k) per sample (needs snapshots)
+    # periodic checkpointing (the reference only checkpoints at the end;
+    # a crash mid-run loses everything — SURVEY.md section 5):
+    checkpoint_every_segments: int = 0     # 0 = terminal only
 
     @property
     def units(self) -> QTUnits:
@@ -146,10 +158,15 @@ def _sample_outputs(state: SimState, cfg: CoolingConfig, L, ldeb, bins):
     pvel_y = gaussian_kde(state.V[:, 1], bins, folded=True)
     pvel_z = gaussian_kde(state.V[:, 2], bins, folded=True)
     pops = state_populations(state.psi, [S_MANIFOLD, P_MANIFOLD, D_MANIFOLD])
-    return dict(
+    out = dict(
         t=state.t, ekin=jnp.stack([ekx, eky, ekz]), epot=epot,
         vx_mean=vx_mean, pvel=jnp.stack([pvel_x, pvel_y, pvel_z]),
         vx_ions=state.V[:, 0], pops=jnp.stack(pops, axis=-1))
+    if cfg.record_snapshots or cfg.vaf_intervals or cfg.record_lccf:
+        out["V"] = state.V
+        if cfg.record_lccf:
+            out["R"] = state.R
+    return out
 
 
 @partial(jax.jit, static_argnames=("cfg", "n_segments"))
@@ -171,31 +188,93 @@ def run_compiled(cfg: CoolingConfig, state: SimState, n_segments: int):
     return jax.lax.scan(segment, state, None, length=n_segments)
 
 
-def run(cfg: CoolingConfig, seed: Optional[int] = None):
+def _save_dir(cfg: CoolingConfig) -> str:
+    return cooling_dir(cfg.save_directory, ge=cfg.ge, density=cfg.density,
+                       sig0=cfg.sig0, te=cfg.te, frac_of_sig=cfg.frac_of_sig,
+                       detuning=cfg.detuning, detuning_dp=cfg.detuning_dp,
+                       om=cfg.om, om_dp=cfg.om_dp, n0=cfg.n0, job=cfg.job)
+
+
+def run(cfg: CoolingConfig, seed: Optional[int] = None,
+        state: Optional[SimState] = None):
     """Execute the experiment; write reference-schema .dat files when
-    ``cfg.save_directory`` is set.  Returns (final_state, outputs dict)."""
-    state = initial_state(cfg, seed)
+    ``cfg.save_directory`` is set.  Returns (final_state, outputs dict).
+
+    With ``checkpoint_every_segments`` set, the run is split into groups of
+    segments with a native checkpoint published after each (the reference
+    only checkpoints at the very end, losing everything on a crash)."""
+    if state is None:
+        state = initial_state(cfg, seed)
     pu = PlasmaUnits(cfg.density, cfg.ge)
     L = PlasmaUnits.box_length(cfg.n0)
     epot0 = yukawa_potential(state.R, L, pu.debye_length)
 
     n_md = int(round(cfg.tmax / cfg.timestep))
     n_segments = n_md // cfg.sample_freq
-    final, outs = run_compiled(cfg, state, n_segments)
-    jax.block_until_ready(final)
+    group = cfg.checkpoint_every_segments or n_segments
+    save_dir = _save_dir(cfg) if cfg.save_directory is not None else None
 
-    outs = jax.device_get(outs)
-    final_np = jax.device_get(final)
-    epot0 = float(epot0)
-    results = dict(outs=outs, epot0=epot0, final=final_np)
+    outs_groups = []
+    done = 0
+    epot0_f: Optional[float] = None
+    while done < n_segments:
+        g = min(group, n_segments - done)
+        state, outs = run_compiled(cfg, state, g)
+        jax.block_until_ready(state)
+        if epot0_f is None:
+            epot0_f = float(epot0)
+        outs_groups.append(safe_device_get(outs))
+        done += g
+        if save_dir is not None and done < n_segments:
+            c0 = done * cfg.sample_freq - 1
+            st = safe_device_get(state)
+            import os
+            os.makedirs(save_dir, exist_ok=True)
+            ckpt.save_native(save_dir, c0, R=st.R, V=st.V, psi=st.psi,
+                             counter=done)
 
-    if cfg.save_directory is not None:
-        d = cooling_dir(cfg.save_directory, ge=cfg.ge, density=cfg.density,
-                        sig0=cfg.sig0, te=cfg.te, frac_of_sig=cfg.frac_of_sig,
-                        detuning=cfg.detuning, detuning_dp=cfg.detuning_dp,
-                        om=cfg.om, om_dp=cfg.om_dp, n0=cfg.n0, job=cfg.job)
-        write_outputs(d, cfg, outs, epot0, final_np, n_md)
+    outs = jax.tree.map(lambda *xs: np.concatenate(xs), *outs_groups)
+    final_np = safe_device_get(state)
+    results = dict(outs=outs, epot0=epot0_f, final=final_np)
+
+    if save_dir is not None:
+        write_outputs(save_dir, cfg, outs, epot0_f, final_np, n_md)
     return final_np, results
+
+
+def run_ensemble(cfg: CoolingConfig, n_jobs: int, seed: int = 0):
+    """Batched ensemble of independent trajectories on one device — the
+    TPU-native replacement for the reference's SLURM job array
+    (exampleSlurmFile.slurm).  Returns per-job stacked outputs.
+
+    Note: vmapped runs use the XLA force path (the Pallas kernel is not
+    batched); per-job KDE distributions are summed into ensemble curves.
+    """
+    cfg = dataclasses.replace(cfg, use_pallas=False, save_directory=None)
+    keys = jax.random.split(jax.random.PRNGKey(seed), n_jobs)
+    states = jax.vmap(lambda k: _initial_state_from_key(cfg, k))(keys)
+    n_md = int(round(cfg.tmax / cfg.timestep))
+    n_segments = n_md // cfg.sample_freq
+
+    @partial(jax.jit, static_argnames=())
+    def go(states):
+        return jax.vmap(lambda s: run_compiled(cfg, s, n_segments))(states)
+
+    final, outs = go(states)
+    jax.block_until_ready(final)
+    return safe_device_get(final), safe_device_get(outs)
+
+
+def _initial_state_from_key(cfg: CoolingConfig, key) -> SimState:
+    from ..core.qt import random_s_superposition
+    from ..core.init import frozen_gas_positions
+    k_pos, k_psi, k_run = jax.random.split(key, 3)
+    L = PlasmaUnits.box_length(cfg.n0)
+    R = frozen_gas_positions(k_pos, cfg.n0, L, cfg.np_dtype)
+    V = jnp.zeros((cfg.n0, 3), cfg.np_dtype)
+    cdtype = jnp.complex64 if cfg.dtype == "float32" else jnp.complex128
+    psi = random_s_superposition(k_psi, cfg.n0, 12, cdtype)
+    return make_state(R, V, psi, k_run, dtype=cfg.np_dtype)
 
 
 def write_outputs(directory: str, cfg: CoolingConfig, outs, epot0: float,
@@ -223,14 +302,50 @@ def write_outputs(directory: str, cfg: CoolingConfig, outs, epot0: float,
                                 outs["pops"][k]], axis=-1))
     w.append("energies.dat", energies)
 
-    c0 = n_md - 1
+    # Interval VAF + LCCF of the pre-SpeedUp code, evaluated from the
+    # per-sample snapshots (identical to the reference's streaming Zfunc /
+    # LCCF, which also only fire at sample times —
+    # LaserCoolingPlusExpansionMDQT.cpp:1252-1362).
     n = final.R.shape[0]
+    vholder = np.zeros((max(13, len(cfg.vaf_intervals)), n, 3))
+    if cfg.vaf_intervals and "V" in outs:
+        t_arr = np.asarray(outs["t"], np.float64)
+        for k, tstart in enumerate(cfg.vaf_intervals):
+            idx = int(np.searchsorted(t_arr, tstart))
+            if idx >= n_samples:
+                continue
+            v0 = np.asarray(outs["V"][idx], np.float64)
+            vholder[k] = v0
+            rows = []
+            for j in range(idx, n_samples):
+                vj = np.asarray(outs["V"][j], np.float64)
+                rows.append((t_arr[j], float(np.mean(np.sum(v0 * vj, -1)))))
+            w.append(f"VAF_interval{k}.dat", np.asarray(rows))
+    if cfg.record_lccf and "R" in outs:
+        from ..ops.structure import current_fourier, k_grid
+        import jax.numpy as _jnp
+        L = PlasmaUnits.box_length(cfg.n0)
+        kv = k_grid(L, 12)
+        ks = np.stack(np.meshgrid(np.arange(12), np.arange(12),
+                                  np.arange(12), indexing="ij"),
+                      -1).reshape(-1, 3)
+        for j in range(n_samples):
+            J = np.asarray(current_fourier(_jnp.asarray(outs["R"][j]),
+                                           _jnp.asarray(outs["V"][j]),
+                                           _jnp.asarray(kv)))
+            rows = np.concatenate([
+                np.full((kv.shape[0], 1), j * cfg.sample_freq), ks,
+                np.stack([J[0].real, J[0].imag, J[1].real, J[1].imag,
+                          J[2].real, J[2].imag], -1)], axis=1)
+            w.append("J_interval0.dat", rows)
+
+    c0 = n_md - 1
     ckpt.write_ions(directory, c0, n, n_samples)
     ckpt.write_conditions(directory, c0, np.asarray(final.R), np.asarray(final.V))
     ckpt.write_wvfns(directory, c0, np.asarray(final.psi))
-    # SpeedUp main never fills Vholder (VAF intervals are commented out);
-    # it still writes 13 zero-filled VZERO interval files (lines 752-763).
-    ckpt.write_vzero(directory, c0, np.zeros((13, n, 3)))
+    # SpeedUp main never fills Vholder unless VAF intervals are enabled; it
+    # still writes all 13 VZERO interval files (lines 752-763).
+    ckpt.write_vzero(directory, c0, vholder[:13])
     ckpt.save_native(directory, c0, R=final.R, V=final.V, psi=final.psi,
                      counter=n_samples)
 

@@ -29,6 +29,7 @@ from ..io.dirs import mc_transport_dir
 from ..ops.correlations import power_autocorr
 from ..ops.structure import pair_correlation
 from ..ops.yukawa import yukawa_forces_potential
+from ..util import safe_device_get
 from ..units import PlasmaUnits
 
 
@@ -231,7 +232,7 @@ def run(cfg: MCTransportConfig, seed: Optional[int] = None) -> dict:
     (R, V, A, k_run), temps_relax = md_stage(
         cfg, R, V, A, k_run, cfg.aniso_relax_steps, record="temp_axes")
 
-    results = {k: jax.device_get(v) for k, v in dict(
+    results = {k: safe_device_get(v) for k, v in dict(
         gr_mc=gr_mc, gr_record=gr_record, mc_accepted=n_acc,
         moments=moments, temps=temps, vaf=vaf, long_visc=long_visc,
         v_cube=v_cube, v_fourth=v_fourth, temps_inst=temps_inst,

@@ -35,6 +35,7 @@ from ..ops.correlations import power_autocorr
 from ..ops.kde import centered_bins, gaussian_kde
 from ..ops.structure import pair_correlation
 from ..ops.yukawa import yukawa_forces_potential
+from ..util import safe_device_get
 from ..state import make_state
 from ..units import (QTUnits, GAMMA422_FACTOR, K422_FACTOR,
                      pump_window_einstein)
@@ -233,7 +234,7 @@ def run(cfg: MCTagConfig, seed: Optional[int] = None) -> dict:
     v_cube = power_autocorr(vstore, 3, cfg.gamma)
     v_fourth = power_autocorr(vstore, 4, cfg.gamma)
 
-    results = {k: jax.device_get(v) for k, v in dict(
+    results = {k: safe_device_get(v) for k, v in dict(
         mc_accepted=n_acc, tags=tags, grs=grs, moments=moments,
         dists=dists, temps=temps, vaf=vaf, long_visc=long_visc,
         v_cube=v_cube, v_fourth=v_fourth, R=R, V=V).items()}

@@ -25,6 +25,7 @@ from ..core.qt import QTEngine
 from ..io.datfiles import DatWriter
 from ..io.dirs import three_state_dir
 from ..levels import three_state
+from ..util import safe_device_get
 from ..units import SQRT_KELVIN_TO_PLASMA_VEL
 
 
@@ -92,10 +93,10 @@ def run(cfg: ThreeStateConfig, seed: Optional[int] = None):
     (V, psi, t_part, _), recs = run_compiled(cfg, V, psi, t_part, krun,
                                              n_segments)
     jax.block_until_ready(V)
-    recs = np.asarray(jax.device_get(recs))
+    recs = np.asarray(safe_device_get(recs))
     t_axis = (np.arange(1, n_segments + 1) * cfg.sample_freq) * cfg.dt
     results = dict(t=t_axis, ekin_x=recs[:, 0], ground_pop=recs[:, 1],
-                   V=np.asarray(jax.device_get(V)))
+                   V=np.asarray(safe_device_get(V)))
 
     if cfg.save_directory is not None:
         d = three_state_dir(cfg.save_directory, om=cfg.om,
