@@ -26,16 +26,23 @@ N_MD_TOTAL = 15000                  # tmax=30 at dt=0.002
 
 
 def main():
+    import jax.numpy as jnp
+
     cfg = CoolingConfig(n0=3500, tmax=30.0, sample_freq=40)
     state = initial_state(cfg)
 
-    # compile + warm up (no host fetches before timing)
-    jax.block_until_ready(run_compiled(cfg, state, 2))
+    def checksum(res):
+        # scalar host fetch — forces real completion (block_until_ready is
+        # not reliable for all programs on the axon relay)
+        final, outs = res
+        return float(jnp.sum(final.V) + jnp.sum(outs["ekin"]))
+
+    # compile + warm up
+    checksum(run_compiled(cfg, state, 2))
 
     n_segments = 25                     # 1000 MD steps = 25k quantum ticks
     t0 = time.perf_counter()
-    final, outs = run_compiled(cfg, state, n_segments)
-    jax.block_until_ready(final)
+    cs = checksum(run_compiled(cfg, state, n_segments))
     dt = time.perf_counter() - t0
 
     ticks = n_segments * cfg.sample_freq * cfg.ratio

@@ -17,19 +17,25 @@ across them (SURVEY.md L4):
    S-vs-D by the fixed branching ratio, collapse via the C-G-weighted
    destination table, reset the ion clock, apply +-recoil along x.
 
-TPU-native design notes: instead of building per-ion [S,S] Hamiltonians
-(the reference does ~6 Armadillo matmuls per RK stage per ion), H*psi is
-evaluated as (a) a diagonal term (elementwise), (b) one shared [N,S]x[S,S]
-matmul for the static coupling, and (c) <=2 scatter terms for the
-time-dependent channels.  Both branches are computed for every ion and
-merged with ``jnp.where`` — no data-dependent control flow under ``jit``.
+TPU-native design notes:
+
+* Instead of per-ion [S,S] Hamiltonians (the reference does ~6 Armadillo
+  matmuls per RK stage per ion), H*phi is (a) a diagonal term, (b) one
+  shared [S,S] x [S,N] matmul, (c) <= 2 row updates for the time-dependent
+  channels.
+* The hot path is **state-major**: wavefunctions ride as ``[S, N]`` so the
+  ion axis fills the 128-wide vector lanes.  An ``[N, S]`` layout would pad
+  S=12 -> 128 lanes and waste ~10x VPU throughput.  The public ``step()``
+  keeps the [N, S] convention (transposes at the boundary); schedulers use
+  ``step_sm`` and keep [S, N] across whole segments.
+* Both branches are computed for every ion and merged with ``jnp.where`` —
+  no data-dependent control flow under ``jit``.
 """
 
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
-from typing import Callable, NamedTuple, Optional
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -43,27 +49,28 @@ class QTParams(NamedTuple):
     decay_w: jax.Array      # [S]
     e0: jax.Array           # [S]
     e1: jax.Array           # [S]
-    coupling_t: jax.Array   # [S,S] = coupling.T (for psi @ C.T)
+    coupling: jax.Array     # [S,S]
     jump_src_mask: jax.Array   # [S] float
-    jump_dest_cum: jax.Array   # [S,2,S] cumulative dest probabilities
+    jump_dest_cum: jax.Array   # [2,S,S]: cumulative dest probs per (branch,src)
 
 
 def _params(scheme: LevelScheme, rdtype, cdtype) -> QTParams:
     src_mask = np.zeros(scheme.n_states)
     src_mask[list(scheme.jump_src)] = 1.0
+    dest_cum = np.cumsum(scheme.jump_dest, axis=-1)   # [S,2,S]
     return QTParams(
         decay_w=jnp.asarray(scheme.decay_w, rdtype),
         e0=jnp.asarray(scheme.e0, rdtype),
         e1=jnp.asarray(scheme.e1, rdtype),
-        coupling_t=jnp.asarray(scheme.coupling.T, cdtype),
+        coupling=jnp.asarray(scheme.coupling, cdtype),
         jump_src_mask=jnp.asarray(src_mask, rdtype),
-        jump_dest_cum=jnp.asarray(np.cumsum(scheme.jump_dest, axis=-1), rdtype),
+        jump_dest_cum=jnp.asarray(dest_cum.transpose(1, 0, 2), rdtype),
     )
 
 
-def _categorical(u: jax.Array, cum: jax.Array) -> jax.Array:
-    """Index of first cumulative bin exceeding u.  u: [N], cum: [N,S]."""
-    return jnp.sum((u[:, None] >= cum).astype(jnp.int32), axis=-1)
+def _categorical_sm(u: jax.Array, cum: jax.Array) -> jax.Array:
+    """Index of first cumulative bin exceeding u.  u: [N], cum: [S,N]."""
+    return jnp.sum((u[None, :] >= cum).astype(jnp.int32), axis=0)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -93,44 +100,46 @@ class QTEngine:
     apply_force: bool = True
     renormalize: bool = False
 
-    def _hpsi(self, p: QTParams, phi: jax.Array, u: jax.Array,
-              tq: jax.Array) -> jax.Array:
-        """H(u, t_gamma) @ phi for all ions.  phi: [N,S], u/tq: [N]."""
-        diag = (p.e0[None, :] + u[:, None] * p.e1[None, :]
-                - 0.5j * p.decay_w[None, :])
-        out = diag * phi + phi @ p.coupling_t
+    # ---- state-major ([S, N]) hot path ---------------------------------
+
+    def _hpsi_sm(self, p: QTParams, phi: jax.Array, u: jax.Array,
+                 tq: jax.Array) -> jax.Array:
+        """H(u, t_gamma) @ phi.  phi: [S,N], u/tq: [N]."""
+        diag = (p.e0[:, None] + p.e1[:, None] * u[None, :]
+                - 0.5j * p.decay_w[:, None])
+        out = diag * phi + p.coupling @ phi
         if self.scheme.tdep_rows:
             phase = jnp.exp(1j * (self.scheme.tdep_freq * u * tq)
                             .astype(phi.real.dtype))
             for r, c, m in zip(self.scheme.tdep_rows, self.scheme.tdep_cols,
                                self.scheme.tdep_coefs):
                 m = jnp.asarray(m, phi.dtype)
-                out = out.at[:, r].add(m * phase * phi[:, c])
-                out = out.at[:, c].add(jnp.conj(m * phase) * phi[:, r])
+                out = out.at[r, :].add(m * phase * phi[c, :])
+                out = out.at[c, :].add(jnp.conj(m * phase) * phi[r, :])
         return out
 
-    def _dp(self, p: QTParams, phi: jax.Array) -> jax.Array:
-        return self.h * jnp.sum(p.decay_w[None, :] * (phi.real ** 2 + phi.imag ** 2),
-                                axis=-1)
+    def _dp_sm(self, p: QTParams, phi: jax.Array) -> jax.Array:
+        return self.h * jnp.sum(
+            p.decay_w[:, None] * (phi.real ** 2 + phi.imag ** 2), axis=0)
 
-    def step(self, psi: jax.Array, vx: jax.Array, t_part: jax.Array,
-             key: jax.Array, exp_det=0.0):
-        """Advance every ion by one quantum tick.
+    def step_sm(self, psi: jax.Array, vx: jax.Array, t_part: jax.Array,
+                key: jax.Array, exp_det=0.0):
+        """Advance every ion one quantum tick.  psi: [S,N] (state-major).
 
         Returns ``(psi, vx, t_part)``.  ``exp_det`` is the scalar
-        expansion-frame detuning (units of gamma) added to the Doppler shift.
-        """
+        expansion-frame detuning (units of gamma) added to the Doppler
+        shift."""
         rdtype = vx.dtype
         p = _params(self.scheme, rdtype, psi.dtype)
         h = jnp.asarray(self.h, rdtype)
-        n = psi.shape[0]
+        S, n = psi.shape
 
         t_part = t_part + jnp.asarray(self.dt_plasma, rdtype)
         u = vx * self.plas_to_quant_vel + exp_det          # [N]
         tq = t_part * self.gamma_to_einstein
 
         rolls = jax.random.uniform(key, (5, n), rdtype)
-        dp0 = self._dp(p, psi)
+        dp0 = self._dp_sm(p, psi)
         # reference: rand>dp -> no jump (jump iff rand<=dp).  We use strict <
         # so dp=0 can never trigger a jump even when the uniform draw is 0.
         jumped = rolls[0] < dp0
@@ -143,9 +152,10 @@ class QTEngine:
         # the identical pathology, laserCooling...SpeedUp.cpp:532).  Any ion
         # near the cap jumps within a tick or two anyway (P(jump) = dp0).
         def g_slope(phi):
-            dphi = jnp.clip(self._dp(p, phi), 0.0, 0.9)
-            pref = (1.0 / jnp.sqrt(1.0 - dphi))[:, None]
-            stepped = pref.astype(phi.dtype) * (phi - 1j * h * self._hpsi(p, phi, u, tq))
+            dphi = jnp.clip(self._dp_sm(p, phi), 0.0, 0.9)
+            pref = (1.0 / jnp.sqrt(1.0 - dphi))[None, :]
+            stepped = pref.astype(phi.dtype) * (
+                phi - 1j * h * self._hpsi_sm(p, phi, u, tq))
             return (stepped - phi) / h
 
         k1 = g_slope(psi)
@@ -161,23 +171,22 @@ class QTEngine:
             for a, b, w in zip(self.scheme.force_a, self.scheme.force_b,
                                self.scheme.force_w):
                 kick_nojump = kick_nojump + jnp.asarray(w, rdtype) * (
-                    jnp.imag(psi[:, a] * jnp.conj(psi[:, b])))
+                    jnp.imag(psi[a, :] * jnp.conj(psi[b, :])))
             kick_nojump = kick_nojump * h
 
         # ---- jump branch: collapse ----
-        pop = psi.real ** 2 + psi.imag ** 2
-        src_w = pop * p.jump_src_mask[None, :]
-        src_cum = jnp.cumsum(src_w, axis=-1)
-        tot = src_cum[:, -1:]
-        src = _categorical(rolls[1] * jnp.maximum(tot[:, 0], 1e-30), src_cum)
-        src = jnp.minimum(src, self.scheme.n_states - 1)
+        pop = psi.real ** 2 + psi.imag ** 2                # [S,N]
+        src_w = pop * p.jump_src_mask[:, None]
+        src_cum = jnp.cumsum(src_w, axis=0)
+        tot = jnp.maximum(src_cum[-1, :], 1e-30)
+        src = jnp.minimum(_categorical_sm(rolls[1] * tot, src_cum), S - 1)
 
         d_branch = rolls[2] < self.scheme.branch_d_prob     # D-decay?
-        dest_cum = p.jump_dest_cum[src, d_branch.astype(jnp.int32)]  # [N,S]
-        dest = jnp.minimum(_categorical(rolls[4], dest_cum),
-                           self.scheme.n_states - 1)
-        psi_jumped = jax.nn.one_hot(dest, self.scheme.n_states,
-                                    dtype=psi.dtype)
+        # [2,S,S] indexed by (branch, src) -> [N,S] -> transpose to [S,N]
+        dest_cum = p.jump_dest_cum[d_branch.astype(jnp.int32), src].T
+        dest = jnp.minimum(_categorical_sm(rolls[4], dest_cum), S - 1)
+        psi_jumped = (jax.lax.broadcasted_iota(jnp.int32, (S, n), 0)
+                      == dest[None, :]).astype(psi.dtype)
 
         sign = jnp.where(rolls[3] < 0.5, 1.0, -1.0).astype(rdtype)
         kick_jump = sign * jnp.where(d_branch,
@@ -187,17 +196,25 @@ class QTEngine:
             kick_jump = jnp.zeros_like(kick_jump)
 
         # ---- merge ----
-        psi_new = jnp.where(jumped[:, None], psi_jumped, psi_evolved)
+        psi_new = jnp.where(jumped[None, :], psi_jumped, psi_evolved)
         t_part = jnp.where(jumped, jnp.zeros_like(t_part), t_part)
         if self.apply_force and self.scheme.has_force:
             vx = vx + jnp.where(jumped, kick_jump, kick_nojump)
 
         if self.renormalize:
             norm = jnp.sqrt(jnp.sum(psi_new.real ** 2 + psi_new.imag ** 2,
-                                    axis=-1, keepdims=True))
+                                    axis=0, keepdims=True))
             psi_new = psi_new / norm.astype(psi.dtype)
 
         return psi_new, vx, t_part
+
+    # ---- ion-major ([N, S]) convenience wrapper -------------------------
+
+    def step(self, psi: jax.Array, vx: jax.Array, t_part: jax.Array,
+             key: jax.Array, exp_det=0.0):
+        """[N,S]-layout wrapper around :meth:`step_sm`."""
+        psi_sm, vx, t_part = self.step_sm(psi.T, vx, t_part, key, exp_det)
+        return psi_sm.T, vx, t_part
 
 
 def random_s_superposition(key: jax.Array, n: int, n_states: int,
@@ -221,6 +238,6 @@ def random_s_superposition(key: jax.Array, n: int, n_states: int,
 def state_populations(psi: jax.Array, manifolds) -> list:
     """Total population per manifold, e.g. S/P/D
     (laserCoolingPlusExpansionMDQTSpeedUp.cpp:1019-1021).
-    ``manifolds`` is a list of index tuples."""
+    ``manifolds`` is a list of index tuples; psi is [N,S]."""
     pop = psi.real ** 2 + psi.imag ** 2
     return [jnp.sum(pop[:, list(idx)], axis=-1) for idx in manifolds]

@@ -48,20 +48,23 @@ class CoolingScheduler:
         F, _ = self.forces_fn(state.R)
 
         def tick(c, _):
-            R, V, psi, tp, key, tick_i = c
+            R, V, psi_sm, tp, key, tick_i = c
             key, sub = jax.random.split(key)
             t = tick_i.astype(R.dtype) * self.qdt
             first = t <= 0.0
             R, V = leapfrog_substep(R, V, F, self.qdt, self.L, first)
             exp_det = self.exp_det_fn(t) if self.exp_det_fn is not None else 0.0
-            psi, vx, tp = self.engine.step(psi, V[:, 0], tp, sub, exp_det)
+            psi_sm, vx, tp = self.engine.step_sm(psi_sm, V[:, 0], tp, sub,
+                                                 exp_det)
             V = V.at[:, 0].set(vx)
-            return (R, V, psi, tp, key, tick_i + 1), None
+            return (R, V, psi_sm, tp, key, tick_i + 1), None
 
-        (R, V, psi, tp, key, tick_i), _ = jax.lax.scan(
-            tick, (state.R, state.V, state.psi, state.t_part, state.key,
+        # wavefunctions ride state-major ([S, N]) through the tick scan so
+        # the ion axis fills the vector lanes; transposed at the boundary
+        (R, V, psi_sm, tp, key, tick_i), _ = jax.lax.scan(
+            tick, (state.R, state.V, state.psi.T, state.t_part, state.key,
                    state.tick), None, length=self.ratio)
-        return state._replace(R=R, V=V, F=F, psi=psi, t_part=tp, key=key,
+        return state._replace(R=R, V=V, F=F, psi=psi_sm.T, t_part=tp, key=key,
                               tick=tick_i,
                               t=tick_i.astype(state.t.dtype) * self.qdt)
 
