@@ -20,7 +20,7 @@ from typing import Callable, Optional
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 from ..state import SimState
 from ..core.scheduler import CoolingScheduler
@@ -66,8 +66,7 @@ def make_sharded_md_step(scheduler_factory: Callable[[Callable], "CoolingSchedul
             return out._replace(key=out.key[None])
         return jax.vmap(one)(state)
 
-    step = shard_map(local_step, mesh=mesh, in_specs=(spec,), out_specs=spec,
-                     check_rep=False)
+    step = shard_map(local_step, mesh=mesh, in_specs=(spec,), out_specs=spec)
     return jax.jit(step)
 
 
