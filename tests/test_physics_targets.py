@@ -1,0 +1,67 @@
+"""Known-physics targets (the reference's substitute for tests, SURVEY.md
+section 4, made into actual tests): disorder-induced heating curve, DIH
+equilibrium coupling, f32-vs-f64 error budget."""
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mdqtplasmasims_tpu.core.md import leapfrog_substep
+from mdqtplasmasims_tpu.ops.yukawa import yukawa_forces_potential
+from mdqtplasmasims_tpu.units import PlasmaUnits
+
+
+def run_dih(n0, n_steps, dtype, seed=3):
+    pu = PlasmaUnits(2.0, 0.1)
+    L = PlasmaUnits.box_length(n0)
+    ldeb = pu.debye_length
+    # draw positions in f64 then cast so f32/f64 runs share the same
+    # initial configuration
+    R = jax.random.uniform(jax.random.PRNGKey(seed), (n0, 3), jnp.float64,
+                           0, L).astype(dtype)
+    V = jnp.zeros((n0, 3), dtype)
+    dt = 0.002
+
+    @partial(jax.jit, static_argnums=2)
+    def steps(R, V, n):
+        def body(c, _):
+            R, V = c
+            F, _ = yukawa_forces_potential(R, L, ldeb)
+            R, V = leapfrog_substep(R, V, F, dt, L, False)
+            return (R, V), jnp.mean(jnp.sum(V * V, 1)) / 3
+
+        return jax.lax.scan(body, (R, V), None, length=n)
+
+    (_, _), T = steps(R, V, n_steps)
+    return np.asarray(T)
+
+
+class TestDIH:
+    def test_dih_temperature_curve(self):
+        """Frozen-gas start at Ge=0.1 (kappa ~ 0.55): disorder-induced
+        heating must peak near omega_E t ~ 1 and settle at the known
+        Gamma_DIH ~ 2-3 coupling (thesis Ch. 3 / Murillo DIH physics)."""
+        T = run_dih(512, 2000, jnp.float64)
+        t_peak = (np.argmax(T[:800]) + 1) * 0.002
+        assert 0.3 < t_peak < 2.0
+        assert 0.30 < T[:800].max() < 0.55
+        gamma_final = 1.0 / T[1500:].mean()
+        assert 2.0 < gamma_final < 3.8
+        # kinetic-energy oscillation: a dip after the first peak
+        assert T[500:1200].min() < 0.95 * T[:800].max()
+
+    def test_f32_matches_f64_within_budget(self):
+        """The fast f32 mode must reproduce the f64 physics: individual
+        trajectories decorrelate (MD is chaotic), so compare the early
+        deterministic rise pointwise and the late temperature as a time
+        average — the 'bit-for-physics' error budget."""
+        T64 = run_dih(256, 800, jnp.float64)
+        T32 = run_dih(256, 800, jnp.float32)
+        scale = T64.max()
+        # early times: trajectories still coherent
+        assert np.abs(T64[:200] - T32[:200]).max() / scale < 0.01
+        # late times: time-averaged temperature agrees
+        assert abs(T64[500:].mean() - T32[500:].mean()) / scale < 0.05
