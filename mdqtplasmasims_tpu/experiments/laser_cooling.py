@@ -195,14 +195,44 @@ def _save_dir(cfg: CoolingConfig) -> str:
                        om=cfg.om, om_dp=cfg.om_dp, n0=cfg.n0, job=cfg.job)
 
 
+def latest_checkpoint(directory: str) -> Optional[int]:
+    """Highest c0 among native checkpoints in a run directory."""
+    import glob
+    import os
+    import re
+    cs = []
+    for p in glob.glob(os.path.join(directory, "checkpoint_*.npz")):
+        m = re.search(r"checkpoint_(\d+)\.npz$", p)
+        if m:
+            cs.append(int(m.group(1)))
+    return max(cs) if cs else None
+
+
 def run(cfg: CoolingConfig, seed: Optional[int] = None,
-        state: Optional[SimState] = None):
+        state: Optional[SimState] = None, resume: bool = False):
     """Execute the experiment; write reference-schema .dat files when
     ``cfg.save_directory`` is set.  Returns (final_state, outputs dict).
 
     With ``checkpoint_every_segments`` set, the run is split into groups of
     segments with a native checkpoint published after each (the reference
-    only checkpoints at the very end, losing everything on a crash)."""
+    only checkpoints at the very end, losing everything on a crash).
+    ``resume=True`` continues from the newest native checkpoint in the run
+    directory — the TPU equivalent of the reference's walltime-window
+    chaining with ``newRun=0, c0=<last timestep>`` (README.md:51-53)."""
+    done = 0
+    save_dir = _save_dir(cfg) if cfg.save_directory is not None else None
+    if resume and save_dir is not None and state is None:
+        c0_last = latest_checkpoint(save_dir)
+        if c0_last is not None:
+            z = ckpt.load_native(save_dir, c0_last)
+            key = jax.random.PRNGKey(cfg.job * 7919 + c0_last)
+            state = make_state(z["R"], z["V"], z["psi"], key,
+                               dtype=cfg.np_dtype)
+            tick = (c0_last + 1) * cfg.ratio
+            state = state._replace(tick=jnp.asarray(tick, jnp.int32),
+                                   t=jnp.asarray(tick * cfg.qdt,
+                                                 cfg.np_dtype))
+            done = int(z["counter"])
     if state is None:
         state = initial_state(cfg, seed)
     pu = PlasmaUnits(cfg.density, cfg.ge)
@@ -212,10 +242,9 @@ def run(cfg: CoolingConfig, seed: Optional[int] = None,
     n_md = int(round(cfg.tmax / cfg.timestep))
     n_segments = n_md // cfg.sample_freq
     group = cfg.checkpoint_every_segments or n_segments
-    save_dir = _save_dir(cfg) if cfg.save_directory is not None else None
 
     outs_groups = []
-    done = 0
+    sample_offset = done
     epot0_f: Optional[float] = None
     while done < n_segments:
         g = min(group, n_segments - done)
@@ -233,12 +262,16 @@ def run(cfg: CoolingConfig, seed: Optional[int] = None,
             ckpt.save_native(save_dir, c0, R=st.R, V=st.V, psi=st.psi,
                              counter=done)
 
+    if not outs_groups:           # resume found nothing left to do
+        final_np = safe_device_get(state)
+        return final_np, dict(outs=None, epot0=float(epot0), final=final_np)
     outs = jax.tree.map(lambda *xs: np.concatenate(xs), *outs_groups)
     final_np = safe_device_get(state)
     results = dict(outs=outs, epot0=epot0_f, final=final_np)
 
     if save_dir is not None:
-        write_outputs(save_dir, cfg, outs, epot0_f, final_np, n_md)
+        write_outputs(save_dir, cfg, outs, epot0_f, final_np, n_md,
+                      sample_offset=sample_offset)
     return final_np, results
 
 
@@ -278,14 +311,16 @@ def _initial_state_from_key(cfg: CoolingConfig, key) -> SimState:
 
 
 def write_outputs(directory: str, cfg: CoolingConfig, outs, epot0: float,
-                  final, n_md: int) -> None:
+                  final, n_md: int, sample_offset: int = 0) -> None:
     """Emit energies.dat, vel_dist{X,Y,Z}_time*.dat,
-    statePopulationsVsVTime*.dat and the terminal checkpoint."""
+    statePopulationsVsVTime*.dat and the terminal checkpoint.
+    ``sample_offset`` shifts the per-sample file counters on resume."""
     w = DatWriter(directory)
     bins = np.arange(2001) * 0.0025
     n_samples = outs["t"].shape[0]
     energies = np.zeros((n_samples, 7))
     for k in range(n_samples):
+        kk = k + sample_offset
         t = float(outs["t"][k])
         ekx, eky, ekz = (float(x) for x in outs["ekin"][k])
         epot = float(outs["epot"][k])
@@ -293,11 +328,11 @@ def write_outputs(directory: str, cfg: CoolingConfig, outs, epot0: float,
         energies[k] = (t, ekx, eky, ekz, epot,
                        ekx + eky + ekz + epot - epot0, vxm)
         pv = outs["pvel"][k]
-        w.write(f"vel_distX_time{k:06d}.dat",
+        w.write(f"vel_distX_time{kk:06d}.dat",
                 np.stack([bins + vxm, pv[0]], axis=-1))
-        w.write(f"vel_distY_time{k:06d}.dat", np.stack([bins, pv[1]], axis=-1))
-        w.write(f"vel_distZ_time{k:06d}.dat", np.stack([bins, pv[2]], axis=-1))
-        w.write(f"statePopulationsVsVTime{k:06d}.dat",
+        w.write(f"vel_distY_time{kk:06d}.dat", np.stack([bins, pv[1]], axis=-1))
+        w.write(f"vel_distZ_time{kk:06d}.dat", np.stack([bins, pv[2]], axis=-1))
+        w.write(f"statePopulationsVsVTime{kk:06d}.dat",
                 np.concatenate([outs["vx_ions"][k][:, None],
                                 outs["pops"][k]], axis=-1))
     w.append("energies.dat", energies)
@@ -340,14 +375,14 @@ def write_outputs(directory: str, cfg: CoolingConfig, outs, epot0: float,
             w.append("J_interval0.dat", rows)
 
     c0 = n_md - 1
-    ckpt.write_ions(directory, c0, n, n_samples)
+    ckpt.write_ions(directory, c0, n, sample_offset + n_samples)
     ckpt.write_conditions(directory, c0, np.asarray(final.R), np.asarray(final.V))
     ckpt.write_wvfns(directory, c0, np.asarray(final.psi))
     # SpeedUp main never fills Vholder unless VAF intervals are enabled; it
     # still writes all 13 VZERO interval files (lines 752-763).
     ckpt.write_vzero(directory, c0, vholder[:13])
     ckpt.save_native(directory, c0, R=final.R, V=final.V, psi=final.psi,
-                     counter=n_samples)
+                     counter=sample_offset + n_samples)
 
 
 def resume_state(directory: str, c0: int, cfg: CoolingConfig) -> SimState:

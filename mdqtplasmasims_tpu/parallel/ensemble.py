@@ -46,6 +46,34 @@ def sharded_forces_fn(L: float, ldeb: float, chunk: int = 512):
     return fn
 
 
+def ring_forces_fn(L: float, ldeb: float, axis: str = ION_AXIS,
+                   chunk: int = 512):
+    """Ring-permute force evaluation for very large N: instead of
+    all-gathering the global positions (memory O(N) per chip), circulate
+    position blocks around the ICI ring with ``ppermute`` and accumulate
+    partial row forces — the blockwise/ring-attention idea applied to the
+    N x N pair interaction (SURVEY.md section 5, long-context analog).
+    Peak per-chip memory is O(N/k); bandwidth rides the ring."""
+
+    def fn(R_local):
+        k = jax.lax.axis_size(axis)
+        n_loc = R_local.shape[0]
+        perm = [(i, (i + 1) % k) for i in range(k)]
+
+        def body(i, carry):
+            F, pot, buf = carry
+            Fi, poti = yukawa_forces_potential(R_local, L, ldeb, chunk=chunk,
+                                               cols=buf)
+            buf = jax.lax.ppermute(buf, axis, perm)
+            return F + Fi, pot + poti, buf
+
+        F0 = jnp.zeros_like(R_local)
+        pot0 = jnp.zeros_like(R_local[:, 0])
+        F, pot, _ = jax.lax.fori_loop(0, k, body, (F0, pot0, R_local))
+        return F, pot
+    return fn
+
+
 def make_sharded_md_step(scheduler_factory: Callable[[Callable], "CoolingScheduler"],
                          mesh: Mesh, L: float, ldeb: float):
     """Build a jitted [E, N, ...] SimState -> SimState step over the mesh.

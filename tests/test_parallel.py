@@ -83,6 +83,30 @@ class TestShardedStep:
         assert np.allclose(np.asarray(F_sharded), np.asarray(F_ref),
                            rtol=1e-12, atol=1e-12)
 
+    def test_ring_forces_match(self):
+        """ppermute-ring force circulation == unsharded (memory-lean path
+        for very large N)."""
+        from jax import shard_map
+        from jax.sharding import PartitionSpec as P
+        from mdqtplasmasims_tpu.ops.yukawa import yukawa_forces_potential
+        from mdqtplasmasims_tpu.parallel.ensemble import ring_forces_fn
+
+        n = 96
+        L = PlasmaUnits.box_length(n)
+        ldeb = PlasmaUnits(2.0, 0.1).debye_length
+        R = jax.random.uniform(jax.random.PRNGKey(2), (n, 3), jnp.float64,
+                               0, L)
+        mesh = make_mesh(1, 8)
+        fn = ring_forces_fn(L, ldeb)
+        sharded = shard_map(fn, mesh=mesh, in_specs=P("ions"),
+                            out_specs=(P("ions"), P("ions")))
+        F_ring, pot_ring = sharded(R)
+        F_ref, pot_ref = yukawa_forces_potential(R, L, ldeb)
+        assert np.allclose(np.asarray(F_ring), np.asarray(F_ref),
+                           rtol=1e-12, atol=1e-12)
+        assert np.allclose(np.asarray(pot_ring), np.asarray(pot_ref),
+                           rtol=1e-12, atol=1e-12)
+
 
 @needs_devices
 def test_ensemble_members_independent():
