@@ -140,7 +140,29 @@ def initial_state(cfg: FrozenTagConfig, seed: Optional[int] = None) -> SimState:
     R, V, psi, _ = frozen_gas_init(k_init, cfg.n0, n_states=cfg.n_states,
                                    exact_n=cfg.exact_n, dtype=cfg.np_dtype,
                                    seed_for_count=cfg.job)
-    return make_state(R, V, psi, k_run, dtype=cfg.np_dtype)
+    st = make_state(R, V, psi, k_run, dtype=cfg.np_dtype)
+    # the reference's first step_R computes forces before its 2nd-order
+    # drift (randomFrozenStartTag422Linear.cpp:324-333); seed F accordingly
+    pu = PlasmaUnits(cfg.density, cfg.ge)
+    L = PlasmaUnits.box_length(cfg.n0)
+    forces_fn = best_forces_fn(cfg.n0, L, pu.debye_length,
+                               use_pallas=cfg.use_pallas)
+    F, _ = forces_fn(st.R)
+    return st._replace(F=F)
+
+
+def resume_run(directory: str, c0: int, cfg: FrozenTagConfig):
+    """Reference-compatible restart (readConditions + spinUpIonsList,
+    randomFrozenStartTag422Linear.cpp:676-764; sets recordedSpinUps=1).
+    Returns (state, spin_up)."""
+    R, V = ckpt.read_conditions(directory, c0)
+    spin_up = ckpt.read_spinup_list(directory, c0).astype(bool)
+    key = jax.random.PRNGKey(cfg.job * 7919 + c0)
+    st = make_state(R, V, jnp.zeros((R.shape[0], cfg.n_states),
+                                    jnp.complex64), key, dtype=cfg.np_dtype,
+                    t=ckpt.restore_time(c0, cfg.timestep))
+    tick = int(round(ckpt.restore_time(c0, cfg.timestep) / cfg.qdt))
+    return st._replace(tick=jnp.asarray(tick, jnp.int32)), jnp.asarray(spin_up)
 
 
 @partial(jax.jit, static_argnames=("cfg", "n_md"))

@@ -38,6 +38,16 @@ tagging codes store *rates* directly and take sqrt() for couplings.  The
 tables below are expressed uniformly in **rates**, transcribed so that every
 derived quantity (decay_w, coupling, jump probabilities, force weights)
 matches the corresponding reference file exactly.
+
+NOTE on the pre-SpeedUp generation: LaserCoolingPlusExpansionMDQT.cpp (the
+original file, superseded per reference README.md:30) disagrees with the
+SpeedUp file on the gs convention — it builds gs as *rates* (:1198-1216),
+uses gs (not gs^2) in the jump-probability operator, and scales the DP
+Ehrenfest kick by OmDP/sqrt(decayRatio) instead of OmDP/decayRatio (:503).
+Following SURVEY.md section 7 ("Follow the SpeedUp file"), this framework
+implements the SpeedUp physics; the pre-SpeedUp file's *diagnostics*
+(interval VAF, LCCF) are available via CoolingConfig.vaf_intervals /
+record_lccf.
 """
 
 from __future__ import annotations
