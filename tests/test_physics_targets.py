@@ -1,6 +1,6 @@
 """Known-physics targets (the reference's substitute for tests, SURVEY.md
 section 4, made into actual tests): disorder-induced heating curve, DIH
-equilibrium coupling, f32-vs-f64 error budget."""
+equilibrium coupling, EIT dark-state resonance, f32-vs-f64 error budget."""
 
 from functools import partial
 
@@ -10,6 +10,8 @@ import numpy as np
 import pytest
 
 from mdqtplasmasims_tpu.core.md import leapfrog_substep
+from mdqtplasmasims_tpu.core.qt import QTEngine
+from mdqtplasmasims_tpu.levels import sr12_cooling
 from mdqtplasmasims_tpu.ops.yukawa import yukawa_forces_potential
 from mdqtplasmasims_tpu.units import PlasmaUnits
 
@@ -52,6 +54,38 @@ class TestDIH:
         assert 2.0 < gamma_final < 3.8
         # kinetic-energy oscillation: a dip after the first peak
         assert T[500:1200].min() < 0.95 * T[:800].max()
+
+    def test_eit_dark_state_resonance(self):
+        """The 12-level Sr+ scheme must show the dark-state (EIT) feature
+        of thesis Ch. 4 / README.md:118: at the two-photon resonance
+        v_res = (detDP - detSP)/(1 + kRat) = 2/1.395 ~ 1.43 gamma/k, the
+        P population is suppressed and population accumulates in D."""
+        scheme = sr12_cooling(-1.0, 1.0, 1.0, 1.0)
+        eng = QTEngine(scheme, h=0.01, dt_plasma=0.01, apply_force=False)
+        vgrid = np.array([-1.43, -0.9, 0.0, 0.9, 1.43])
+        ntraj = 120
+        v = jnp.asarray(np.repeat(vgrid, ntraj), jnp.float64)
+        n = v.shape[0]
+        psi = jnp.zeros((n, 12), jnp.complex128).at[:, 0].set(1.0)
+        tp = jnp.zeros((n,), jnp.float64)
+
+        @jax.jit
+        def go(psi, v, tp, key):
+            def body(c, _):
+                psi, tp, key = c
+                key, sub = jax.random.split(key)
+                psi, _, tp = eng.step(psi, v, tp, sub)
+                return (psi, tp, key), None
+            return jax.lax.scan(body, (psi, tp, key), None, length=3000)[0][0]
+
+        psi = go(psi, v, tp, jax.random.PRNGKey(0))
+        pop = np.abs(np.asarray(psi)) ** 2
+        popP = pop[:, 2:6].sum(-1).reshape(len(vgrid), ntraj).mean(-1)
+        popD = pop[:, 6:12].sum(-1).reshape(len(vgrid), ntraj).mean(-1)
+        for i_res, i_off in ((0, 1), (4, 3)):       # +-1.43 vs +-0.9
+            assert popP[i_res] < 0.75 * popP[i_off]
+            assert popD[i_res] > 1.3 * popD[i_off]
+        assert popD[0] > 1.5 * popD[2]               # resonance vs v=0
 
     def test_f32_matches_f64_within_budget(self):
         """The fast f32 mode must reproduce the f64 physics: individual
