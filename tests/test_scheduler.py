@@ -1,0 +1,126 @@
+"""Multirate scheduler unit tests."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mdqtplasmasims_tpu.core.md import (leapfrog_substep,
+                                        velocity_verlet_step, wrap_pbc)
+from mdqtplasmasims_tpu.core.qt import QTEngine
+from mdqtplasmasims_tpu.core.scheduler import (CoolingScheduler,
+                                               FrozenTagScheduler,
+                                               MCTagScheduler)
+from mdqtplasmasims_tpu.levels import tag422, three_state
+from mdqtplasmasims_tpu.ops.yukawa import yukawa_forces_potential
+from mdqtplasmasims_tpu.state import make_state
+from mdqtplasmasims_tpu.units import PlasmaUnits
+
+
+@pytest.fixture
+def system():
+    n = 64
+    L = PlasmaUnits.box_length(n)
+    ldeb = PlasmaUnits(2.0, 0.1).debye_length
+    key = jax.random.PRNGKey(0)
+    R = jax.random.uniform(key, (n, 3), jnp.float64, 0, L)
+    V = jax.random.normal(jax.random.PRNGKey(1), (n, 3), jnp.float64) * 0.1
+    return n, L, ldeb, R, V
+
+
+def _forces(L, ldeb):
+    return lambda R: yukawa_forces_potential(R, L, ldeb)
+
+
+class TestSubsteppedLeapfrog:
+    def test_substeps_close_to_single_step(self, system):
+        """The SpeedUp scheme parcels one MD step into ratio substeps with
+        the same forces; positions/velocities must stay O(dt^2)-close to
+        the single big leapfrog step."""
+        n, L, ldeb, R, V = system
+        F = _forces(L, ldeb)(R)[0]
+        dt = 0.002
+        ratio = 25
+        R1, V1 = leapfrog_substep(R, V, F, dt, L, False)
+        Rs, Vs = R, V
+        for _ in range(ratio):
+            Rs, Vs = leapfrog_substep(Rs, Vs, F, dt / ratio, L, False)
+        # identical total impulse; drift pattern differs at O(dt^2)
+        assert np.allclose(np.asarray(V1), np.asarray(Vs), atol=1e-14)
+        assert np.abs(np.asarray(R1) - np.asarray(Rs)).max() < dt * dt
+
+    def test_wrap_pbc_single_shift(self):
+        R = jnp.asarray([[-0.1, 5.0, 10.2]])
+        out = np.asarray(wrap_pbc(R, 10.0))
+        assert np.allclose(out, [[9.9, 5.0, 0.2]])
+
+
+class TestVelocityVerlet:
+    def test_energy_conservation(self, system):
+        n, L, ldeb, R, V = system
+        fn = lambda r: yukawa_forces_potential(r, L, ldeb)[0]
+        A = fn(R)
+        dt = 0.005
+
+        @jax.jit
+        def go(R, V, A):
+            def body(c, _):
+                R, V, A = c
+                R, V, A = velocity_verlet_step(R, V, A, dt, L, fn)
+                return (R, V, A), None
+            return jax.lax.scan(body, (R, V, A), None, length=400)[0]
+
+        from mdqtplasmasims_tpu.ops.yukawa import yukawa_potential
+        e0 = float(yukawa_potential(R, L, ldeb)) + float(
+            jnp.mean(0.5 * jnp.sum(V * V, 1)))
+        R2, V2, _ = go(R, V, A)
+        e1 = float(yukawa_potential(R2, L, ldeb)) + float(
+            jnp.mean(0.5 * jnp.sum(V2 * V2, 1)))
+        assert abs(e1 - e0) < 2e-3 * abs(e0)
+
+
+class TestSchedulers:
+    def test_cooling_scheduler_advances_clock(self, system):
+        n, L, ldeb, R, V = system
+        eng = QTEngine(tag422(), h=0.01, dt_plasma=8e-5, apply_force=False)
+        sched = CoolingScheduler(engine=eng, forces_fn=_forces(L, ldeb),
+                                 L=L, qdt=8e-5, ratio=5)
+        psi = jnp.zeros((n, 5), jnp.complex128).at[:, 0].set(1.0)
+        st = make_state(R, V, psi, jax.random.PRNGKey(2), dtype=jnp.float64)
+        out = jax.jit(sched.md_step)(st)
+        assert int(out.tick) == 5
+        assert float(out.t) == pytest.approx(5 * 8e-5)
+        assert not np.allclose(np.asarray(out.R), np.asarray(st.R))
+
+    def test_frozen_scheduler_outside_window_is_pure_md(self, system):
+        """Outside the pump window, psi and t_part must be untouched and
+        the classical system must advance exactly as plain MD."""
+        n, L, ldeb, R, V = system
+        eng = QTEngine(tag422(), h=0.01, dt_plasma=8e-5, apply_force=False)
+        sched = FrozenTagScheduler(engine=eng, forces_fn=_forces(L, ldeb),
+                                   L=L, qdt=8e-5, ratio=5,
+                                   t_pump_start=100.0, t_pump_end=101.0)
+        psi = jnp.zeros((n, 5), jnp.complex128).at[:, 0].set(1.0)
+        st = make_state(R, V, psi, jax.random.PRNGKey(3), dtype=jnp.float64)
+        st = st._replace(F=_forces(L, ldeb)(R)[0],
+                         tick=jnp.asarray(1000, jnp.int32))
+        out = jax.jit(sched.md_step)(st)
+        np.testing.assert_array_equal(np.asarray(out.psi), np.asarray(st.psi))
+        np.testing.assert_array_equal(np.asarray(out.t_part),
+                                      np.asarray(st.t_part))
+        assert not np.allclose(np.asarray(out.V), np.asarray(st.V))
+
+    def test_mc_tag_scheduler_counts(self, system):
+        n, L, ldeb, R, V = system
+        eng = QTEngine(tag422(), h=0.01, dt_plasma=0.00025,
+                       apply_force=False)
+        sched = MCTagScheduler(engine=eng, forces_fn=_forces(L, ldeb),
+                               L=L, dt=0.005, ratio=20)
+        psi = jnp.zeros((n, 5), jnp.complex128).at[:, 1].set(1.0)
+        st = make_state(R, V, psi, jax.random.PRNGKey(4), dtype=jnp.float64)
+        st = st._replace(F=_forces(L, ldeb)(R)[0])
+        out = jax.jit(sched.md_step)(st)
+        assert int(out.tick) == 20
+        assert float(out.t) == pytest.approx(0.005)
+        # pumping ran: some amplitude moved out of |2>
+        assert float(jnp.sum(jnp.abs(out.psi[:, 1]) ** 2)) < n
