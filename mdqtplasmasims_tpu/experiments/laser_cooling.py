@@ -278,16 +278,24 @@ def run(cfg: CoolingConfig, seed: Optional[int] = None,
 def run_ensemble(cfg: CoolingConfig, n_jobs: int, seed: int = 0):
     """Batched ensemble of independent trajectories on one device — the
     TPU-native replacement for the reference's SLURM job array
-    (exampleSlurmFile.slurm).  Returns per-job stacked outputs.
+    (exampleSlurmFile.slurm).  Returns per-job stacked outputs; with
+    ``cfg.save_directory`` set, writes each trajectory's .dat tree into
+    ``job<k>/`` exactly as the reference's array jobs would.
 
     Note: vmapped runs use the XLA force path (the Pallas kernel is not
-    batched); per-job KDE distributions are summed into ensemble curves.
+    batched).
     """
+    save_directory = cfg.save_directory
     cfg = dataclasses.replace(cfg, use_pallas=False, save_directory=None)
     keys = jax.random.split(jax.random.PRNGKey(seed), n_jobs)
     states = jax.vmap(lambda k: _initial_state_from_key(cfg, k))(keys)
     n_md = int(round(cfg.tmax / cfg.timestep))
     n_segments = n_md // cfg.sample_freq
+
+    epot0 = jax.vmap(
+        lambda R: yukawa_potential(R, PlasmaUnits.box_length(cfg.n0),
+                                   PlasmaUnits(cfg.density, cfg.ge)
+                                   .debye_length))(states.R)
 
     @partial(jax.jit, static_argnames=())
     def go(states):
@@ -295,7 +303,19 @@ def run_ensemble(cfg: CoolingConfig, n_jobs: int, seed: int = 0):
 
     final, outs = go(states)
     jax.block_until_ready(final)
-    return safe_device_get(final), safe_device_get(outs)
+    final_np = safe_device_get(final)
+    outs_np = safe_device_get(outs)
+    epot0_np = safe_device_get(epot0)
+
+    if save_directory is not None:
+        for j in range(n_jobs):
+            cfg_j = dataclasses.replace(cfg, job=j + 1,
+                                        save_directory=save_directory)
+            outs_j = jax.tree.map(lambda a: a[j], outs_np)
+            final_j = jax.tree.map(lambda a: a[j], final_np)
+            write_outputs(_save_dir(cfg_j), cfg_j, outs_j,
+                          float(epot0_np[j]), final_j, n_md)
+    return final_np, outs_np
 
 
 def _initial_state_from_key(cfg: CoolingConfig, key) -> SimState:
