@@ -16,6 +16,7 @@ mask the tail.  ``exact_n=True`` pins N = N0 for ensemble vmapping.
 from __future__ import annotations
 
 import math
+from functools import partial
 from typing import Optional, Tuple
 
 import jax
@@ -57,13 +58,20 @@ def frozen_gas_init(key: jax.Array, n0: int, *, n_states: int = 0,
     else:
         rng = np.random.default_rng(seed_for_count)
         n = sample_cell_count(rng, n0)
-    kr, kp = jax.random.split(key)
-    R = frozen_gas_positions(kr, n, L, dtype)
-    V = jnp.zeros((n, 3), dtype)
-    psi = None
-    if n_states:
-        cdtype = jnp.complex64 if dtype == jnp.float32 else jnp.complex128
-        psi = random_s_superposition(kp, n, n_states, cdtype)
+
+    # jitted so no eager (esp. complex) ops hit quirky backends
+    @partial(jax.jit, static_argnames=("n", "n_states"))
+    def build(key, n, n_states):
+        kr, kp = jax.random.split(key)
+        R = frozen_gas_positions(kr, n, L, dtype)
+        V = jnp.zeros((n, 3), dtype)
+        psi = None
+        if n_states:
+            cdtype = jnp.complex64 if dtype == jnp.float32 else jnp.complex128
+            psi = random_s_superposition(kp, n, n_states, cdtype)
+        return R, V, psi
+
+    R, V, psi = build(key, n, n_states)
     return R, V, psi, n
 
 

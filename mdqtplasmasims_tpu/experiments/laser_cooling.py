@@ -288,7 +288,7 @@ def run_ensemble(cfg: CoolingConfig, n_jobs: int, seed: int = 0):
     save_directory = cfg.save_directory
     cfg = dataclasses.replace(cfg, use_pallas=False, save_directory=None)
     keys = jax.random.split(jax.random.PRNGKey(seed), n_jobs)
-    states = jax.vmap(lambda k: _initial_state_from_key(cfg, k))(keys)
+    states = jax.jit(jax.vmap(lambda k: _initial_state_from_key(cfg, k)))(keys)
     n_md = int(round(cfg.tmax / cfg.timestep))
     n_segments = n_md // cfg.sample_freq
 

@@ -209,7 +209,7 @@ def run(cfg: MCTagConfig, seed: Optional[int] = None) -> dict:
     k_lat, k_psi, k_mc, k_tag, k_run = jax.random.split(key, 5)
 
     R, V = lattice_init(k_lat, cfg.n, cfg.gamma, cfg.L, dtype=dt)
-    psi = random_s_superposition(
+    psi = jax.jit(random_s_superposition, static_argnums=(1, 2, 3))(
         k_psi, cfg.n, cfg.n_states,
         jnp.complex128 if cfg.dtype == "float64" else jnp.complex64)
 

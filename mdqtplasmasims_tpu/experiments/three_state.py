@@ -84,9 +84,8 @@ def run(cfg: ThreeStateConfig, seed: Optional[int] = None):
     sigma = SQRT_KELVIN_TO_PLASMA_VEL * np.sqrt(cfg.temperature_k)
     V = jax.random.normal(kv, (cfg.n0, 3), cfg.np_dtype) * jnp.asarray(
         sigma, cfg.np_dtype)
-    psi = jnp.zeros((cfg.n0, 3),
-                    jnp.complex128 if cfg.dtype == "float64" else jnp.complex64
-                    ).at[:, 0].set(1.0)
+    cdt = jnp.complex128 if cfg.dtype == "float64" else jnp.complex64
+    psi = jax.jit(lambda: jnp.zeros((cfg.n0, 3), cdt).at[:, 0].set(1.0))()
     t_part = jnp.zeros((cfg.n0,), cfg.np_dtype)
 
     n_segments = int(cfg.tmax / cfg.dt) // cfg.sample_freq
