@@ -37,10 +37,11 @@ def main():
         final, outs = res
         return float(jnp.sum(final.V) + jnp.sum(outs["ekin"]))
 
-    # compile + warm up
-    checksum(run_compiled(cfg, state, 2))
-
     n_segments = 25                     # 1000 MD steps = 25k quantum ticks
+    # compile + warm up the exact program that gets timed (n_segments is a
+    # static argument — a different value would recompile inside the timing)
+    checksum(run_compiled(cfg, state, n_segments))
+
     t0 = time.perf_counter()
     cs = checksum(run_compiled(cfg, state, n_segments))
     dt = time.perf_counter() - t0

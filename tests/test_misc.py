@@ -1,0 +1,111 @@
+"""Coverage for KDE, analysis aggregation, CLI parsing, presets, profiling."""
+
+import json
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mdqtplasmasims_tpu.ops.kde import (KDE_NORM, centered_bins, folded_bins,
+                                        gaussian_kde)
+from mdqtplasmasims_tpu.experiments.presets import PRESETS
+from mdqtplasmasims_tpu.profiling import PhaseTimer, throughput
+
+
+class TestKDE:
+    def test_matches_reference_formula(self):
+        """Direct transcription of output()'s kernel sums
+        (laserCooling...SpeedUp.cpp:957-979)."""
+        rng = np.random.default_rng(0)
+        v = rng.normal(0, 0.1, 40)
+        bins = np.asarray(folded_bins(jnp.float64))
+        V2 = 1.0 / (2 * 0.002 * 0.002)
+        ref = np.zeros_like(bins)
+        for vi in v:
+            ref += (np.exp(-V2 * (bins - vi) ** 2)
+                    + np.exp(-V2 * (bins + vi) ** 2))
+        ref /= 6.0 * np.sqrt(2 * np.pi * 0.002 ** 2)
+        out = np.asarray(gaussian_kde(jnp.asarray(v), jnp.asarray(bins),
+                                      folded=True))
+        assert np.abs(out - ref).max() < 1e-9
+
+    def test_weighted_centered(self):
+        v = jnp.asarray([0.5, -0.5])
+        w = jnp.asarray([1.0, 0.0])
+        bins = centered_bins(jnp.float64)
+        out = np.asarray(gaussian_kde(v, bins, folded=False, weights=w,
+                                      normalize=False))
+        i_pos = int(np.argmin(np.abs(np.asarray(bins) - 0.5)))
+        i_neg = int(np.argmin(np.abs(np.asarray(bins) + 0.5)))
+        assert out[i_pos] == pytest.approx(1.0, abs=1e-6)
+        assert out[i_neg] == pytest.approx(0.0, abs=1e-12)
+
+
+class TestAnalysis:
+    def test_average_dat(self, tmp_path):
+        from mdqtplasmasims_tpu.analysis import average_dat
+        for j, val in ((1, 1.0), (2, 3.0)):
+            d = tmp_path / f"job{j}"
+            d.mkdir()
+            with open(d / "x.dat", "w") as f:
+                f.write("0.1\t%g\n0.2\t%g\n" % (val, val * 2))
+        avg = average_dat(str(tmp_path), "x.dat")
+        assert np.allclose(avg, [[0.1, 2.0], [0.2, 4.0]])
+
+    def test_truncates_short_jobs(self, tmp_path):
+        from mdqtplasmasims_tpu.analysis import average_dat
+        (tmp_path / "job1").mkdir()
+        (tmp_path / "job2").mkdir()
+        with open(tmp_path / "job1" / "x.dat", "w") as f:
+            f.write("0.1\t1\n0.2\t2\n0.3\t3\n")
+        with open(tmp_path / "job2" / "x.dat", "w") as f:
+            f.write("0.1\t3\n0.2\t4\n")          # killed by walltime
+        avg = average_dat(str(tmp_path), "x.dat")
+        assert avg.shape == (2, 2)
+        assert np.allclose(avg[:, 1], [2.0, 3.0])
+
+
+class TestCLI:
+    def test_parser_builds_configs(self):
+        from mdqtplasmasims_tpu.cli import _add_dataclass_args, _build_cfg
+        import argparse
+        from mdqtplasmasims_tpu.experiments.laser_cooling import CoolingConfig
+        p = argparse.ArgumentParser()
+        _add_dataclass_args(p, CoolingConfig)
+        ns = p.parse_args(["--n0", "128", "--tmax", "2.5",
+                           "--renormalize", "true",
+                           "--vaf-intervals", "3,5,7"])
+        cfg = _build_cfg(CoolingConfig, ns)
+        assert cfg.n0 == 128 and cfg.tmax == 2.5
+        assert cfg.renormalize is True
+        assert cfg.vaf_intervals == (3.0, 5.0, 7.0)
+
+
+class TestPresets:
+    def test_all_presets_construct(self):
+        for name, fn in PRESETS.items():
+            cfg = fn()
+            assert cfg is not None, name
+
+    def test_pre_speedup_has_interval_diags(self):
+        cfg = PRESETS["pre-speedup"]()
+        assert len(cfg.vaf_intervals) == 13
+        assert cfg.record_lccf
+
+
+class TestProfiling:
+    def test_phase_timer(self):
+        t = PhaseTimer()
+        with t.phase("a"):
+            pass
+        with t.phase("a"):
+            pass
+        assert t.counts["a"] == 2
+        assert "a" in t.report()
+        json.loads(t.as_json())
+
+    def test_throughput(self):
+        m = throughput(3500, 25000, 2.0)
+        assert m["ion_qt_updates_per_sec"] == pytest.approx(3500 * 12500)
