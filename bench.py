@@ -19,7 +19,7 @@ import time
 import jax
 
 from mdqtplasmasims_tpu.experiments.laser_cooling import (
-    CoolingConfig, initial_state, run_compiled)
+    CoolingConfig, canonical_run_cfg, initial_state, run_compiled)
 
 BASELINE_UPDATES_PER_SEC = 4.56e4   # BASELINE.md derived throughput
 N_MD_TOTAL = 15000                  # tmax=30 at dt=0.002
@@ -30,6 +30,7 @@ def main():
 
     cfg = CoolingConfig(n0=3500, tmax=30.0, sample_freq=40)
     state = initial_state(cfg)
+    cfg = canonical_run_cfg(cfg)
 
     def checksum(res):
         # scalar host fetch — forces real completion (block_until_ready is

@@ -195,6 +195,15 @@ def _save_dir(cfg: CoolingConfig) -> str:
                        om=cfg.om, om_dp=cfg.om_dp, n0=cfg.n0, job=cfg.job)
 
 
+def canonical_run_cfg(cfg: CoolingConfig) -> CoolingConfig:
+    """Strip config fields that don't affect the traced program so jit/
+    remote-compile caches are shared across uses (recompiles can be
+    minutes-slow on this backend)."""
+    return dataclasses.replace(cfg, save_directory=None,
+                               checkpoint_every_segments=0, job=1,
+                               tmax=0.0, exact_n=True)
+
+
 def latest_checkpoint(directory: str) -> Optional[int]:
     """Highest c0 among native checkpoints in a run directory."""
     import glob
@@ -242,13 +251,14 @@ def run(cfg: CoolingConfig, seed: Optional[int] = None,
     n_md = int(round(cfg.tmax / cfg.timestep))
     n_segments = n_md // cfg.sample_freq
     group = cfg.checkpoint_every_segments or n_segments
+    cfg_run = canonical_run_cfg(cfg)
 
     outs_groups = []
     sample_offset = done
     epot0_f: Optional[float] = None
     while done < n_segments:
         g = min(group, n_segments - done)
-        state, outs = run_compiled(cfg, state, g)
+        state, outs = run_compiled(cfg_run, state, g)
         jax.block_until_ready(state)
         if epot0_f is None:
             epot0_f = float(epot0)
@@ -286,7 +296,8 @@ def run_ensemble(cfg: CoolingConfig, n_jobs: int, seed: int = 0):
     batched).
     """
     save_directory = cfg.save_directory
-    cfg = dataclasses.replace(cfg, use_pallas=False, save_directory=None)
+    cfg = dataclasses.replace(canonical_run_cfg(cfg), use_pallas=False,
+                              tmax=cfg.tmax)
     keys = jax.random.split(jax.random.PRNGKey(seed), n_jobs)
     states = jax.jit(jax.vmap(lambda k: _initial_state_from_key(cfg, k)))(keys)
     n_md = int(round(cfg.tmax / cfg.timestep))
