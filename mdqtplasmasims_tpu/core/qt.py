@@ -103,32 +103,51 @@ class QTEngine:
     # ---- state-major ([S, N]) hot path ---------------------------------
 
     def _hpsi_sm(self, p: QTParams, phi: jax.Array, u: jax.Array,
-                 tq: jax.Array) -> jax.Array:
-        """H(u, t_gamma) @ phi.  phi: [S,N], u/tq: [N]."""
+                 tq, phase=None) -> jax.Array:
+        """H(u, t_gamma) @ phi.  phi: [S,N], u/tq: [N].
+
+        ``phase`` may be precomputed once per tick (the Hamiltonian is
+        frozen across the RK stages)."""
         diag = (p.e0[:, None] + p.e1[:, None] * u[None, :]
                 - 0.5j * p.decay_w[:, None])
         out = diag * phi + p.coupling @ phi
         if self.scheme.tdep_rows:
-            phase = jnp.exp(1j * (self.scheme.tdep_freq * u * tq)
-                            .astype(phi.real.dtype))
+            if phase is None:
+                phase = self._tdep_phase(u, tq, phi.dtype)
+            S = self.scheme.n_states
+            rows = jax.lax.broadcasted_iota(jnp.int32, (S, 1), 0)
             for r, c, m in zip(self.scheme.tdep_rows, self.scheme.tdep_cols,
                                self.scheme.tdep_coefs):
                 m = jnp.asarray(m, phi.dtype)
-                out = out.at[r, :].add(m * phase * phi[c, :])
-                out = out.at[c, :].add(jnp.conj(m * phase) * phi[r, :])
+                # masked broadcast-adds instead of .at[] row scatters — a
+                # dynamic-update-slice would copy the whole [S,N] buffer
+                out = out + jnp.where(rows == r, m * phase * phi[c, :][None, :],
+                                      jnp.zeros((), phi.dtype))
+                out = out + jnp.where(rows == c,
+                                      jnp.conj(m * phase) * phi[r, :][None, :],
+                                      jnp.zeros((), phi.dtype))
         return out
+
+    def _tdep_phase(self, u, tq, cdtype):
+        if not self.scheme.tdep_rows:
+            return None
+        return jnp.exp(1j * (self.scheme.tdep_freq * u * tq)
+                       .astype(jnp.float32 if cdtype == jnp.complex64
+                               else jnp.float64))
 
     def _dp_sm(self, p: QTParams, phi: jax.Array) -> jax.Array:
         return self.h * jnp.sum(
             p.decay_w[:, None] * (phi.real ** 2 + phi.imag ** 2), axis=0)
 
     def step_sm(self, psi: jax.Array, vx: jax.Array, t_part: jax.Array,
-                key: jax.Array, exp_det=0.0):
+                key: jax.Array = None, exp_det=0.0, rolls=None):
         """Advance every ion one quantum tick.  psi: [S,N] (state-major).
 
         Returns ``(psi, vx, t_part)``.  ``exp_det`` is the scalar
         expansion-frame detuning (units of gamma) added to the Doppler
-        shift."""
+        shift.  ``rolls`` optionally supplies the [5, N] uniforms (drawn in
+        batch by the scheduler — one RNG call per MD step instead of one
+        per tick)."""
         rdtype = vx.dtype
         p = _params(self.scheme, rdtype, psi.dtype)
         h = jnp.asarray(self.h, rdtype)
@@ -138,7 +157,8 @@ class QTEngine:
         u = vx * self.plas_to_quant_vel + exp_det          # [N]
         tq = t_part * self.gamma_to_einstein
 
-        rolls = jax.random.uniform(key, (5, n), rdtype)
+        if rolls is None:
+            rolls = jax.random.uniform(key, (5, n), rdtype)
         dp0 = self._dp_sm(p, psi)
         # reference: rand>dp -> no jump (jump iff rand<=dp).  We use strict <
         # so dp=0 can never trigger a jump even when the uniform draw is 0.
@@ -151,11 +171,13 @@ class QTEngine:
         # stage dp reaches 1 and 1/sqrt(1-dp) blows up (the reference has
         # the identical pathology, laserCooling...SpeedUp.cpp:532).  Any ion
         # near the cap jumps within a tick or two anyway (P(jump) = dp0).
+        phase = self._tdep_phase(u, tq, psi.dtype)
+
         def g_slope(phi):
             dphi = jnp.clip(self._dp_sm(p, phi), 0.0, 0.9)
             pref = (1.0 / jnp.sqrt(1.0 - dphi))[None, :]
             stepped = pref.astype(phi.dtype) * (
-                phi - 1j * h * self._hpsi_sm(p, phi, u, tq))
+                phi - 1j * h * self._hpsi_sm(p, phi, u, tq, phase))
             return (stepped - phi) / h
 
         k1 = g_slope(psi)
@@ -182,8 +204,13 @@ class QTEngine:
         src = jnp.minimum(_categorical_sm(rolls[1] * tot, src_cum), S - 1)
 
         d_branch = rolls[2] < self.scheme.branch_d_prob     # D-decay?
-        # [2,S,S] indexed by (branch, src) -> [N,S] -> transpose to [S,N]
-        dest_cum = p.jump_dest_cum[d_branch.astype(jnp.int32), src].T
+        # destination distribution per ion via one-hot matmuls (a [N]-row
+        # gather from the [2,S,S] table is slow on TPU)
+        src_oh = (jax.lax.broadcasted_iota(jnp.int32, (S, n), 0)
+                  == src[None, :]).astype(rdtype)           # [S,N]
+        cum_s = p.jump_dest_cum[0].T @ src_oh               # [S(dest),N]
+        cum_d = p.jump_dest_cum[1].T @ src_oh
+        dest_cum = jnp.where(d_branch[None, :], cum_d, cum_s)
         dest = jnp.minimum(_categorical_sm(rolls[4], dest_cum), S - 1)
         psi_jumped = (jax.lax.broadcasted_iota(jnp.int32, (S, n), 0)
                       == dest[None, :]).astype(psi.dtype)

@@ -46,26 +46,32 @@ class CoolingScheduler:
 
     def md_step(self, state: SimState) -> SimState:
         F, _ = self.forces_fn(state.R)
+        F_sm = F.T
+        n = state.R.shape[0]
+        key, sub = jax.random.split(state.key)
+        # one batched RNG draw per MD step (not one per quantum tick)
+        all_rolls = jax.random.uniform(sub, (self.ratio, 5, n),
+                                       state.R.dtype)
 
-        def tick(c, _):
-            R, V, psi_sm, tp, key, tick_i = c
-            key, sub = jax.random.split(key)
+        def tick(c, rolls):
+            R, V, psi_sm, tp, tick_i = c
             t = tick_i.astype(R.dtype) * self.qdt
             first = t <= 0.0
-            R, V = leapfrog_substep(R, V, F, self.qdt, self.L, first)
+            R, V = leapfrog_substep(R, V, F_sm, self.qdt, self.L, first)
             exp_det = self.exp_det_fn(t) if self.exp_det_fn is not None else 0.0
-            psi_sm, vx, tp = self.engine.step_sm(psi_sm, V[:, 0], tp, sub,
-                                                 exp_det)
-            V = V.at[:, 0].set(vx)
-            return (R, V, psi_sm, tp, key, tick_i + 1), None
+            psi_sm, vx, tp = self.engine.step_sm(psi_sm, V[0, :], tp,
+                                                 exp_det=exp_det, rolls=rolls)
+            V = V.at[0, :].set(vx)
+            return (R, V, psi_sm, tp, tick_i + 1), None
 
-        # wavefunctions ride state-major ([S, N]) through the tick scan so
-        # the ion axis fills the vector lanes; transposed at the boundary
-        (R, V, psi_sm, tp, key, tick_i), _ = jax.lax.scan(
-            tick, (state.R, state.V, state.psi.T, state.t_part, state.key,
-                   state.tick), None, length=self.ratio)
-        return state._replace(R=R, V=V, F=F, psi=psi_sm.T, t_part=tp, key=key,
-                              tick=tick_i,
+        # everything rides axis-major through the tick scan ([3, N]
+        # coordinates, [S, N] wavefunctions) so the ion axis fills the
+        # vector lanes; transposed once per MD step at the boundary
+        (R_sm, V_sm, psi_sm, tp, tick_i), _ = jax.lax.scan(
+            tick, (state.R.T, state.V.T, state.psi.T, state.t_part,
+                   state.tick), all_rolls)
+        return state._replace(R=R_sm.T, V=V_sm.T, F=F, psi=psi_sm.T,
+                              t_part=tp, key=key, tick=tick_i,
                               t=tick_i.astype(state.t.dtype) * self.qdt)
 
 
