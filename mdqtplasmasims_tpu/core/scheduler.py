@@ -104,28 +104,34 @@ class FrozenTagScheduler:
         V = V + dt * F
         R = step_R(R, V, F, 0.5 * dt, self.L, first)
 
-        def tick(c, _):
-            psi, V, tp, key, tick_i = c
-            key, sub = jax.random.split(key)
+        n = state.R.shape[0]
+        key, sub = jax.random.split(state.key)
+        all_rolls = jax.random.uniform(sub, (self.ratio, 5, n),
+                                       state.R.dtype)
+        vx = V[:, 0]
+
+        def tick(c, rolls):
+            psi_sm, tp, tick_i = c
             t = tick_i.astype(R.dtype) * self.qdt
             in_window = (t > self.t_pump_start) & (t < self.t_pump_end)
 
             def pump(args):
-                psi, tp = args
-                psi2, _, tp2 = self.engine.step(psi, V[:, 0], tp, sub)
+                psi_sm, tp = args
+                psi2, _, tp2 = self.engine.step_sm(psi_sm, vx, tp,
+                                                   rolls=rolls)
                 return psi2, tp2
 
             # outside the pump window time advances with no quantum work
             # (randomFrozenStartTag422Linear.cpp:1020-1025); lax.cond skips
             # the QT update entirely on-device.
-            psi, tp = jax.lax.cond(in_window, pump, lambda a: a, (psi, tp))
-            return (psi, V, tp, key, tick_i + 1), None
+            psi_sm, tp = jax.lax.cond(in_window, pump, lambda a: a,
+                                      (psi_sm, tp))
+            return (psi_sm, tp, tick_i + 1), None
 
-        (psi, V, tp, key, tick_i), _ = jax.lax.scan(
-            tick, (state.psi, V, state.t_part, state.key, state.tick),
-            None, length=self.ratio)
-        return state._replace(R=R, V=V, F=F, psi=psi, t_part=tp, key=key,
-                              tick=tick_i,
+        (psi_sm, tp, tick_i), _ = jax.lax.scan(
+            tick, (state.psi.T, state.t_part, state.tick), all_rolls)
+        return state._replace(R=R, V=V, F=F, psi=psi_sm.T, t_part=tp,
+                              key=key, tick=tick_i,
                               t=tick_i.astype(state.t.dtype) * self.qdt)
 
 
@@ -141,15 +147,20 @@ class MCTagScheduler:
     ratio: int
 
     def md_step(self, state: SimState) -> SimState:
-        def tick(c, _):
-            psi, tp, key = c
-            key, sub = jax.random.split(key)
-            psi, _, tp = self.engine.step(psi, state.V[:, 0], tp, sub)
-            return (psi, tp, key), None
+        n = state.R.shape[0]
+        key, sub = jax.random.split(state.key)
+        all_rolls = jax.random.uniform(sub, (self.ratio, 5, n),
+                                       state.R.dtype)
+        vx = state.V[:, 0]
 
-        (psi, tp, key), _ = jax.lax.scan(
-            tick, (state.psi, state.t_part, state.key), None,
-            length=self.ratio)
+        def tick(c, rolls):
+            psi_sm, tp = c
+            psi_sm, _, tp = self.engine.step_sm(psi_sm, vx, tp, rolls=rolls)
+            return (psi_sm, tp), None
+
+        (psi_sm, tp), _ = jax.lax.scan(
+            tick, (state.psi.T, state.t_part), all_rolls)
+        psi = psi_sm.T
         # velocity-Verlet with fresh accelerations
         R = wrap_pbc(state.R + self.dt * state.V + 0.5 * self.dt ** 2 * state.F,
                      self.L)
