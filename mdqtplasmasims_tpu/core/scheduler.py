@@ -46,6 +46,12 @@ class CoolingScheduler:
 
     def md_step(self, state: SimState) -> SimState:
         F, _ = self.forces_fn(state.R)
+        return self.substeps(state, F)
+
+    def substeps(self, state: SimState, F: jax.Array) -> SimState:
+        """The ratio quantum-substepped ticks with the given (fresh) forces
+        — split out so ensemble runners can batch the force kernel across
+        jobs and vmap only this part."""
         F_sm = F.T
         n = state.R.shape[0]
         key, sub = jax.random.split(state.key)

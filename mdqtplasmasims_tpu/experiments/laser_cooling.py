@@ -188,6 +188,39 @@ def run_compiled(cfg: CoolingConfig, state: SimState, n_segments: int):
     return jax.lax.scan(segment, state, None, length=n_segments)
 
 
+@partial(jax.jit, static_argnames=("cfg", "n_segments"))
+def run_compiled_ensemble(cfg: CoolingConfig, states: SimState,
+                          n_segments: int):
+    """Batched-ensemble run: the Pallas force kernel is batched over the
+    job axis (one grid), only the quantum substep loop is vmapped."""
+    from ..ops.yukawa import yukawa_forces_potential_pallas_batched
+    pu = PlasmaUnits(cfg.density, cfg.ge)
+    L = PlasmaUnits.box_length(cfg.n0)
+    sched = build_scheduler(cfg)
+    bins = folded_bins(cfg.np_dtype)
+
+    if cfg.use_pallas is False:
+        def batched_forces(R):
+            return jax.vmap(lambda r: sched.forces_fn(r)[0])(R)
+    else:
+        def batched_forces(R):
+            return yukawa_forces_potential_pallas_batched(
+                R, L, pu.debye_length)[0]
+
+    def md_step(states):
+        F = batched_forces(states.R)
+        return jax.vmap(sched.substeps)(states, F)
+
+    def segment(states, _):
+        states = jax.lax.fori_loop(0, cfg.sample_freq,
+                                   lambda i, s: md_step(s), states)
+        outs = jax.vmap(
+            lambda s: _sample_outputs(s, cfg, L, pu.debye_length, bins))(states)
+        return states, outs
+
+    return jax.lax.scan(segment, states, None, length=n_segments)
+
+
 def _save_dir(cfg: CoolingConfig) -> str:
     return cooling_dir(cfg.save_directory, ge=cfg.ge, density=cfg.density,
                        sig0=cfg.sig0, te=cfg.te, frac_of_sig=cfg.frac_of_sig,
@@ -292,27 +325,22 @@ def run_ensemble(cfg: CoolingConfig, n_jobs: int, seed: int = 0):
     ``cfg.save_directory`` set, writes each trajectory's .dat tree into
     ``job<k>/`` exactly as the reference's array jobs would.
 
-    Note: vmapped runs use the XLA force path (the Pallas kernel is not
-    batched).
+    The Pallas force kernel is batched over the job axis; the quantum
+    substep loop is vmapped.
     """
     save_directory = cfg.save_directory
-    cfg = dataclasses.replace(canonical_run_cfg(cfg), use_pallas=False,
-                              tmax=cfg.tmax)
-    keys = jax.random.split(jax.random.PRNGKey(seed), n_jobs)
-    states = jax.jit(jax.vmap(lambda k: _initial_state_from_key(cfg, k)))(keys)
     n_md = int(round(cfg.tmax / cfg.timestep))
     n_segments = n_md // cfg.sample_freq
+    cfg = canonical_run_cfg(cfg)
+    keys = jax.random.split(jax.random.PRNGKey(seed), n_jobs)
+    states = jax.jit(jax.vmap(lambda k: _initial_state_from_key(cfg, k)))(keys)
 
-    epot0 = jax.vmap(
+    epot0 = jax.jit(jax.vmap(
         lambda R: yukawa_potential(R, PlasmaUnits.box_length(cfg.n0),
                                    PlasmaUnits(cfg.density, cfg.ge)
-                                   .debye_length))(states.R)
+                                   .debye_length)))(states.R)
 
-    @partial(jax.jit, static_argnames=())
-    def go(states):
-        return jax.vmap(lambda s: run_compiled(cfg, s, n_segments))(states)
-
-    final, outs = go(states)
+    final, outs = run_compiled_ensemble(cfg, states, n_segments)
     jax.block_until_ready(final)
     final_np = safe_device_get(final)
     outs_np = safe_device_get(outs)

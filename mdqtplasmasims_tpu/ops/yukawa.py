@@ -113,6 +113,28 @@ def yukawa_potential(R, L, ldeb, mask=None, chunk: int = 512) -> jax.Array:
 # Pallas TPU kernel
 # ----------------------------------------------------------------------
 
+def _pair_tile_rows(x, ys, L, ldeb, rcut2):
+    """Pair math for one (i-block [3,TI], j-block [TJ,8]) tile pair.
+    Returns the 4 accumulation rows (fx, fy, fz, pot), each [TI].
+    The (1, TI) - (TJ, 1) broadcast puts the j-reduction on sublanes and
+    the per-i result on lanes."""
+    dx = x[0:1, :] - ys[:, 0:1]
+    dy = x[1:2, :] - ys[:, 1:2]
+    dz = x[2:3, :] - ys[:, 2:3]
+    dx -= L * jnp.round(dx * (1.0 / L))
+    dy -= L * jnp.round(dy * (1.0 / L))
+    dz -= L * jnp.round(dz * (1.0 / L))
+    r2 = dx * dx + dy * dy + dz * dz
+    valid = (r2 > 0) & (r2 < rcut2) & (ys[:, 3:4] > 0)
+    r = jnp.sqrt(jnp.where(valid, r2, 1.0))
+    inv_r = 1.0 / r
+    expf = jnp.exp(-r * (1.0 / ldeb))
+    ft = jnp.where(valid, (inv_r + 1.0 / ldeb) * expf * inv_r * inv_r, 0.0)
+    up = jnp.where(valid, expf * inv_r, 0.0)
+    return (jnp.sum(dx * ft, axis=0), jnp.sum(dy * ft, axis=0),
+            jnp.sum(dz * ft, axis=0), jnp.sum(up, axis=0))
+
+
 def _yukawa_kernel(xl_ref, ys_ref, f_ref, *, L, ldeb, rcut2):
     """Grid (i_tiles, j_tiles).  xl_ref: [3, TI] i-block (lanes), ys_ref:
     [TJ, 8] j-block (sublanes; cols 0-2 = xyz, col 3 = mask), f_ref: [4, TI]
@@ -123,25 +145,27 @@ def _yukawa_kernel(xl_ref, ys_ref, f_ref, *, L, ldeb, rcut2):
     def _():
         f_ref[...] = jnp.zeros_like(f_ref)
 
-    # (1, TI) - (TJ, 1) -> (TJ, TI): j-reduction over sublanes, i on lanes.
-    dx = xl_ref[0:1, :] - ys_ref[:, 0:1]
-    dy = xl_ref[1:2, :] - ys_ref[:, 1:2]
-    dz = xl_ref[2:3, :] - ys_ref[:, 2:3]
-    dx -= L * jnp.round(dx * (1.0 / L))
-    dy -= L * jnp.round(dy * (1.0 / L))
-    dz -= L * jnp.round(dz * (1.0 / L))
-    r2 = dx * dx + dy * dy + dz * dz
-    valid = (r2 > 0) & (r2 < rcut2) & (ys_ref[:, 3:4] > 0)
-    r = jnp.sqrt(jnp.where(valid, r2, 1.0))
-    inv_r = 1.0 / r
-    expf = jnp.exp(-r * (1.0 / ldeb))
-    ft = jnp.where(valid, (inv_r + 1.0 / ldeb) * expf * inv_r * inv_r, 0.0)
-    up = jnp.where(valid, expf * inv_r, 0.0)
+    fx, fy, fz, up = _pair_tile_rows(xl_ref[...], ys_ref[...], L, ldeb, rcut2)
+    f_ref[0, :] += fx
+    f_ref[1, :] += fy
+    f_ref[2, :] += fz
+    f_ref[3, :] += up
 
-    f_ref[0, :] += jnp.sum(dx * ft, axis=0)
-    f_ref[1, :] += jnp.sum(dy * ft, axis=0)
-    f_ref[2, :] += jnp.sum(dz * ft, axis=0)
-    f_ref[3, :] += jnp.sum(up, axis=0)
+
+def _yukawa_kernel_batched(xl_ref, ys_ref, f_ref, *, L, ldeb, rcut2):
+    """Grid (E, i_tiles, j_tiles); blocks carry a leading singleton
+    ensemble dim."""
+    j = pl.program_id(2)
+
+    @pl.when(j == 0)
+    def _():
+        f_ref[...] = jnp.zeros_like(f_ref)
+
+    fx, fy, fz, up = _pair_tile_rows(xl_ref[0], ys_ref[0], L, ldeb, rcut2)
+    f_ref[0, 0, :] += fx
+    f_ref[0, 1, :] += fy
+    f_ref[0, 2, :] += fz
+    f_ref[0, 3, :] += up
 
 
 @functools.partial(jax.jit, static_argnames=("L", "ldeb", "tile"))
@@ -202,6 +226,46 @@ def yukawa_potential_pallas(R, L, ldeb, mask=None, tile: int = 512):
     _, pot = yukawa_forces_potential_pallas(R, L, ldeb, mask, tile)
     n_eff = jnp.sum(mask) if mask is not None else R.shape[0]
     return 0.5 * jnp.sum(pot) / n_eff
+
+
+@functools.partial(jax.jit, static_argnames=("L", "ldeb", "tile"))
+def _yukawa_pallas_batched(Rl: jax.Array, Rs: jax.Array, *, L: float,
+                           ldeb: float, tile: int) -> jax.Array:
+    """Ensemble-batched kernel: Rl [E,3,Np], Rs [E,Np,8] -> [E,4,Np].
+    The ensemble axis becomes the leading (parallel) grid dimension."""
+    e, _, npad = Rl.shape
+    grid = (e, npad // tile, npad // tile)
+    kern = functools.partial(_yukawa_kernel_batched, L=L, ldeb=ldeb,
+                             rcut2=(L / 2.0) ** 2)
+    return pl.pallas_call(
+        kern,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 3, tile), lambda b, i, j: (b, 0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile, 8), lambda b, i, j: (b, j, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 4, tile), lambda b, i, j: (b, 0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((e, 4, npad), Rl.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary")),
+    )(Rl, Rs)
+
+
+def yukawa_forces_potential_pallas_batched(R: jax.Array, L: float,
+                                           ldeb: float, tile: int = 512):
+    """[E,N,3] ensemble positions -> (F [E,N,3], pot [E,N])."""
+    e, n, _ = R.shape
+    npad = _round_up(max(n, tile), tile)
+    Rl = jnp.zeros((e, 3, npad), R.dtype).at[:, :, :n].set(
+        jnp.swapaxes(R, 1, 2))
+    Rs = jnp.zeros((e, npad, 8), R.dtype).at[:, :n, :3].set(R)
+    Rs = Rs.at[:, :n, 3].set(1.0)
+    out = _yukawa_pallas_batched(Rl, Rs, L=float(L), ldeb=float(ldeb),
+                                 tile=tile)
+    return jnp.swapaxes(out[:, :3, :n], 1, 2), out[:, 3, :n]
 
 
 def best_forces_fn(n: int, L: float, ldeb: float, mask=None,
