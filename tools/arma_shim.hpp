@@ -107,6 +107,10 @@ class cx_mat {
   }
 };
 
+inline cx_mat &operator+=(cx_mat &a, const cx_mat &b) {
+  for (size_t k = 0; k < a.d.size(); k++) a.d[k] += b.d[k];
+  return a;
+}
 inline cx_mat operator+(const cx_mat &a, const cx_mat &b) {
   cx_mat o(a.nr, a.nc);
   for (size_t k = 0; k < a.d.size(); k++) o.d[k] = a.d[k] + b.d[k];
