@@ -1,0 +1,299 @@
+"""Fused Pallas TPU kernel: one full multirate MD step per kernel launch.
+
+The SpeedUp scheme runs ``ratio`` quantum ticks (leapfrog substep + RK4
+non-Hermitian QT update + jump sampling) between force refreshes.  The
+XLA path executes each tick as ~40 fused kernels with HBM round trips
+between them; this kernel keeps the whole block — positions, velocities,
+wavefunctions, per-ion clocks, and all RK stages — resident in VMEM for
+all ``ratio`` ticks, with complex arithmetic unrolled into real/imag f32
+planes.
+
+Layout per ion tile (T lanes): R/V/F as [3,T] rows, psi as [SP,T] re/im
+planes (S padded to a sublane multiple; pad rows are zero and stay zero),
+batched uniforms as [ratio*5, T].  The level-scheme tables (coupling
+matrix, decay weights, jump tables, force terms) are baked in as
+compile-time constants.
+
+Semantics are identical to QTEngine.step_sm + leapfrog_substep given the
+same rolls (verified by tests/test_fused.py to f32 tolerance).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..levels import LevelScheme
+
+try:
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+    _HAS_PALLAS = True
+except Exception:  # pragma: no cover
+    _HAS_PALLAS = False
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+@dataclasses.dataclass(frozen=True)
+class FusedTickSpec:
+    """Static constants baked into the fused kernel."""
+
+    scheme: LevelScheme
+    h: float                 # quantum tick in gamma time
+    qdt: float               # quantum tick in plasma time
+    plas_to_quant_vel: float
+    gamma_to_einstein: float
+    ratio: int
+    L: float
+    apply_force: bool
+
+    @property
+    def S(self) -> int:
+        return self.scheme.n_states
+
+    @property
+    def SP(self) -> int:      # padded state count (f32 sublane multiple)
+        return _round_up(self.S, 8)
+
+
+def _make_kernel(spec: FusedTickSpec):
+    sch = spec.scheme
+    S, SP = spec.S, spec.SP
+    h = spec.h
+    qdt = spec.qdt
+    p2q = spec.plas_to_quant_vel
+    g2e = spec.gamma_to_einstein
+    L = spec.L
+    ratio = spec.ratio
+
+    def kernel(first_ref, vecs_ref, mats_ref, R_ref, V_ref, F_ref, tp_ref,
+               pre_ref, pim_ref, rolls_ref,
+               Ro_ref, Vo_ref, tpo_ref, preo_ref, pimo_ref):
+        T = R_ref.shape[1]
+        # scheme tables ride as inputs (pallas kernels cannot capture
+        # non-scalar constants): vecs [SP,8] cols = w,e0,e1,src_mask;
+        # mats [3*SP,SP] = C | cumS^T | cumD^T
+        w_c = vecs_ref[:, 0:1]
+        e0_c = vecs_ref[:, 1:2]
+        e1_c = vecs_ref[:, 2:3]
+        mask_c = vecs_ref[:, 3:4]
+        C_c = mats_ref[0:SP, :]
+        cumS_cT = mats_ref[SP:2 * SP, :]       # [dest, src] for dot
+        cumD_cT = mats_ref[2 * SP:3 * SP, :]
+        LT_c = mats_ref[3 * SP:4 * SP, :]      # lower-triangular ones
+        rows = jax.lax.broadcasted_iota(jnp.int32, (SP, T), 0)
+        first = first_ref[0, 0]
+
+        def hpsi(a, b, u, cphi, sphi):
+            """(Hr + iHi)(a + ib) -> (re, im).  u: [1,T] row."""
+            diag_r = e0_c + e1_c * u
+            hr_a = jnp.dot(C_c, a, preferred_element_type=jnp.float32) \
+                + diag_r * a
+            hr_b = jnp.dot(C_c, b, preferred_element_type=jnp.float32) \
+                + diag_r * b
+            hi_a = -0.5 * w_c * a
+            hi_b = -0.5 * w_c * b
+            re = hr_a - hi_b
+            im = hr_b + hi_a
+            if sch.tdep_rows:
+                for r, cl, m in zip(sch.tdep_rows, sch.tdep_cols,
+                                    sch.tdep_coefs):
+                    mr = jnp.float32(m.real)
+                    # H[r,cl] = m e^{i phi}; H[cl,r] = m e^{-i phi}
+                    re = re + jnp.where(
+                        rows == r, mr * (cphi * a[cl:cl + 1, :]
+                                         - sphi * b[cl:cl + 1, :]), 0.0)
+                    im = im + jnp.where(
+                        rows == r, mr * (cphi * b[cl:cl + 1, :]
+                                         + sphi * a[cl:cl + 1, :]), 0.0)
+                    re = re + jnp.where(
+                        rows == cl, mr * (cphi * a[r:r + 1, :]
+                                          + sphi * b[r:r + 1, :]), 0.0)
+                    im = im + jnp.where(
+                        rows == cl, mr * (cphi * b[r:r + 1, :]
+                                          - sphi * a[r:r + 1, :]), 0.0)
+            return re, im
+
+        def dp_of(a, b):
+            return h * jnp.sum(w_c * (a * a + b * b), axis=0,
+                               keepdims=True)        # [1,T]
+
+        def g_slope(a, b, u, cphi, sphi):
+            dphi = jnp.clip(dp_of(a, b), 0.0, 0.9)
+            pref = jax.lax.rsqrt(1.0 - dphi)
+            hre, him = hpsi(a, b, u, cphi, sphi)
+            # G = pref*(phi - i h Hphi):  re = pref*(a + h*him), im = pref*(b - h*hre)
+            ka = (pref * (a + h * him) - a) / h
+            kb = (pref * (b - h * hre) - b) / h
+            return ka, kb
+
+        def tick(i, carry):
+            R, V, tp, a, b = carry
+            tick_f = i.astype(jnp.float32)
+
+            # ---- leapfrog substep (forces fixed) ----
+            fs = jnp.where(jnp.logical_and(first > 0, i == 0), 1.0, 0.0)
+            half = jnp.float32(0.5 * qdt)
+            R = R + half * V + fs * half * half * F_ref[...]
+            R = jnp.where(R < 0, R + L, R)
+            R = jnp.where(R > L, R - L, R)
+            V = V + jnp.float32(qdt) * F_ref[...]
+            R = R + half * V + fs * half * half * F_ref[...]
+            R = jnp.where(R < 0, R + L, R)
+            R = jnp.where(R > L, R - L, R)
+
+            # ---- quantum tick ----
+            tp = tp + jnp.float32(qdt)
+            u = V[0:1, :] * jnp.float32(p2q)          # [1,T]
+            if sch.tdep_rows:
+                phi_ang = (jnp.float32(sch.tdep_freq) * u
+                           * (tp * jnp.float32(g2e)))
+                cphi = jnp.cos(phi_ang)
+                sphi = jnp.sin(phi_ang)
+            else:
+                cphi = sphi = jnp.zeros((1, T), jnp.float32)
+
+            r0 = rolls_ref[pl.ds(i * 5, 1), :]
+            r1 = rolls_ref[pl.ds(i * 5 + 1, 1), :]
+            r2 = rolls_ref[pl.ds(i * 5 + 2, 1), :]
+            r3 = rolls_ref[pl.ds(i * 5 + 3, 1), :]
+            r4 = rolls_ref[pl.ds(i * 5 + 4, 1), :]
+
+            dp0 = dp_of(a, b)
+            jumped = r0 < dp0                          # [1,T]
+
+            k1a, k1b = g_slope(a, b, u, cphi, sphi)
+            k2a, k2b = g_slope(a + 0.5 * h * k1a, b + 0.5 * h * k1b,
+                               u, cphi, sphi)
+            k3a, k3b = g_slope(a + 0.5 * h * k2a, b + 0.5 * h * k2b,
+                               u, cphi, sphi)
+            k4a, k4b = g_slope(a + h * k3a, b + h * k3b, u, cphi, sphi)
+            ae = a + (k1a + 3 * k2a + 3 * k3a + k4a) * jnp.float32(h / 8)
+            be = b + (k1b + 3 * k2b + 3 * k3b + k4b) * jnp.float32(h / 8)
+
+            # Ehrenfest kick from the initial wavefunction
+            kick_nj = jnp.zeros((1, T), jnp.float32)
+            for fa, fb, fw in zip(sch.force_a, sch.force_b, sch.force_w):
+                # Im(psi_a conj(psi_b)) = b_a a_b - a_a b_b
+                kick_nj = kick_nj + jnp.float32(fw) * (
+                    b[fa:fa + 1, :] * a[fb:fb + 1, :]
+                    - a[fa:fa + 1, :] * b[fb:fb + 1, :])
+            kick_nj = kick_nj * jnp.float32(h)
+
+            # ---- jump collapse ----
+            pop = a * a + b * b
+            src_w = pop * mask_c
+            # cumsum over states as a lower-triangular matmul (Mosaic has
+            # no cumsum primitive)
+            src_cum = jnp.dot(LT_c, src_w,
+                              preferred_element_type=jnp.float32)
+            tot = jnp.maximum(src_cum[SP - 1:SP, :], 1e-30)
+            src = jnp.minimum(
+                jnp.sum((r1 * tot >= src_cum).astype(jnp.int32), axis=0,
+                        keepdims=True), S - 1)        # [1,T]
+            src_oh = (rows == src).astype(jnp.float32)
+            cs_ = jnp.dot(cumS_cT, src_oh, preferred_element_type=jnp.float32)
+            cd_ = jnp.dot(cumD_cT, src_oh, preferred_element_type=jnp.float32)
+            d_branch = r2 < jnp.float32(sch.branch_d_prob)
+            dest_cum = jnp.where(d_branch, cd_, cs_)
+            dest = jnp.minimum(
+                jnp.sum((r4 >= dest_cum).astype(jnp.int32), axis=0,
+                        keepdims=True), S - 1)
+            a_j = (rows == dest).astype(jnp.float32)
+
+            sign = jnp.where(r3 < 0.5, 1.0, -1.0)
+            kick_j = sign * jnp.where(d_branch, jnp.float32(sch.kick_d),
+                                      jnp.float32(sch.kick_s))
+            if not sch.apply_recoil:
+                kick_j = jnp.zeros_like(kick_j)
+
+            a = jnp.where(jumped, a_j, ae)
+            b = jnp.where(jumped, jnp.zeros_like(be), be)
+            tp = jnp.where(jumped, jnp.zeros_like(tp), tp)
+            if spec.apply_force and sch.has_force:
+                kick = jnp.where(jumped, kick_j, kick_nj)
+                rows3 = jax.lax.broadcasted_iota(jnp.int32, V.shape, 0)
+                V = V + jnp.where(rows3 == 0, kick, 0.0)
+
+            return R, V, tp, a, b
+
+        R, V, tp, a, b = jax.lax.fori_loop(
+            0, ratio, tick,
+            (R_ref[...], V_ref[...], tp_ref[...], pre_ref[...], pim_ref[...]))
+        Ro_ref[...] = R
+        Vo_ref[...] = V
+        tpo_ref[...] = tp
+        preo_ref[...] = a
+        pimo_ref[...] = b
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("spec", "tile", "interpret"))
+def fused_md_substeps(spec: FusedTickSpec, first, R, V, F, tp, psi_re,
+                      psi_im, rolls, tile: int = 512,
+                      interpret: bool = False):
+    """One MD step's worth of quantum-substepped ticks as one kernel.
+
+    Shapes: R/V/F [3, Np], tp [1, Np], psi planes [SP, Np], rolls
+    [ratio*5, Np]; Np must be a multiple of ``tile``; ``first`` is a (1,1)
+    f32 flag selecting the reference's 2nd-order first drift.
+    """
+    npad = R.shape[1]
+    grid = (npad // tile,)
+    kern = _make_kernel(spec)
+    S, SP = spec.S, spec.SP
+
+    vecs = np.zeros((SP, 8), np.float32)
+    vecs[:S, 0] = spec.scheme.decay_w
+    vecs[:S, 1] = spec.scheme.e0
+    vecs[:S, 2] = spec.scheme.e1
+    for s in spec.scheme.jump_src:
+        vecs[s, 3] = 1.0
+    mats = np.zeros((4 * SP, SP), np.float32)
+    mats[:S, :S] = spec.scheme.coupling.real
+    # destination-cumulative tables, padded DEST rows saturated to 1 so a
+    # uniform roll (< 1) never counts them in the categorical comparison
+    mats[SP:2 * SP, :] = 1.0
+    mats[2 * SP:3 * SP, :] = 1.0
+    mats[SP:SP + S, :S] = np.cumsum(spec.scheme.jump_dest[:, 0, :], -1).T
+    mats[2 * SP:2 * SP + S, :S] = np.cumsum(spec.scheme.jump_dest[:, 1, :],
+                                            -1).T
+    mats[3 * SP:4 * SP, :] = np.tril(np.ones((SP, SP), np.float32))
+
+    row_spec = lambda rows: pl.BlockSpec((rows, tile), lambda i: (0, i),
+                                         memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        kern,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 1), lambda i: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((SP, 8), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((4 * SP, SP), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            row_spec(3), row_spec(3), row_spec(3), row_spec(1),
+            row_spec(SP), row_spec(SP), row_spec(spec.ratio * 5),
+        ],
+        out_specs=(row_spec(3), row_spec(3), row_spec(1), row_spec(SP),
+                   row_spec(SP)),
+        out_shape=(
+            jax.ShapeDtypeStruct((3, npad), jnp.float32),
+            jax.ShapeDtypeStruct((3, npad), jnp.float32),
+            jax.ShapeDtypeStruct((1, npad), jnp.float32),
+            jax.ShapeDtypeStruct((SP, npad), jnp.float32),
+            jax.ShapeDtypeStruct((SP, npad), jnp.float32),
+        ),
+        interpret=interpret,
+    )(first, jnp.asarray(vecs), jnp.asarray(mats), R, V, F, tp, psi_re,
+      psi_im, rolls)
+    return out

@@ -43,10 +43,43 @@ class CoolingScheduler:
     qdt: float           # quantum timestep, plasma units
     ratio: int           # quantum substeps per MD step
     exp_det_fn: Optional[Callable] = None   # t -> expansion detuning (gamma units)
+    fused_spec: object = None    # FusedTickSpec -> one-kernel MD step (TPU)
+    tile: int = 512
 
     def md_step(self, state: SimState) -> SimState:
         F, _ = self.forces_fn(state.R)
+        if self.fused_spec is not None:
+            return self._fused_substeps(state, F)
         return self.substeps(state, F)
+
+    def _fused_substeps(self, state: SimState, F) -> SimState:
+        """Whole ratio-tick block as one Pallas kernel (core/qt_fused.py)."""
+        from .qt_fused import fused_md_substeps
+        n = state.R.shape[0]
+        npad = -(-max(n, self.tile) // self.tile) * self.tile
+        key, sub = jax.random.split(state.key)
+        rolls = jax.random.uniform(sub, (self.ratio * 5, npad), jnp.float32)
+        SP = self.fused_spec.SP
+
+        def pad_rows(x, rows):
+            out = jnp.zeros((rows, npad), jnp.float32)
+            return out.at[:x.shape[0], :n].set(x)
+
+        psi_sm = state.psi.T
+        first = (state.tick == 0).astype(jnp.float32).reshape(1, 1)
+        Ro, Vo, tpo, preo, pimo = fused_md_substeps(
+            self.fused_spec, first, pad_rows(state.R.T, 3),
+            pad_rows(state.V.T, 3), pad_rows(F.T, 3),
+            pad_rows(state.t_part[None, :], 1),
+            pad_rows(psi_sm.real, SP), pad_rows(psi_sm.imag, SP),
+            rolls, tile=self.tile)
+        S = state.psi.shape[1]
+        psi = (preo[:S, :n] + 1j * pimo[:S, :n]).T.astype(state.psi.dtype)
+        tick_i = state.tick + self.ratio
+        return state._replace(
+            R=Ro[:, :n].T, V=Vo[:, :n].T, F=F, psi=psi,
+            t_part=tpo[0, :n], key=key, tick=tick_i,
+            t=tick_i.astype(state.t.dtype) * self.qdt)
 
     def substeps(self, state: SimState, F: jax.Array) -> SimState:
         """The ratio quantum-substepped ticks with the given (fresh) forces

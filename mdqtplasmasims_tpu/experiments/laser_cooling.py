@@ -73,6 +73,7 @@ class CoolingConfig:
     exact_n: bool = True          # pin N = n0 (False: Poissonian as reference)
     dtype: str = "float32"
     use_pallas: Optional[bool] = None
+    fused: bool = True            # one-kernel Pallas MD step on TPU
     save_directory: Optional[str] = None   # base dir; None = no file output
     # interval diagnostics of the pre-SpeedUp code (active in
     # LaserCoolingPlusExpansionMDQT.cpp:1252-1362; commented out of the
@@ -132,12 +133,27 @@ def expansion_detuning_fn(cfg: CoolingConfig):
 def build_scheduler(cfg: CoolingConfig, mask=None) -> CoolingScheduler:
     pu = PlasmaUnits(cfg.density, cfg.ge)
     L = PlasmaUnits.box_length(cfg.n0)
+    use_pallas = cfg.use_pallas
+    if use_pallas is None:
+        use_pallas = jax.default_backend() not in ("cpu",)
     forces_fn = best_forces_fn(cfg.n0, L, pu.debye_length, mask=mask,
-                               use_pallas=cfg.use_pallas)
+                               use_pallas=use_pallas)
+    engine = build_engine(cfg)
+    fused_spec = None
+    if (cfg.fused and use_pallas and cfg.dtype == "float32"
+            and not cfg.frac_of_sig and not cfg.renormalize
+            and mask is None):
+        from ..core.qt_fused import FusedTickSpec
+        fused_spec = FusedTickSpec(
+            scheme=engine.scheme, h=engine.h, qdt=cfg.qdt,
+            plas_to_quant_vel=engine.plas_to_quant_vel,
+            gamma_to_einstein=engine.gamma_to_einstein, ratio=cfg.ratio,
+            L=L, apply_force=True)
     return CoolingScheduler(
-        engine=build_engine(cfg), forces_fn=forces_fn, L=L, qdt=cfg.qdt,
+        engine=engine, forces_fn=forces_fn, L=L, qdt=cfg.qdt,
         ratio=cfg.ratio,
-        exp_det_fn=expansion_detuning_fn(cfg) if cfg.frac_of_sig else None)
+        exp_det_fn=expansion_detuning_fn(cfg) if cfg.frac_of_sig else None,
+        fused_spec=fused_spec)
 
 
 def initial_state(cfg: CoolingConfig, seed: Optional[int] = None) -> SimState:

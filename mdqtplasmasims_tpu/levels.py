@@ -63,8 +63,10 @@ DECAY_RATIO_422 = 0.0754       # randomFrozenStartTag422Linear.cpp:116
 DECAY_RATIO_422_MC = 0.0753    # MonteCarloFollowedByQTTagging422Linear.cpp
 
 
-@dataclasses.dataclass(frozen=True)
+@dataclasses.dataclass(frozen=True, eq=False)
 class LevelScheme:
+    # eq=False: identity-based hash so schemes can ride in jit-static
+    # configs (the table arrays are not hashable)
     """Static data defining one atom-light system for the QT engine."""
 
     name: str

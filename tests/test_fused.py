@@ -1,0 +1,101 @@
+"""Fused Pallas MD-step kernel vs the XLA path (interpret mode on CPU)."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mdqtplasmasims_tpu.core.qt import QTEngine
+from mdqtplasmasims_tpu.core.md import leapfrog_substep
+from mdqtplasmasims_tpu.core.qt_fused import FusedTickSpec, fused_md_substeps
+from mdqtplasmasims_tpu.core.qt import random_s_superposition
+from mdqtplasmasims_tpu.levels import sr12_cooling, tag422, with_recoil
+from mdqtplasmasims_tpu.units import PlasmaUnits
+
+
+def xla_reference(engine, R, V, F, tp, psi, rolls, qdt, L, ratio, first):
+    """The existing per-tick path with supplied rolls (f32)."""
+    R, V, psi_sm = R.T, V.T, psi.T
+    F_sm = F.T
+    for i in range(ratio):
+        fs = first and i == 0
+        R, V = leapfrog_substep(R, V, F_sm, qdt, L, fs)
+        psi_sm, vx, tp = engine.step_sm(psi_sm, V[0, :], tp, rolls=rolls[i])
+        V = V.at[0, :].set(vx)
+    return R, V, tp, psi_sm
+
+
+@pytest.mark.parametrize("scheme_name", ["sr12", "tag422"])
+@pytest.mark.parametrize("excited_start", [False, True])
+def test_fused_matches_xla(scheme_name, excited_start):
+    n = 96
+    tile = 128
+    npad = 128
+    ratio = 20 if excited_start else 5
+    L = PlasmaUnits.box_length(n)
+    if scheme_name == "sr12":
+        scheme = with_recoil(sr12_cooling(), 9.1e-4, 3.6e-4)
+        apply_force = True
+    else:
+        scheme = tag422()
+        apply_force = False
+    S = scheme.n_states
+    h, qdt, p2q, g2e = 0.00985, 8e-5, 1.327, 123.1
+    engine = QTEngine(scheme, h=h, dt_plasma=qdt, plas_to_quant_vel=p2q,
+                      gamma_to_einstein=g2e, apply_force=apply_force)
+    spec = FusedTickSpec(scheme=scheme, h=h, qdt=qdt, plas_to_quant_vel=p2q,
+                         gamma_to_einstein=g2e, ratio=ratio, L=L,
+                         apply_force=apply_force)
+
+    key = jax.random.PRNGKey(0)
+    kr, kv, kp, kf, kq = jax.random.split(key, 5)
+    R = jax.random.uniform(kr, (n, 3), jnp.float32, 0, L)
+    V = jax.random.normal(kv, (n, 3), jnp.float32) * 0.3
+    F = jax.random.normal(kf, (n, 3), jnp.float32) * 0.5
+    psi = random_s_superposition(kp, n, S, jnp.complex64)
+    if excited_start:
+        # populate the P manifold so jumps fire on most ticks, exercising
+        # the collapse tables (a ground-state start has dp ~ 0)
+        psi = jnp.zeros((n, S), jnp.complex64)
+        psi = psi.at[:, 2].set(0.7).at[:, 4].set(0.5j).at[:, 0].set(0.51)
+    tp = jnp.abs(jax.random.normal(kq, (n,), jnp.float32))
+    rolls = jax.random.uniform(jax.random.PRNGKey(7), (ratio, 5, n),
+                               jnp.float32)
+
+    R_x, V_x, tp_x, psi_x = xla_reference(engine, R, V, F, tp, psi, rolls,
+                                          qdt, L, ratio, first=False)
+
+    # pack padded fused inputs
+    SP = spec.SP
+    def pad_rows(x, rows):
+        out = jnp.zeros((rows, npad), jnp.float32)
+        return out.at[:x.shape[0], :n].set(x)
+    Rp = pad_rows(R.T, 3)
+    Vp = pad_rows(V.T, 3)
+    Fp = pad_rows(F.T, 3)
+    tpp = pad_rows(tp[None, :], 1)
+    prep = pad_rows(psi.T.real, SP)
+    pimp = pad_rows(psi.T.imag, SP)
+    rollsp = pad_rows(rolls.reshape(ratio * 5, n), ratio * 5)
+    first = jnp.zeros((1, 1), jnp.float32)
+
+    Ro, Vo, tpo, preo, pimo = fused_md_substeps(
+        spec, first, Rp, Vp, Fp, tpp, prep, pimp, rollsp, tile=tile,
+        interpret=True)
+
+    atol = 2e-5
+    np.testing.assert_allclose(np.asarray(Ro[:, :n]), np.asarray(R_x),
+                               atol=atol, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(Vo[:, :n]), np.asarray(V_x),
+                               atol=atol, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(tpo[0, :n]), np.asarray(tp_x),
+                               atol=atol)
+    np.testing.assert_allclose(np.asarray(preo[:S, :n]),
+                               np.asarray(psi_x.real), atol=5e-5)
+    np.testing.assert_allclose(np.asarray(pimo[:S, :n]),
+                               np.asarray(psi_x.imag), atol=5e-5)
+    # pad rows/cols stay zero
+    assert float(jnp.abs(preo[S:, :]).max()) == 0.0
+    assert float(jnp.abs(preo[:, n:]).max()) == 0.0
