@@ -13,9 +13,7 @@ plus unseeded ``std::random_device`` (SURVEY.md L4).
 
 from __future__ import annotations
 
-import dataclasses
-from functools import partial
-from typing import Callable, Optional
+from typing import Callable
 
 import jax
 import jax.numpy as jnp
@@ -24,9 +22,8 @@ from jax import shard_map
 
 from ..state import SimState
 from ..core.scheduler import CoolingScheduler
-from ..core.qt import QTEngine
 from ..ops.yukawa import yukawa_forces_potential
-from .mesh import ENS_AXIS, ION_AXIS, state_pspec
+from .mesh import ION_AXIS, state_pspec
 
 
 def batched_initial_states(init_one: Callable[[jax.Array], SimState],
