@@ -215,7 +215,10 @@ def run_compiled_ensemble(cfg: CoolingConfig, states: SimState,
     sched = build_scheduler(cfg)
     bins = folded_bins(cfg.np_dtype)
 
-    if cfg.use_pallas is False:
+    use_pallas = cfg.use_pallas
+    if use_pallas is None:
+        use_pallas = jax.default_backend() not in ("cpu",)
+    if not use_pallas:
         def batched_forces(R):
             return jax.vmap(lambda r: sched.forces_fn(r)[0])(R)
     else:
@@ -234,7 +237,10 @@ def run_compiled_ensemble(cfg: CoolingConfig, states: SimState,
             lambda s: _sample_outputs(s, cfg, L, pu.debye_length, bins))(states)
         return states, outs
 
-    return jax.lax.scan(segment, states, None, length=n_segments)
+    states, outs = jax.lax.scan(segment, states, None, length=n_segments)
+    # [n_segments, E, ...] -> [E, n_segments, ...] (per-job layout)
+    outs = jax.tree.map(lambda a: jnp.swapaxes(a, 0, 1), outs)
+    return states, outs
 
 
 def _save_dir(cfg: CoolingConfig) -> str:

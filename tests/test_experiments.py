@@ -130,3 +130,21 @@ class TestThreeState:
         res = run_three(cfg)
         # without kicks the velocity distribution is untouched
         assert abs(res["ekin_x"][-1] - res["ekin_x"][0]) < 1e-9
+
+
+class TestEnsembleCompiled:
+    def test_batched_ensemble_matches_physics(self):
+        from mdqtplasmasims_tpu.experiments.laser_cooling import (
+            run_compiled_ensemble, _initial_state_from_key, canonical_run_cfg)
+        import dataclasses
+        cfg = dataclasses.replace(
+            canonical_run_cfg(CoolingConfig(n0=48, sample_freq=5)),
+            use_pallas=False)
+        keys = jax.random.split(jax.random.PRNGKey(0), 3)
+        states = jax.vmap(lambda k: _initial_state_from_key(cfg, k))(keys)
+        final, outs = run_compiled_ensemble(cfg, states, 4)
+        assert outs["ekin"].shape == (3, 4, 3)
+        # jobs are independent trajectories
+        assert not np.allclose(outs["ekin"][0], outs["ekin"][1])
+        # all heat (DIH) from the frozen start
+        assert np.all(outs["ekin"][:, -1].sum(-1) > outs["ekin"][:, 0].sum(-1))
