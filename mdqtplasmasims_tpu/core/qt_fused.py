@@ -54,6 +54,7 @@ class FusedTickSpec:
     ratio: int
     L: float
     apply_force: bool
+    internal_rng: bool = False   # draw uniforms in-kernel (pltpu PRNG)
 
     @property
     def S(self) -> int:
@@ -74,9 +75,15 @@ def _make_kernel(spec: FusedTickSpec):
     L = spec.L
     ratio = spec.ratio
 
-    def kernel(first_ref, vecs_ref, mats_ref, R_ref, V_ref, F_ref, tp_ref,
-               pre_ref, pim_ref, rolls_ref,
-               Ro_ref, Vo_ref, tpo_ref, preo_ref, pimo_ref):
+    def kernel(first_ref, seed_ref, vecs_ref, mats_ref, R_ref, V_ref,
+               F_ref, tp_ref, pre_ref, pim_ref, *rest):
+        if spec.internal_rng:
+            (Ro_ref, Vo_ref, tpo_ref, preo_ref, pimo_ref) = rest
+            rolls_ref = None
+            # one independent hardware-PRNG stream per (md step, ion tile)
+            pltpu.prng_seed(seed_ref[0, 0] + pl.program_id(0))
+        else:
+            (rolls_ref, Ro_ref, Vo_ref, tpo_ref, preo_ref, pimo_ref) = rest
         T = R_ref.shape[1]
         # scheme tables ride as inputs (pallas kernels cannot capture
         # non-scalar constants): vecs [SP,8] cols = w,e0,e1,src_mask;
@@ -161,11 +168,22 @@ def _make_kernel(spec: FusedTickSpec):
             else:
                 cphi = sphi = jnp.zeros((1, T), jnp.float32)
 
-            r0 = rolls_ref[pl.ds(i * 5, 1), :]
-            r1 = rolls_ref[pl.ds(i * 5 + 1, 1), :]
-            r2 = rolls_ref[pl.ds(i * 5 + 2, 1), :]
-            r3 = rolls_ref[pl.ds(i * 5 + 3, 1), :]
-            r4 = rolls_ref[pl.ds(i * 5 + 4, 1), :]
+            if spec.internal_rng:
+                # prng_random_bits returns signed int32: bitcast before the
+                # shift or the arithmetic shift smears the sign bit
+                bits = pltpu.bitcast(pltpu.prng_random_bits((5, T)),
+                                     jnp.uint32)
+                # uint32->f32 casts are unsupported in Mosaic: go through
+                # int32 after the shift (top bit already cleared)
+                b24 = pltpu.bitcast(bits >> jnp.uint32(8), jnp.int32)
+                u5 = b24.astype(jnp.float32) * jnp.float32(2 ** -24)
+                r0, r1, r2, r3, r4 = (u5[k:k + 1, :] for k in range(5))
+            else:
+                r0 = rolls_ref[pl.ds(i * 5, 1), :]
+                r1 = rolls_ref[pl.ds(i * 5 + 1, 1), :]
+                r2 = rolls_ref[pl.ds(i * 5 + 2, 1), :]
+                r3 = rolls_ref[pl.ds(i * 5 + 3, 1), :]
+                r4 = rolls_ref[pl.ds(i * 5 + 4, 1), :]
 
             dp0 = dp_of(a, b)
             jumped = r0 < dp0                          # [1,T]
@@ -239,7 +257,7 @@ def _make_kernel(spec: FusedTickSpec):
 
 @functools.partial(jax.jit, static_argnames=("spec", "tile", "interpret"))
 def fused_md_substeps(spec: FusedTickSpec, first, R, V, F, tp, psi_re,
-                      psi_im, rolls, tile: int = 512,
+                      psi_im, rolls=None, seed=None, tile: int = 512,
                       interpret: bool = False):
     """One MD step's worth of quantum-substepped ticks as one kernel.
 
@@ -271,19 +289,23 @@ def fused_md_substeps(spec: FusedTickSpec, first, R, V, F, tp, psi_re,
 
     row_spec = lambda rows: pl.BlockSpec((rows, tile), lambda i: (0, i),
                                          memory_space=pltpu.VMEM)
+    smem11 = pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM)
+    in_specs = [
+        smem11, smem11,
+        pl.BlockSpec((SP, 8), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((4 * SP, SP), lambda i: (0, 0),
+                     memory_space=pltpu.VMEM),
+        row_spec(3), row_spec(3), row_spec(3), row_spec(1),
+        row_spec(SP), row_spec(SP),
+    ]
+    if not spec.internal_rng:
+        in_specs.append(row_spec(spec.ratio * 5))
+    if seed is None:
+        seed = jnp.zeros((1, 1), jnp.int32)
     out = pl.pallas_call(
         kern,
         grid=grid,
-        in_specs=[
-            pl.BlockSpec((1, 1), lambda i: (0, 0),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec((SP, 8), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((4 * SP, SP), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-            row_spec(3), row_spec(3), row_spec(3), row_spec(1),
-            row_spec(SP), row_spec(SP), row_spec(spec.ratio * 5),
-        ],
+        in_specs=in_specs,
         out_specs=(row_spec(3), row_spec(3), row_spec(1), row_spec(SP),
                    row_spec(SP)),
         out_shape=(
@@ -294,6 +316,7 @@ def fused_md_substeps(spec: FusedTickSpec, first, R, V, F, tp, psi_re,
             jax.ShapeDtypeStruct((SP, npad), jnp.float32),
         ),
         interpret=interpret,
-    )(first, jnp.asarray(vecs), jnp.asarray(mats), R, V, F, tp, psi_re,
-      psi_im, rolls)
+    )(*((first, seed, jnp.asarray(vecs), jnp.asarray(mats), R, V, F, tp,
+         psi_re, psi_im)
+        + (() if spec.internal_rng else (rolls,))))
     return out

@@ -58,7 +58,13 @@ class CoolingScheduler:
         n = state.R.shape[0]
         npad = -(-max(n, self.tile) // self.tile) * self.tile
         key, sub = jax.random.split(state.key)
-        rolls = jax.random.uniform(sub, (self.ratio * 5, npad), jnp.float32)
+        if self.fused_spec.internal_rng:
+            rolls = None
+            seed = jax.random.randint(sub, (1, 1), 0, 2 ** 31 - 1, jnp.int32)
+        else:
+            rolls = jax.random.uniform(sub, (self.ratio * 5, npad),
+                                       jnp.float32)
+            seed = None
         SP = self.fused_spec.SP
 
         def pad_rows(x, rows):
@@ -72,7 +78,7 @@ class CoolingScheduler:
             pad_rows(state.V.T, 3), pad_rows(F.T, 3),
             pad_rows(state.t_part[None, :], 1),
             pad_rows(psi_sm.real, SP), pad_rows(psi_sm.imag, SP),
-            rolls, tile=self.tile)
+            rolls=rolls, seed=seed, tile=self.tile)
         S = state.psi.shape[1]
         psi = (preo[:S, :n] + 1j * pimo[:S, :n]).T.astype(state.psi.dtype)
         tick_i = state.tick + self.ratio

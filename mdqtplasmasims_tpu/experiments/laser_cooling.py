@@ -148,7 +148,7 @@ def build_scheduler(cfg: CoolingConfig, mask=None) -> CoolingScheduler:
             scheme=engine.scheme, h=engine.h, qdt=cfg.qdt,
             plas_to_quant_vel=engine.plas_to_quant_vel,
             gamma_to_einstein=engine.gamma_to_einstein, ratio=cfg.ratio,
-            L=L, apply_force=True)
+            L=L, apply_force=True, internal_rng=True)
     return CoolingScheduler(
         engine=engine, forces_fn=forces_fn, L=L, qdt=cfg.qdt,
         ratio=cfg.ratio,

@@ -268,11 +268,21 @@ def yukawa_forces_potential_pallas_batched(R: jax.Array, L: float,
     return jnp.swapaxes(out[:, :3, :n], 1, 2), out[:, 3, :n]
 
 
+def auto_tile(n: int) -> int:
+    """Interaction-tile size: 512 is the VMEM sweet spot — the (TJ, TI)
+    pair temporaries are ~8 x tile^2 x 4 B, so 512 uses ~8 MB of the 16 MB
+    VMEM while 1024 would overflow it."""
+    return 512
+
+
 def best_forces_fn(n: int, L: float, ldeb: float, mask=None,
-                   use_pallas: Optional[bool] = None, tile: int = 512):
+                   use_pallas: Optional[bool] = None,
+                   tile: Optional[int] = None):
     """Return a ``R -> (F, pot_per_ion)`` callable for the current backend."""
     if use_pallas is None:
         use_pallas = _HAS_PALLAS and jax.default_backend() not in ("cpu",)
+    if tile is None:
+        tile = auto_tile(n)
     if use_pallas:
         return lambda R: yukawa_forces_potential_pallas(R, L, ldeb, mask, tile)
     return lambda R: yukawa_forces_potential(R, L, ldeb, mask)
