@@ -75,6 +75,10 @@ def main(argv=None) -> int:
     for name, (cls, _) in families.items():
         p = sub.add_parser(name)
         _add_dataclass_args(p, cls)
+        if name == "cooling":
+            p.add_argument("--resume", action="store_true",
+                           help="continue from the newest native checkpoint "
+                                "(the reference's newRun=0 walltime chaining)")
     pe = sub.add_parser("cooling-ensemble")
     _add_dataclass_args(pe, laser_cooling.CoolingConfig)
     pe.add_argument("--jobs", type=int, default=8)
@@ -91,7 +95,10 @@ def main(argv=None) -> int:
     else:
         cls, runner = families[ns.cmd]
         cfg = _build_cfg(cls, ns)
-        runner(cfg)
+        if getattr(ns, "resume", False):
+            runner(cfg, resume=True)
+        else:
+            runner(cfg)
         print(f"[{ns.cmd}] done in {time.perf_counter() - t0:.1f}s"
               + (f" -> {cfg.save_directory}" if cfg.save_directory else ""))
     return 0

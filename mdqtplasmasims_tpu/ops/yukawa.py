@@ -113,11 +113,11 @@ def yukawa_potential(R, L, ldeb, mask=None, chunk: int = 512) -> jax.Array:
 # Pallas TPU kernel
 # ----------------------------------------------------------------------
 
-def _pair_tile_rows(x, ys, L, ldeb, rcut2):
+def _pair_tile_rows(x, ys, L, ldeb, rcut2, with_pot=True):
     """Pair math for one (i-block [3,TI], j-block [TJ,8]) tile pair.
-    Returns the 4 accumulation rows (fx, fy, fz, pot), each [TI].
+    Returns the accumulation rows (fx, fy, fz[, pot]), each [TI].
     The (1, TI) - (TJ, 1) broadcast puts the j-reduction on sublanes and
-    the per-i result on lanes."""
+    the per-i result on lanes.  rsqrt-based: no sqrt or division."""
     dx = x[0:1, :] - ys[:, 0:1]
     dy = x[1:2, :] - ys[:, 1:2]
     dz = x[2:3, :] - ys[:, 2:3]
@@ -126,13 +126,19 @@ def _pair_tile_rows(x, ys, L, ldeb, rcut2):
     dz -= L * jnp.round(dz * (1.0 / L))
     r2 = dx * dx + dy * dy + dz * dz
     valid = (r2 > 0) & (r2 < rcut2) & (ys[:, 3:4] > 0)
-    r = jnp.sqrt(jnp.where(valid, r2, 1.0))
-    inv_r = 1.0 / r
+    r2s = jnp.where(valid, r2, 1.0)
+    inv_r = jax.lax.rsqrt(r2s)
+    inv_r2 = inv_r * inv_r
+    r = r2s * inv_r
     expf = jnp.exp(-r * (1.0 / ldeb))
-    ft = jnp.where(valid, (inv_r + 1.0 / ldeb) * expf * inv_r * inv_r, 0.0)
-    up = jnp.where(valid, expf * inv_r, 0.0)
-    return (jnp.sum(dx * ft, axis=0), jnp.sum(dy * ft, axis=0),
-            jnp.sum(dz * ft, axis=0), jnp.sum(up, axis=0))
+    # (1/r + 1/ldeb) e^{-r/ldeb} / r^2 = e^{-r/ldeb} (1/r + 1/ldeb) / r^2
+    ft = jnp.where(valid, expf * (inv_r + 1.0 / ldeb) * inv_r2, 0.0)
+    out = (jnp.sum(dx * ft, axis=0), jnp.sum(dy * ft, axis=0),
+           jnp.sum(dz * ft, axis=0))
+    if with_pot:
+        up = jnp.where(valid, expf * inv_r, 0.0)
+        out = out + (jnp.sum(up, axis=0),)
+    return out
 
 
 def _yukawa_kernel(xl_ref, ys_ref, f_ref, *, L, ldeb, rcut2):
