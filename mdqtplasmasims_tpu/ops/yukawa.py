@@ -141,21 +141,23 @@ def _pair_tile_rows(x, ys, L, ldeb, rcut2, with_pot=True):
     return out
 
 
-def _yukawa_kernel(xl_ref, ys_ref, f_ref, *, L, ldeb, rcut2):
+def _yukawa_kernel(xl_ref, ys_ref, f_ref, *, L, ldeb, rcut2, with_pot=True):
     """Grid (i_tiles, j_tiles).  xl_ref: [3, TI] i-block (lanes), ys_ref:
-    [TJ, 8] j-block (sublanes; cols 0-2 = xyz, col 3 = mask), f_ref: [4, TI]
-    accumulator (rows 0-2 force, row 3 potential)."""
+    [TJ, 8] j-block (sublanes; cols 0-2 = xyz, col 3 = mask), f_ref:
+    [4|3, TI] accumulator (rows 0-2 force, optional row 3 potential)."""
     j = pl.program_id(1)
 
     @pl.when(j == 0)
     def _():
         f_ref[...] = jnp.zeros_like(f_ref)
 
-    fx, fy, fz, up = _pair_tile_rows(xl_ref[...], ys_ref[...], L, ldeb, rcut2)
-    f_ref[0, :] += fx
-    f_ref[1, :] += fy
-    f_ref[2, :] += fz
-    f_ref[3, :] += up
+    rows = _pair_tile_rows(xl_ref[...], ys_ref[...], L, ldeb, rcut2,
+                           with_pot=with_pot)
+    f_ref[0, :] += rows[0]
+    f_ref[1, :] += rows[1]
+    f_ref[2, :] += rows[2]
+    if with_pot:
+        f_ref[3, :] += rows[3]
 
 
 def _yukawa_kernel_batched(xl_ref, ys_ref, f_ref, *, L, ldeb, rcut2):
@@ -174,13 +176,14 @@ def _yukawa_kernel_batched(xl_ref, ys_ref, f_ref, *, L, ldeb, rcut2):
     f_ref[0, 3, :] += up
 
 
-@functools.partial(jax.jit, static_argnames=("L", "ldeb", "tile"))
+@functools.partial(jax.jit, static_argnames=("L", "ldeb", "tile", "with_pot"))
 def _yukawa_pallas(Rl: jax.Array, Rs: jax.Array, *, L: float, ldeb: float,
-                   tile: int) -> jax.Array:
+                   tile: int, with_pot: bool = True) -> jax.Array:
     npad = Rl.shape[1]
     grid = (npad // tile, npad // tile)
+    rows = 4 if with_pot else 3
     kern = functools.partial(_yukawa_kernel, L=L, ldeb=ldeb,
-                             rcut2=(L / 2.0) ** 2)
+                             rcut2=(L / 2.0) ** 2, with_pot=with_pot)
     return pl.pallas_call(
         kern,
         grid=grid,
@@ -188,9 +191,9 @@ def _yukawa_pallas(Rl: jax.Array, Rs: jax.Array, *, L: float, ldeb: float,
             pl.BlockSpec((3, tile), lambda i, j: (0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec((tile, 8), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((4, tile), lambda i, j: (0, i),
+        out_specs=pl.BlockSpec((rows, tile), lambda i, j: (0, i),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((4, npad), Rl.dtype),
+        out_shape=jax.ShapeDtypeStruct((rows, npad), Rl.dtype),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary")),
     )(Rl, Rs)
@@ -208,19 +211,21 @@ def pack_soa(R: jax.Array, mask: Optional[jax.Array], tile: int):
 
 def yukawa_forces_potential_pallas(R: jax.Array, L: float, ldeb: float,
                                    mask: Optional[jax.Array] = None,
-                                   tile: int = 512):
-    """Fused forces + per-ion potential sums via the Pallas kernel.
-
-    Returns ``(F [N,3], pot_per_ion [N])``.
-    """
+                                   tile: int = 512, with_pot: bool = True):
+    """Fused forces (+ optionally per-ion potential sums) via the Pallas
+    kernel.  Returns ``(F [N,3], pot_per_ion [N] | None)``.  The hot MD
+    loop uses ``with_pot=False`` — the potential is only needed at sample
+    times."""
     n = R.shape[0]
     Rl, Rs = pack_soa(R, mask, tile)
-    out = _yukawa_pallas(Rl, Rs, L=float(L), ldeb=float(ldeb), tile=tile)
+    out = _yukawa_pallas(Rl, Rs, L=float(L), ldeb=float(ldeb), tile=tile,
+                         with_pot=with_pot)
     F = out[:3, :n].T
-    pot = out[3, :n]
+    pot = out[3, :n] if with_pot else None
     if mask is not None:
         F = F * mask[:, None]
-        pot = pot * mask
+        if pot is not None:
+            pot = pot * mask
     return F, pot
 
 
@@ -290,5 +295,6 @@ def best_forces_fn(n: int, L: float, ldeb: float, mask=None,
     if tile is None:
         tile = auto_tile(n)
     if use_pallas:
-        return lambda R: yukawa_forces_potential_pallas(R, L, ldeb, mask, tile)
+        return lambda R: yukawa_forces_potential_pallas(R, L, ldeb, mask,
+                                                        tile, with_pot=False)
     return lambda R: yukawa_forces_potential(R, L, ldeb, mask)
