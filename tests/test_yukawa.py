@@ -79,6 +79,37 @@ def test_uneven_chunking(system):
     assert np.abs(F_a - F_b).max() < 1e-10
 
 
+def test_n3l_kernel_interpret(system):
+    """Half-pair Pallas kernel (interpret mode) matches the XLA path,
+    including the padded-lane handling (n=300 is not a tile multiple)."""
+    from mdqtplasmasims_tpu.ops.yukawa import yukawa_forces_n3l_pallas
+    R, L, ldeb = system
+    Rj = jnp.asarray(R, jnp.float32)
+    F_ref = np.array(yukawa_forces(Rj, L, ldeb, chunk=128))
+    F = np.array(yukawa_forces_n3l_pallas(Rj, L, ldeb, tile=128,
+                                          interpret=True))
+    scale = np.abs(F_ref).max()
+    assert np.abs(F - F_ref).max() < 2e-5 * scale
+    assert np.abs(F.sum(0)).max() < 2e-5 * scale
+
+
+def test_n3l_kernel_mask(system):
+    """Masked-out ions neither exert nor receive force through either the
+    direct or the reaction (third-law) path of the half-pair kernel."""
+    from mdqtplasmasims_tpu.ops.yukawa import yukawa_forces_n3l_pallas
+    R, L, ldeb = system
+    n = R.shape[0]
+    mask = np.ones(n, np.float32)
+    mask[n // 2:] = 0.0
+    F_np, _ = brute_force(R, L, ldeb, mask)
+    F = np.array(yukawa_forces_n3l_pallas(
+        jnp.asarray(R, jnp.float32), L, ldeb,
+        mask=jnp.asarray(mask), tile=128, interpret=True))
+    scale = np.abs(F_np).max()
+    assert np.abs(F - F_np).max() < 2e-5 * scale
+    assert np.abs(F[n // 2:]).max() == 0.0
+
+
 def test_mc_family_equivalence(system):
     """The MC family force law exp(-kr)(1/r^3 + k/r^2) equals the cooling
     family law (1/r + 1/lDeb) exp(-r/lDeb)/r^2 with k = 1/lDeb."""
