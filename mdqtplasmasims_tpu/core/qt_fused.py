@@ -269,6 +269,12 @@ def fused_md_substeps(spec: FusedTickSpec, first, R, V, F, tp, psi_re,
     grid = (npad // tile,)
     kern = _make_kernel(spec)
     S, SP = spec.S, spec.SP
+    if psi_re.shape[0] != SP or psi_im.shape[0] != SP:
+        raise ValueError(f"psi planes must be padded to [{SP}, Np], got "
+                         f"{psi_re.shape}/{psi_im.shape}")
+    if npad % tile or R.shape != (3, npad) or tp.shape != (1, npad):
+        raise ValueError(f"bad shapes: R {R.shape}, tp {tp.shape}, "
+                         f"Np={npad} must be a multiple of tile={tile}")
 
     vecs = np.zeros((SP, 8), np.float32)
     vecs[:S, 0] = spec.scheme.decay_w

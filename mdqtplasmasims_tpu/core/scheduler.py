@@ -45,6 +45,7 @@ class CoolingScheduler:
     exp_det_fn: Optional[Callable] = None   # t -> expansion detuning (gamma units)
     fused_spec: object = None    # FusedTickSpec -> one-kernel MD step (TPU)
     tile: int = 512
+    interpret: bool = False      # Pallas interpret mode (CPU tests)
 
     def md_step(self, state: SimState) -> SimState:
         F, _ = self.forces_fn(state.R)
@@ -78,7 +79,8 @@ class CoolingScheduler:
             pad_rows(state.V.T, 3), pad_rows(F.T, 3),
             pad_rows(state.t_part[None, :], 1),
             pad_rows(psi_sm.real, SP), pad_rows(psi_sm.imag, SP),
-            rolls=rolls, seed=seed, tile=self.tile)
+            rolls=rolls, seed=seed, tile=self.tile,
+            interpret=self.interpret)
         S = state.psi.shape[1]
         psi = (preo[:S, :n] + 1j * pimo[:S, :n]).T.astype(state.psi.dtype)
         tick_i = state.tick + self.ratio
@@ -86,6 +88,64 @@ class CoolingScheduler:
             R=Ro[:, :n].T, V=Vo[:, :n].T, F=F, psi=psi,
             t_part=tpo[0, :n], key=key, tick=tick_i,
             t=tick_i.astype(state.t.dtype) * self.qdt)
+
+    def fused_substeps_ensemble(self, states: SimState, F) -> SimState:
+        """Ensemble variant of the fused path.  The QT update and the
+        quantum-substepped leapfrog are per-ion independent, so E batched
+        trajectories fold into the *ion axis* of one kernel launch per MD
+        step (grid tiles E*npad ions) instead of a vmapped XLA substep
+        scan; only the force kernel (which couples ions within a job)
+        stays per-job.  The in-kernel PRNG seeds per ion tile
+        (qt_fused.py), so folded jobs get independent streams."""
+        from .qt_fused import fused_md_substeps
+        E, n, _ = states.R.shape
+        npad = -(-max(n, self.tile) // self.tile) * self.tile
+        SP = self.fused_spec.SP
+        S = states.psi.shape[-1]
+
+        def fold(x, rows=None):
+            # [E, r, n] -> [rows, E*npad], job blocks contiguous on the ion
+            # axis; extra rows (e.g. psi padded S -> SP) stay zero
+            rows = x.shape[1] if rows is None else rows
+            out = jnp.zeros((E, rows, npad), jnp.float32)
+            out = out.at[:, :x.shape[1], :n].set(x.astype(jnp.float32))
+            return jnp.swapaxes(out, 0, 1).reshape(rows, E * npad)
+
+        def unfold(y, rows):  # [rows', E*npad] -> [E, rows, n]
+            y = jnp.swapaxes(y.reshape(-1, E, npad), 0, 1)
+            return y[:, :rows, :n]
+
+        keys = jax.vmap(jax.random.split)(states.key)   # [E, 2, 2]
+        new_keys = keys[:, 0]
+        if self.fused_spec.internal_rng:
+            rolls = None
+            seed = jax.random.randint(keys[0, 1], (1, 1), 0, 2 ** 31 - 1,
+                                      jnp.int32)
+        else:
+            rolls = jax.random.uniform(keys[0, 1],
+                                       (self.ratio * 5, E * npad),
+                                       jnp.float32)
+            seed = None
+
+        psi_sm = jnp.swapaxes(states.psi, 1, 2)          # [E, S, n]
+        first = (states.tick[0] == 0).astype(jnp.float32).reshape(1, 1)
+        Ro, Vo, tpo, preo, pimo = fused_md_substeps(
+            self.fused_spec, first,
+            fold(jnp.swapaxes(states.R, 1, 2)),
+            fold(jnp.swapaxes(states.V, 1, 2)),
+            fold(jnp.swapaxes(F, 1, 2)),
+            fold(states.t_part[:, None, :]),
+            fold(psi_sm.real, SP), fold(psi_sm.imag, SP),
+            rolls=rolls, seed=seed, tile=self.tile,
+            interpret=self.interpret)
+        psi = (unfold(preo, S) + 1j * unfold(pimo, S)).astype(states.psi.dtype)
+        tick_i = states.tick + self.ratio
+        return states._replace(
+            R=jnp.swapaxes(unfold(Ro, 3), 1, 2),
+            V=jnp.swapaxes(unfold(Vo, 3), 1, 2), F=F,
+            psi=jnp.swapaxes(psi, 1, 2),
+            t_part=unfold(tpo, 1)[:, 0, :], key=new_keys, tick=tick_i,
+            t=tick_i.astype(states.t.dtype) * self.qdt)
 
     def substeps(self, state: SimState, F: jax.Array) -> SimState:
         """The ratio quantum-substepped ticks with the given (fresh) forces

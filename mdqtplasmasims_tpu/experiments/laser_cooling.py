@@ -208,8 +208,10 @@ def run_compiled(cfg: CoolingConfig, state: SimState, n_segments: int):
 def run_compiled_ensemble(cfg: CoolingConfig, states: SimState,
                           n_segments: int):
     """Batched-ensemble run: the Pallas force kernel is batched over the
-    job axis (one grid), only the quantum substep loop is vmapped."""
-    from ..ops.yukawa import yukawa_forces_potential_pallas_batched
+    job axis (one grid); on TPU the quantum-substepped leapfrog folds all
+    jobs into the fused kernel's ion axis (per-ion independent), else the
+    XLA substep loop is vmapped."""
+    from ..ops.yukawa import yukawa_forces_n3l_pallas_batched
     pu = PlasmaUnits(cfg.density, cfg.ge)
     L = PlasmaUnits.box_length(cfg.n0)
     sched = build_scheduler(cfg)
@@ -223,12 +225,18 @@ def run_compiled_ensemble(cfg: CoolingConfig, states: SimState,
             return jax.vmap(lambda r: sched.forces_fn(r)[0])(R)
     else:
         def batched_forces(R):
-            return yukawa_forces_potential_pallas_batched(
-                R, L, pu.debye_length)[0]
+            return yukawa_forces_n3l_pallas_batched(R, L, pu.debye_length)
 
-    def md_step(states):
-        F = batched_forces(states.R)
-        return jax.vmap(sched.substeps)(states, F)
+    if sched.fused_spec is not None:
+        # fold the job axis into the fused kernel's ion axis: one kernel
+        # launch per MD step for the whole ensemble (scheduler.py)
+        def md_step(states):
+            F = batched_forces(states.R)
+            return sched.fused_substeps_ensemble(states, F)
+    else:
+        def md_step(states):
+            F = batched_forces(states.R)
+            return jax.vmap(sched.substeps)(states, F)
 
     def segment(states, _):
         states = jax.lax.fori_loop(0, cfg.sample_freq,
@@ -348,7 +356,8 @@ def run_ensemble(cfg: CoolingConfig, n_jobs: int, seed: int = 0):
     ``job<k>/`` exactly as the reference's array jobs would.
 
     The Pallas force kernel is batched over the job axis; the quantum
-    substep loop is vmapped.
+    substep block runs all jobs through one fused kernel launch per MD
+    step (vmapped XLA substeps off-TPU).
     """
     save_directory = cfg.save_directory
     n_md = int(round(cfg.tmax / cfg.timestep))

@@ -347,6 +347,100 @@ def yukawa_forces_n3l_pallas(R: jax.Array, L: float, ldeb: float,
     return out[:, :n].T
 
 
+def _yukawa_n3l_kernel_batched(xl_ref, ys_ref, f_ref, g_ref, *, L, ldeb,
+                               rcut2):
+    """Ensemble-batched half-pair kernel: grid (E, i_tiles, j_tiles) with
+    a leading singleton ensemble dim on every block; same tile math as
+    ``_yukawa_n3l_kernel``."""
+    i = pl.program_id(1)
+    j = pl.program_id(2)
+
+    @pl.when(j == 0)
+    def _():
+        f_ref[...] = jnp.zeros_like(f_ref)
+
+    g_ref[...] = jnp.zeros_like(g_ref)
+
+    @pl.when(j >= i)
+    def _():
+        x = xl_ref[0]
+        ys = ys_ref[0]
+        dx = x[0:1, :] - ys[:, 0:1]
+        dy = x[1:2, :] - ys[:, 1:2]
+        dz = x[2:3, :] - ys[:, 2:3]
+        dx -= L * jnp.round(dx * (1.0 / L))
+        dy -= L * jnp.round(dy * (1.0 / L))
+        dz -= L * jnp.round(dz * (1.0 / L))
+        r2 = dx * dx + dy * dy + dz * dz
+        valid = ((r2 > 0) & (r2 < rcut2) & (ys[:, 3:4] > 0)
+                 & (x[3:4, :] > 0))
+        r2s = jnp.where(valid, r2, 1.0)
+        inv_r = jax.lax.rsqrt(r2s)
+        r = r2s * inv_r
+        ft = jnp.where(valid, jnp.exp(-r * (1.0 / ldeb))
+                       * (inv_r + 1.0 / ldeb) * inv_r * inv_r, 0.0)
+        fxt = dx * ft
+        fyt = dy * ft
+        fzt = dz * ft
+        f_ref[0, 0, :] += jnp.sum(fxt, axis=0)
+        f_ref[0, 1, :] += jnp.sum(fyt, axis=0)
+        f_ref[0, 2, :] += jnp.sum(fzt, axis=0)
+        off = jnp.where(j > i, -1.0, 0.0).astype(ft.dtype)
+        g_ref[0, 0, :, 0] = off * jnp.sum(fxt, axis=1)
+        g_ref[0, 0, :, 1] = off * jnp.sum(fyt, axis=1)
+        g_ref[0, 0, :, 2] = off * jnp.sum(fzt, axis=1)
+
+
+@functools.partial(jax.jit, static_argnames=("L", "ldeb", "tile",
+                                             "interpret"))
+def _yukawa_n3l_batched(Rl4: jax.Array, Rs: jax.Array, *, L: float,
+                        ldeb: float, tile: int,
+                        interpret: bool = False) -> jax.Array:
+    e, _, npad = Rl4.shape
+    nt = npad // tile
+    kern = functools.partial(_yukawa_n3l_kernel_batched, L=L, ldeb=ldeb,
+                             rcut2=(L / 2.0) ** 2)
+    f, g = pl.pallas_call(
+        kern,
+        grid=(e, nt, nt),
+        in_specs=[
+            pl.BlockSpec((1, 4, tile), lambda b, i, j: (b, 0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile, 8), lambda b, i, j: (b, j, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, 3, tile), lambda b, i, j: (b, 0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, tile, 8), lambda b, i, j: (b, i, j, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((e, 3, npad), Rl4.dtype),
+            jax.ShapeDtypeStruct((e, nt, npad, 8), Rl4.dtype),
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary")),
+        interpret=interpret,
+    )(Rl4, Rs)
+    return f + jnp.swapaxes(jnp.sum(g, axis=1)[:, :, :3], 1, 2)
+
+
+def yukawa_forces_n3l_pallas_batched(R: jax.Array, L: float, ldeb: float,
+                                     tile: int = 512,
+                                     interpret: bool = False) -> jax.Array:
+    """[E,N,3] ensemble positions -> forces [E,N,3], half-pair kernel."""
+    e, n, _ = R.shape
+    npad = _round_up(max(n, tile), tile)
+    Rl4 = jnp.zeros((e, 4, npad), R.dtype).at[:, :3, :n].set(
+        jnp.swapaxes(R, 1, 2)).at[:, 3, :n].set(1.0)
+    Rs = jnp.zeros((e, npad, 8), R.dtype).at[:, :n, :3].set(R)
+    Rs = Rs.at[:, :n, 3].set(1.0)
+    out = _yukawa_n3l_batched(Rl4, Rs, L=float(L), ldeb=float(ldeb),
+                              tile=tile, interpret=interpret)
+    return jnp.swapaxes(out[:, :, :n], 1, 2)
+
+
 @functools.partial(jax.jit, static_argnames=("L", "ldeb", "tile"))
 def _yukawa_pallas_batched(Rl: jax.Array, Rs: jax.Array, *, L: float,
                            ldeb: float, tile: int) -> jax.Array:

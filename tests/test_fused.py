@@ -99,3 +99,69 @@ def test_fused_matches_xla(scheme_name, excited_start):
     # pad rows/cols stay zero
     assert float(jnp.abs(preo[S:, :]).max()) == 0.0
     assert float(jnp.abs(preo[:, n:]).max()) == 0.0
+
+
+def test_fused_ensemble_fold_matches_per_job():
+    """The ensemble fold (scheduler.fused_substeps_ensemble) packs E jobs
+    into the fused kernel's ion axis; with explicit rolls each job must
+    reproduce a direct per-job fused_md_substeps call bit-for-bit."""
+    from mdqtplasmasims_tpu.core.scheduler import CoolingScheduler
+    from mdqtplasmasims_tpu.state import SimState
+
+    n, tile, npad, ratio, E = 96, 128, 128, 5, 3
+    L = PlasmaUnits.box_length(n)
+    scheme = with_recoil(sr12_cooling(), 9.1e-4, 3.6e-4)
+    S = scheme.n_states
+    h, qdt, p2q, g2e = 0.00985, 8e-5, 1.327, 123.1
+    engine = QTEngine(scheme, h=h, dt_plasma=qdt, plas_to_quant_vel=p2q,
+                      gamma_to_einstein=g2e, apply_force=True)
+    spec = FusedTickSpec(scheme=scheme, h=h, qdt=qdt, plas_to_quant_vel=p2q,
+                         gamma_to_einstein=g2e, ratio=ratio, L=L,
+                         apply_force=True, internal_rng=False)
+    sched = CoolingScheduler(engine=engine, forces_fn=None, L=L, qdt=qdt,
+                             ratio=ratio, fused_spec=spec, tile=tile,
+                             interpret=True)
+
+    key = jax.random.PRNGKey(3)
+    kr, kv, kp, kf, kq, kk = jax.random.split(key, 6)
+    R = jax.random.uniform(kr, (E, n, 3), jnp.float32, 0, L)
+    V = jax.random.normal(kv, (E, n, 3), jnp.float32) * 0.3
+    F = jax.random.normal(kf, (E, n, 3), jnp.float32) * 0.5
+    psi = jnp.zeros((E, n, S), jnp.complex64)
+    psi = psi.at[:, :, 2].set(0.7).at[:, :, 4].set(0.5j).at[:, :, 0].set(0.51)
+    tp = jnp.abs(jax.random.normal(kq, (E, n), jnp.float32))
+    keys = jax.random.split(kk, E)
+    states = SimState(R=R, V=V, F=F, psi=psi, t_part=tp, key=keys,
+                      tick=jnp.full((E,), 7, jnp.int32),
+                      t=jnp.full((E,), 7 * qdt, jnp.float32))
+
+    out = sched.fused_substeps_ensemble(states, F)
+
+    # replicate the wrapper's roll draw, then run each job directly
+    rolls = jax.random.uniform(
+        jax.vmap(jax.random.split)(keys)[0, 1],
+        (ratio * 5, E * npad), jnp.float32)
+    SP = spec.SP
+
+    def pad_rows(x, rows):
+        o = jnp.zeros((rows, npad), jnp.float32)
+        return o.at[:x.shape[0], :n].set(x)
+
+    first = jnp.zeros((1, 1), jnp.float32)
+    for e in range(E):
+        Ro, Vo, tpo, preo, pimo = fused_md_substeps(
+            spec, first, pad_rows(R[e].T, 3), pad_rows(V[e].T, 3),
+            pad_rows(F[e].T, 3), pad_rows(tp[e][None, :], 1),
+            pad_rows(psi[e].T.real, SP), pad_rows(psi[e].T.imag, SP),
+            rolls[:, e * npad:(e + 1) * npad], tile=tile, interpret=True)
+        np.testing.assert_array_equal(np.asarray(out.R[e]),
+                                      np.asarray(Ro[:, :n].T))
+        np.testing.assert_array_equal(np.asarray(out.V[e]),
+                                      np.asarray(Vo[:, :n].T))
+        np.testing.assert_array_equal(np.asarray(out.t_part[e]),
+                                      np.asarray(tpo[0, :n]))
+        np.testing.assert_array_equal(np.asarray(out.psi[e].real),
+                                      np.asarray(preo[:S, :n].T))
+        np.testing.assert_array_equal(np.asarray(out.psi[e].imag),
+                                      np.asarray(pimo[:S, :n].T))
+    assert int(out.tick[0]) == 7 + ratio

@@ -124,3 +124,19 @@ def test_mc_family_equivalence(system):
     F_mc = (d * aij[:, :, None]).sum(1)
     F = np.array(yukawa_forces(jnp.asarray(R), L, ldeb, chunk=128))
     assert np.abs(F - F_mc).max() < 1e-10
+
+
+def test_n3l_batched_kernel_interpret(system):
+    """Batched half-pair kernel: each ensemble member matches the
+    single-system kernel and jobs stay uncoupled."""
+    from mdqtplasmasims_tpu.ops.yukawa import (
+        yukawa_forces_n3l_pallas, yukawa_forces_n3l_pallas_batched)
+    R, L, ldeb = system
+    rng = np.random.default_rng(7)
+    RE = jnp.asarray(np.stack([R, rng.uniform(0, L, R.shape)]), jnp.float32)
+    FE = np.array(yukawa_forces_n3l_pallas_batched(RE, L, ldeb, tile=128,
+                                                   interpret=True))
+    for e in range(2):
+        F1 = np.array(yukawa_forces_n3l_pallas(RE[e], L, ldeb, tile=128,
+                                               interpret=True))
+        np.testing.assert_array_equal(FE[e], F1)
