@@ -89,6 +89,69 @@ class CoolingScheduler:
             t_part=tpo[0, :n], key=key, tick=tick_i,
             t=tick_i.astype(state.t.dtype) * self.qdt)
 
+    # ---- SoA-resident segment loop (fused path only) -----------------
+    # The fused kernel speaks [rows, Np] f32 planes; converting to/from
+    # the [N,3]/complex SimState costs ~5 pad/transpose ops per MD step.
+    # These helpers keep the state in kernel layout across a whole
+    # sampling segment, converting only at sample boundaries.
+
+    def _npad(self, n: int) -> int:
+        return -(-max(n, self.tile) // self.tile) * self.tile
+
+    def soa_init(self, state: SimState, F=None):
+        """SimState -> (Rp, Vp, Fp, tpp, prep, pimp, key, tick) planes."""
+        n = state.R.shape[0]
+        npad = self._npad(n)
+        SP = self.fused_spec.SP
+
+        def pad_rows(x, rows):
+            out = jnp.zeros((rows, npad), jnp.float32)
+            return out.at[:x.shape[0], :n].set(x.astype(jnp.float32))
+
+        psi_sm = state.psi.T
+        Fp = (jnp.zeros((3, npad), jnp.float32) if F is None
+              else pad_rows(F.T, 3))
+        return (pad_rows(state.R.T, 3), pad_rows(state.V.T, 3), Fp,
+                pad_rows(state.t_part[None, :], 1),
+                pad_rows(psi_sm.real, SP), pad_rows(psi_sm.imag, SP),
+                state.key, state.tick)
+
+    def soa_restore(self, carry, state: SimState) -> SimState:
+        """SoA planes -> SimState (shapes/dtypes from the template)."""
+        Rp, Vp, Fp, tpp, prep, pimp, key, tick = carry
+        n = state.R.shape[0]
+        S = state.psi.shape[1]
+        psi = (prep[:S, :n] + 1j * pimp[:S, :n]).T.astype(state.psi.dtype)
+        return state._replace(
+            R=Rp[:, :n].T.astype(state.R.dtype),
+            V=Vp[:, :n].T.astype(state.V.dtype),
+            F=Fp[:, :n].T.astype(state.F.dtype), psi=psi,
+            t_part=tpp[0, :n].astype(state.t_part.dtype), key=key,
+            tick=tick, t=tick.astype(state.t.dtype) * self.qdt)
+
+    def soa_md_step(self, carry, soa_forces_fn):
+        """One MD step entirely in kernel layout: ``soa_forces_fn`` maps
+        Rp [3, Np] -> F [3, Np] (ops.yukawa.yukawa_forces_n3l_soa)."""
+        from .qt_fused import fused_md_substeps
+        Rp, Vp, _, tpp, prep, pimp, key, tick = carry
+        npad = Rp.shape[1]
+        Fp = soa_forces_fn(Rp)
+        key, sub = jax.random.split(key)
+        if self.fused_spec.internal_rng:
+            rolls = None
+            seed = jax.random.randint(sub, (1, 1), 0, 2 ** 31 - 1,
+                                      jnp.int32)
+        else:
+            rolls = jax.random.uniform(sub, (self.ratio * 5, npad),
+                                       jnp.float32)
+            seed = None
+        first = (tick == 0).astype(jnp.float32).reshape(1, 1)
+        Rp, Vp, tpp, prep, pimp = fused_md_substeps(
+            self.fused_spec, first, Rp, Vp, Fp, tpp, prep, pimp,
+            rolls=rolls, seed=seed, tile=self.tile,
+            interpret=self.interpret)
+        return (Rp, Vp, Fp, tpp, prep, pimp, key, tick + self.ratio)
+
     def fused_substeps_ensemble(self, states: SimState, F) -> SimState:
         """Ensemble variant of the fused path.  The QT update and the
         quantum-substepped leapfrog are per-ion independent, so E batched

@@ -196,10 +196,30 @@ def run_compiled(cfg: CoolingConfig, state: SimState, n_segments: int):
     sched = build_scheduler(cfg)
     bins = folded_bins(cfg.np_dtype)
 
-    def segment(state, _):
-        state = jax.lax.fori_loop(
-            0, cfg.sample_freq, lambda i, s: sched.md_step(s), state)
-        return state, _sample_outputs(state, cfg, L, pu.debye_length, bins)
+    if sched.fused_spec is not None:
+        # SoA-resident segment: stay in the fused kernel's [rows, Np]
+        # layout for all sample_freq MD steps; convert to SimState only
+        # at the sample boundary (scheduler.py soa_* helpers)
+        from ..ops.yukawa import auto_tile, yukawa_forces_n3l_soa
+        npad = sched._npad(cfg.n0)
+        mask_row = jnp.zeros((1, npad), jnp.float32).at[0, :cfg.n0].set(1.0)
+        soa_forces = lambda Rp: yukawa_forces_n3l_soa(
+            Rp, mask_row, L, pu.debye_length, tile=auto_tile(cfg.n0))
+
+        def segment(state, _):
+            carry = jax.lax.fori_loop(
+                0, cfg.sample_freq,
+                lambda i, c: sched.soa_md_step(c, soa_forces),
+                sched.soa_init(state, state.F))
+            state = sched.soa_restore(carry, state)
+            return state, _sample_outputs(state, cfg, L, pu.debye_length,
+                                          bins)
+    else:
+        def segment(state, _):
+            state = jax.lax.fori_loop(
+                0, cfg.sample_freq, lambda i, s: sched.md_step(s), state)
+            return state, _sample_outputs(state, cfg, L, pu.debye_length,
+                                          bins)
 
     return jax.lax.scan(segment, state, None, length=n_segments)
 

@@ -426,6 +426,23 @@ def _yukawa_n3l_batched(Rl4: jax.Array, Rs: jax.Array, *, L: float,
     return f + jnp.swapaxes(jnp.sum(g, axis=1)[:, :, :3], 1, 2)
 
 
+def yukawa_forces_n3l_soa(Rp: jax.Array, mask_row: jax.Array, L: float,
+                          ldeb: float, tile: int = 512,
+                          interpret: bool = False) -> jax.Array:
+    """Half-pair forces straight from the lane layout: ``Rp [3, Np]``
+    (padded, as carried by the SoA-resident MD loop) and a static
+    ``mask_row [1, Np]`` marking real ions.  Skips the ``[N,3]``
+    round-trip the array-of-structs wrapper pays per call; only the
+    unavoidable lane->sublane transpose for the j-side remains.
+    Returns ``F [3, Np]``."""
+    npad = Rp.shape[1]
+    Rl4 = jnp.concatenate([Rp, mask_row], axis=0)
+    Rs = (jnp.zeros((npad, 8), Rp.dtype).at[:, :3].set(Rp.T)
+          .at[:, 3].set(mask_row[0]))
+    return _yukawa_n3l(Rl4, Rs, L=float(L), ldeb=float(ldeb), tile=tile,
+                       interpret=interpret)
+
+
 def yukawa_forces_n3l_pallas_batched(R: jax.Array, L: float, ldeb: float,
                                      tile: int = 512,
                                      interpret: bool = False) -> jax.Array:

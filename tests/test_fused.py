@@ -165,3 +165,56 @@ def test_fused_ensemble_fold_matches_per_job():
         np.testing.assert_array_equal(np.asarray(out.psi[e].imag),
                                       np.asarray(pimo[:S, :n].T))
     assert int(out.tick[0]) == 7 + ratio
+
+
+def test_soa_segment_loop_matches_md_steps():
+    """The SoA-resident segment loop (scheduler.soa_*) is the same
+    computation as repeated fused md_step calls — same force kernel, same
+    RNG draws — so final states must match bit-for-bit."""
+    from mdqtplasmasims_tpu.core.scheduler import CoolingScheduler
+    from mdqtplasmasims_tpu.ops.yukawa import (
+        yukawa_forces_n3l_pallas, yukawa_forces_n3l_soa)
+    from mdqtplasmasims_tpu.state import make_state
+
+    n, tile, ratio, steps = 96, 128, 4, 3
+    L = PlasmaUnits.box_length(n)
+    ldeb = PlasmaUnits(2.0, 0.1).debye_length
+    scheme = with_recoil(sr12_cooling(), 9.1e-4, 3.6e-4)
+    h, qdt, p2q, g2e = 0.00985, 8e-5, 1.327, 123.1
+    engine = QTEngine(scheme, h=h, dt_plasma=qdt, plas_to_quant_vel=p2q,
+                      gamma_to_einstein=g2e, apply_force=True)
+    spec = FusedTickSpec(scheme=scheme, h=h, qdt=qdt, plas_to_quant_vel=p2q,
+                         gamma_to_einstein=g2e, ratio=ratio, L=L,
+                         apply_force=True, internal_rng=False)
+    forces_fn = lambda R: (yukawa_forces_n3l_pallas(
+        R, L, ldeb, tile=tile, interpret=True), None)
+    sched = CoolingScheduler(engine=engine, forces_fn=forces_fn, L=L,
+                             qdt=qdt, ratio=ratio, fused_spec=spec,
+                             tile=tile, interpret=True)
+
+    key = jax.random.PRNGKey(11)
+    kr, kv, kp, kk = jax.random.split(key, 4)
+    R = jax.random.uniform(kr, (n, 3), jnp.float32, 0, L)
+    V = jax.random.normal(kv, (n, 3), jnp.float32) * 0.1
+    psi = random_s_superposition(kp, n, scheme.n_states, jnp.complex64)
+    state0 = make_state(R, V, psi, kk)
+
+    s_ref = state0
+    for _ in range(steps):
+        s_ref = sched.md_step(s_ref)
+
+    mask_row = jnp.zeros((1, 128), jnp.float32).at[0, :n].set(1.0)
+    soa_forces = lambda Rp: yukawa_forces_n3l_soa(
+        Rp, mask_row, L, ldeb, tile=tile, interpret=True)
+    carry = sched.soa_init(state0, state0.F)
+    for _ in range(steps):
+        carry = sched.soa_md_step(carry, soa_forces)
+    s_soa = sched.soa_restore(carry, state0)
+
+    for name in ("R", "V", "F", "t_part"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(s_ref, name)),
+            np.asarray(getattr(s_soa, name)), err_msg=name)
+    np.testing.assert_array_equal(np.asarray(s_ref.psi),
+                                  np.asarray(s_soa.psi))
+    assert int(s_ref.tick) == int(s_soa.tick) == steps * ratio
