@@ -75,6 +75,10 @@ def main(argv=None) -> int:
     for name, (cls, _) in families.items():
         p = sub.add_parser(name)
         _add_dataclass_args(p, cls)
+        p.add_argument("--jobs", type=int, default=0, metavar="K",
+                       help="run jobs 1..K sequentially in-process (the "
+                            "SLURM-array replacement; the compiled program "
+                            "is shared across jobs)")
         if name == "cooling":
             p.add_argument("--resume", action="store_true",
                            help="continue from the newest native checkpoint "
@@ -95,7 +99,14 @@ def main(argv=None) -> int:
     else:
         cls, runner = families[ns.cmd]
         cfg = _build_cfg(cls, ns)
-        if getattr(ns, "resume", False):
+        if getattr(ns, "jobs", 0) > 1:
+            # sequential in-process array (all jitted phases canonicalize
+            # job away, so the compiled programs are reused across jobs)
+            for j in range(1, ns.jobs + 1):
+                runner(dataclasses.replace(cfg, job=j))
+                print(f"[{ns.cmd}] job {j}/{ns.jobs} at "
+                      f"{time.perf_counter() - t0:.1f}s")
+        elif getattr(ns, "resume", False):
             runner(cfg, resume=True)
         else:
             runner(cfg)

@@ -238,11 +238,14 @@ def run(cfg: FrozenTagConfig, seed: Optional[int] = None):
     L = PlasmaUnits.box_length(cfg.n0)
     epot0 = yukawa_potential(state.R, L, pu.debye_length)
 
+    # job/save_directory only pick seeds and output paths, not the traced
+    # program — strip them so sequential jobs (cli --jobs) share one
+    # compiled program (recompiles can be minutes-slow on this backend)
+    cfg_run = dataclasses.replace(cfg, job=1, save_directory=None)
     n_md_a = int(np.ceil(cfg.tend / cfg.timestep))
     n_md_total = int(round(cfg.tmax / cfg.timestep))
-    state = run_phase_a(cfg, state, n_md_a)
-    state, spin_up, vholder = measure(cfg, state)
-    out_tag = None
+    state = run_phase_a(cfg_run, state, n_md_a)
+    state, spin_up, vholder = measure(cfg_run, state)
 
     # phase B segment lengths: align to the global sample_freq grid
     first = cfg.sample_freq - (n_md_a % cfg.sample_freq)
@@ -251,7 +254,7 @@ def run(cfg: FrozenTagConfig, seed: Optional[int] = None):
     remaining = n_md_total - n_md_a - first
     n_full = max(0, remaining // cfg.sample_freq)
     seg_lengths = (first,) + (cfg.sample_freq,) * n_full
-    state, outs = run_phase_b(cfg, state, spin_up, vholder, epot0,
+    state, outs = run_phase_b(cfg_run, state, spin_up, vholder, epot0,
                               seg_lengths)
     jax.block_until_ready(state)
 

@@ -175,6 +175,10 @@ def run(cfg: MCTransportConfig, seed: Optional[int] = None) -> dict:
     dt = cfg.np_dtype
     key = jax.random.PRNGKey(cfg.job if seed is None else seed)
     k_lat, k_mc, k_tag, k_run = jax.random.split(key, 4)
+    # job/save_directory don't affect the traced stages — strip them so
+    # sequential jobs (cli --jobs) share one compiled program
+    cfg_j = cfg
+    cfg = dataclasses.replace(cfg, job=1, save_directory=None)
 
     # Stage 1-2: lattice init + per-particle U (implicit in our dU rows)
     R, V = lattice_init(k_lat, cfg.n, cfg.gamma, cfg.L, dtype=dt)
@@ -239,8 +243,8 @@ def run(cfg: MCTransportConfig, seed: Optional[int] = None) -> dict:
         temps_force=temps_force, temps_relax=temps_relax,
         R=R, V=V).items()}
 
-    if cfg.save_directory is not None:
-        _write_outputs(cfg, results)
+    if cfg_j.save_directory is not None:
+        _write_outputs(cfg_j, results)
     return results
 
 

@@ -207,6 +207,10 @@ def run(cfg: MCTagConfig, seed: Optional[int] = None) -> dict:
     dt = cfg.np_dtype
     key = jax.random.PRNGKey(cfg.job if seed is None else seed)
     k_lat, k_psi, k_mc, k_tag, k_run = jax.random.split(key, 5)
+    # job/save_directory don't affect the traced phases — strip them so
+    # sequential jobs (cli --jobs) share one compiled program
+    cfg_j = cfg
+    cfg = dataclasses.replace(cfg, job=1, save_directory=None)
 
     R, V = lattice_init(k_lat, cfg.n, cfg.gamma, cfg.L, dtype=dt)
     psi = jax.jit(random_s_superposition, static_argnums=(1, 2, 3))(
@@ -239,8 +243,8 @@ def run(cfg: MCTagConfig, seed: Optional[int] = None) -> dict:
         dists=dists, temps=temps, vaf=vaf, long_visc=long_visc,
         v_cube=v_cube, v_fourth=v_fourth, R=R, V=V).items()}
 
-    if cfg.save_directory is not None:
-        _write_outputs(cfg, results)
+    if cfg_j.save_directory is not None:
+        _write_outputs(cfg_j, results)
     return results
 
 

@@ -89,7 +89,10 @@ def run(cfg: ThreeStateConfig, seed: Optional[int] = None):
     t_part = jnp.zeros((cfg.n0,), cfg.np_dtype)
 
     n_segments = int(cfg.tmax / cfg.dt) // cfg.sample_freq
-    (V, psi, t_part, _), recs = run_compiled(cfg, V, psi, t_part, krun,
+    # job/save_directory don't affect the traced program — strip them so
+    # sequential jobs (cli --jobs) share one compiled program
+    cfg_run = dataclasses.replace(cfg, job=1, save_directory=None)
+    (V, psi, t_part, _), recs = run_compiled(cfg_run, V, psi, t_part, krun,
                                              n_segments)
     jax.block_until_ready(V)
     recs = np.asarray(safe_device_get(recs))

@@ -148,3 +148,18 @@ class TestEnsembleCompiled:
         assert not np.allclose(outs["ekin"][0], outs["ekin"][1])
         # all heat (DIH) from the frozen start
         assert np.all(outs["ekin"][:, -1].sum(-1) > outs["ekin"][:, 0].sum(-1))
+
+
+def test_sequential_jobs_share_compiled_program():
+    """job/save_directory are canonicalized out of the jit-static config,
+    so a --jobs array reuses one compiled program (recompiles are
+    minutes-slow on the TPU relay) while still drawing per-job seeds."""
+    from mdqtplasmasims_tpu.experiments import three_state as ts
+    cfg1 = ThreeStateConfig(n0=64, tmax=50.0, sample_freq=50, job=1)
+    before = ts.run_compiled._cache_size()
+    r1 = run_three(cfg1)
+    import dataclasses
+    r2 = run_three(dataclasses.replace(cfg1, job=2))
+    after = ts.run_compiled._cache_size()
+    assert after - before <= 1          # second job hit the jit cache
+    assert r1["ekin_x"][0] != r2["ekin_x"][0]   # but got its own seed
