@@ -51,15 +51,26 @@ from ..units import (PlasmaUnits, pump_window_einstein, qt_units_408,
 
 VARIANTS = ("408linear", "408quad", "422linear")
 
+# (detuning, om, tpump_seconds) as compiled into each reference file:
+# randomFrozenStartTag408Linear.cpp:56-58, 408Quad.cpp:58-60,
+# 422Linear.cpp:55-57
+FROZEN_VARIANT_DEFAULTS = {
+    "408linear": (-2.5, 0.7, 2e-7),
+    "408quad": (0.0, 2.0, 1e-7),
+    "422linear": (-1.0, 1.3, 1e-7),
+}
+
 
 @dataclasses.dataclass(frozen=True)
 class FrozenTagConfig:
-    """Inputs of the randomFrozenStartTag family (e.g. 422Linear:52-83)."""
+    """Inputs of the randomFrozenStartTag family (e.g. 422Linear:52-83).
+    ``detuning``/``om``/``tpump_seconds`` default per variant to the
+    values compiled into the corresponding reference file."""
 
     variant: str = "422linear"
-    detuning: float = -1.0        # / gamma of the pump line
-    om: float = 1.3
-    tpump_seconds: float = 1e-7
+    detuning: Optional[float] = None   # / gamma of the pump line
+    om: Optional[float] = None
+    tpump_seconds: Optional[float] = None
     tstart: float = 15.0          # tstartV0
     tmax: float = 25.0
     ge: float = 0.1
@@ -75,6 +86,13 @@ class FrozenTagConfig:
 
     def __post_init__(self):
         assert self.variant in VARIANTS, self.variant
+        d = FROZEN_VARIANT_DEFAULTS[self.variant]
+        if self.detuning is None:
+            object.__setattr__(self, "detuning", d[0])
+        if self.om is None:
+            object.__setattr__(self, "om", d[1])
+        if self.tpump_seconds is None:
+            object.__setattr__(self, "tpump_seconds", d[2])
 
     @property
     def units(self):
