@@ -8,8 +8,6 @@ References (MonteCarloFollowedByMDAndTempAnisotropy.cpp):
 
 from __future__ import annotations
 
-import dataclasses
-from typing import Optional
 
 import jax
 import jax.numpy as jnp

@@ -30,7 +30,6 @@ from ..ops.correlations import power_autocorr
 from ..ops.structure import pair_correlation
 from ..ops.yukawa import yukawa_forces_potential
 from ..util import safe_device_get
-from ..units import PlasmaUnits
 
 
 @dataclasses.dataclass(frozen=True)

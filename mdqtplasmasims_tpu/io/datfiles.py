@@ -9,7 +9,6 @@ used when built; the Python fallback is always available.
 from __future__ import annotations
 
 import os
-from typing import Iterable, Sequence
 
 import numpy as np
 
