@@ -74,6 +74,31 @@ class TestFrozenTagging:
         else:
             assert "VAF.dat" in files
 
+    def test_resume_run_roundtrip(self, tmp_path):
+        """resume_run restores R/V (to %g file precision), the spin-up
+        list exactly, and the reference's c0 -> t reconstruction
+        (randomFrozenStartTag422Linear.cpp:676-764)."""
+        from mdqtplasmasims_tpu.experiments.frozen_tagging import (
+            frozen_tag_dir, resume_run)
+        cfg = FrozenTagConfig(variant="422linear", n0=48, tstart=0.1,
+                              tmax=0.5, tpump_seconds=1e-7, sample_freq=10,
+                              use_pallas=False,
+                              save_directory=str(tmp_path))
+        final, res = run_frozen(cfg)
+        d = frozen_tag_dir(cfg.save_directory,
+                           tpump_seconds=cfg.tpump_seconds,
+                           tstart=cfg.tstart, detuning=cfg.detuning,
+                           om=cfg.om, density=cfg.density, ge=cfg.ge,
+                           n0=cfg.n0, job=cfg.job)
+        c0 = int(round(cfg.tmax / cfg.timestep)) - 1
+        st, spin_up = resume_run(d, c0, cfg)
+        np.testing.assert_allclose(np.asarray(st.R), np.asarray(final.R),
+                                   rtol=1e-5, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(st.V), np.asarray(final.V),
+                                   rtol=1e-5, atol=1e-5)
+        np.testing.assert_array_equal(np.asarray(spin_up),
+                                      res["spin_up"])
+
     def test_pump_window_gating(self):
         """Wavefunctions must be frozen outside the pump window."""
         cfg = FrozenTagConfig(variant="422linear", n0=32, tstart=5.0,
