@@ -259,6 +259,27 @@ class FrozenTagScheduler:
     t_pump_start: float
     t_pump_end: float
 
+    def md_step_pure(self, state: SimState) -> SimState:
+        """MD step for steps whose ticks are entirely OUTSIDE the pump
+        window: identical leapfrog + forces, but no quantum tick scan —
+        the reference's else-branch just advances t
+        (randomFrozenStartTag422Linear.cpp:1020-1025).  The window
+        boundaries are static, so experiment drivers split the run into
+        [pure | windowed | pure] phases at trace time instead of paying
+        ratio tiny lax.cond iterations per MD step (which dominated the
+        production run: 312k gated ticks ~ 38 s at N0=3500)."""
+        dt = self.qdt * self.ratio
+        t0 = state.tick.astype(state.R.dtype) * self.qdt
+        first = t0 <= 0.0
+        from .md import step_R
+        R = step_R(state.R, state.V, state.F, 0.5 * dt, self.L, first)
+        F, _ = self.forces_fn(R)
+        V = state.V + dt * F
+        R = step_R(R, V, F, 0.5 * dt, self.L, first)
+        tick_i = state.tick + self.ratio
+        return state._replace(R=R, V=V, F=F, tick=tick_i,
+                              t=tick_i.astype(state.t.dtype) * self.qdt)
+
     def md_step(self, state: SimState) -> SimState:
         dt = self.qdt * self.ratio
         t0 = state.tick.astype(state.R.dtype) * self.qdt

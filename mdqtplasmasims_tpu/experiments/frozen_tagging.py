@@ -185,8 +185,20 @@ def resume_run(directory: str, c0: int, cfg: FrozenTagConfig):
 
 @partial(jax.jit, static_argnames=("cfg", "n_md"))
 def run_phase_a(cfg: FrozenTagConfig, state: SimState, n_md: int) -> SimState:
+    """MD up to the pump end.  The pump window [tstart, tend] is static,
+    so the loop splits at trace time into [pure MD | windowed MDQT |
+    pure MD] — only the handful of MD steps that can overlap the window
+    pay for the quantum tick scan (see scheduler.md_step_pure)."""
     sched = build_scheduler(cfg)
-    return jax.lax.fori_loop(0, n_md, lambda i, s: sched.md_step(s), state)
+    dt_md = cfg.qdt * cfg.ratio
+    k_lo = max(0, min(n_md, int(cfg.tstart / dt_md) - 1))
+    k_hi = max(k_lo, min(n_md, int(np.ceil(cfg.tend / dt_md)) + 1))
+    state = jax.lax.fori_loop(0, k_lo,
+                              lambda i, s: sched.md_step_pure(s), state)
+    state = jax.lax.fori_loop(k_lo, k_hi,
+                              lambda i, s: sched.md_step(s), state)
+    return jax.lax.fori_loop(k_hi, n_md,
+                             lambda i, s: sched.md_step_pure(s), state)
 
 
 @partial(jax.jit, static_argnames=("cfg",))
@@ -226,8 +238,10 @@ def run_phase_b(cfg: FrozenTagConfig, state: SimState, spin_up, vholder,
     bins = centered_bins(cfg.np_dtype)
 
     outs = []
+    # phase B is entirely past the pump window -> pure-MD steps
     first, rest = seg_lengths[0], seg_lengths[1:]
-    state = jax.lax.fori_loop(0, first, lambda i, s: sched.md_step(s), state)
+    state = jax.lax.fori_loop(0, first,
+                              lambda i, s: sched.md_step_pure(s), state)
     out0 = _output_block(cfg, state, spin_up, vholder, epot0, L,
                          pu.debye_length, bins)
 
@@ -236,8 +250,8 @@ def run_phase_b(cfg: FrozenTagConfig, state: SimState, spin_up, vholder,
         assert all(r == rest[0] for r in rest)
 
         def segment(state, _):
-            state = jax.lax.fori_loop(0, rest[0],
-                                      lambda i, s: sched.md_step(s), state)
+            state = jax.lax.fori_loop(
+                0, rest[0], lambda i, s: sched.md_step_pure(s), state)
             return state, _output_block(cfg, state, spin_up, vholder, epot0,
                                         L, pu.debye_length, bins)
 

@@ -26,9 +26,9 @@ from ..core.thermostat import (anisotropize_velocities, collide_and_kick,
 from ..core.md import wrap_pbc
 from ..io.datfiles import DatWriter
 from ..io.dirs import mc_transport_dir
-from ..ops.correlations import power_autocorr
+from ..ops.correlations import autocorr_suite
 from ..ops.structure import pair_correlation
-from ..ops.yukawa import yukawa_forces_potential
+
 from ..util import safe_device_get
 
 
@@ -79,9 +79,10 @@ class MCTransportConfig:
 
 
 def _forces(cfg: MCTransportConfig):
-    def fn(R):
-        return yukawa_forces_potential(R, cfg.L, cfg.ldeb)[0]
-    return fn
+    """R -> F: half-pair Pallas kernel on TPU, XLA elsewhere."""
+    from ..ops.yukawa import best_forces_fn
+    fn = best_forces_fn(cfg.n, cfg.L, cfg.ldeb)
+    return lambda R: fn(R)[0]
 
 
 def make_md_stage(cfg: MCTransportConfig, *, collision_freq: float,
@@ -214,10 +215,8 @@ def run(cfg: MCTransportConfig, seed: Optional[int] = None) -> dict:
         cfg, R, V, A, k_run, tags)
 
     # Stage 6: autocorrelation suite (FFT; reference O(T^2 N) post-pass)
-    vaf = power_autocorr(vstore, 1, cfg.gamma)
-    long_visc = power_autocorr(vstore, 2, cfg.gamma)
-    v_cube = power_autocorr(vstore, 3, cfg.gamma)
-    v_fourth = power_autocorr(vstore, 4, cfg.gamma)
+    vaf, long_visc, v_cube, v_fourth = autocorr_suite(
+        vstore, cfg.gamma)
 
     # Stage 7: instantaneous anisotropy + relaxation
     V = anisotropize_velocities(V, cfg.temp_percent_diff)

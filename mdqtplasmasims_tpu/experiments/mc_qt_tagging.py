@@ -31,10 +31,10 @@ from ..core.md import wrap_pbc
 from ..io.datfiles import DatWriter
 from ..io.dirs import mc_tag_dir
 from ..levels import DECAY_RATIO_422_MC, tag408, tag422
-from ..ops.correlations import power_autocorr
+from ..ops.correlations import autocorr_suite
 from ..ops.kde import centered_bins, gaussian_kde
 from ..ops.structure import pair_correlation
-from ..ops.yukawa import yukawa_forces_potential
+
 from ..util import safe_device_get
 from ..state import make_state
 from ..units import (QTUnits, GAMMA422_FACTOR, K422_FACTOR,
@@ -127,9 +127,10 @@ class MCTagConfig:
 
 
 def _forces(cfg: MCTagConfig):
-    def fn(R):
-        return yukawa_forces_potential(R, cfg.L, 1.0 / cfg.kappa)
-    return fn
+    """R -> (F, _): half-pair Pallas kernel on TPU, XLA elsewhere.  No
+    caller needs the potential, so the force-only hot path applies."""
+    from ..ops.yukawa import best_forces_fn
+    return best_forces_fn(cfg.n, cfg.L, 1.0 / cfg.kappa)
 
 
 @partial(jax.jit, static_argnames=("cfg", "n_steps", "collision_freq"))
@@ -233,10 +234,8 @@ def run(cfg: MCTagConfig, seed: Optional[int] = None) -> dict:
     (R, V, A, _), grs, moments, dists, temps, vstore = record_phase(
         cfg, state.R, state.V, state.F, key2, tags)
 
-    vaf = power_autocorr(vstore, 1, cfg.gamma)
-    long_visc = power_autocorr(vstore, 2, cfg.gamma)
-    v_cube = power_autocorr(vstore, 3, cfg.gamma)
-    v_fourth = power_autocorr(vstore, 4, cfg.gamma)
+    vaf, long_visc, v_cube, v_fourth = autocorr_suite(
+        vstore, cfg.gamma)
 
     results = {k: safe_device_get(v) for k, v in dict(
         mc_accepted=n_acc, tags=tags, grs=grs, moments=moments,

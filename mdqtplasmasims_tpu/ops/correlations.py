@@ -19,6 +19,8 @@ from __future__ import annotations
 
 from typing import Optional
 
+import functools
+
 import jax
 import jax.numpy as jnp
 
@@ -49,6 +51,14 @@ def power_autocorr(vstore: jax.Array, power: int, gamma: float = 1.0
     elif power == 4:
         out = out - 27.0 / gamma ** 4
     return out
+
+
+@functools.partial(jax.jit, static_argnames=("gamma",))
+def autocorr_suite(vstore: jax.Array, gamma: float = 1.0):
+    """All four power autocorrelations (VAF, v^2, v^3, v^4) as ONE
+    compiled program — four separate power_autocorr jits cost ~10 s of
+    compile each on the remote-compile backend."""
+    return tuple(power_autocorr(vstore, k, gamma) for k in (1, 2, 3, 4))
 
 
 def power_autocorr_direct(vstore: jax.Array, power: int, gamma: float = 1.0

@@ -63,7 +63,12 @@ class TestFrozenTagging:
                               save_directory=str(tmp_path))
         final, res = run_frozen(cfg)
         frac = res["spin_up"].mean()
-        assert 0.0 < frac < 1.0
+        if variant == "408quad":
+            # the quad scheme (det=0, Om=2) pumps population OUT of the
+            # spin-up states: expect a small tag fraction (can be 0 of 64)
+            assert frac < 0.3
+        else:
+            assert 0.0 < frac < 1.0
         # pumping moved population out of the initial S superposition
         pops = np.abs(np.asarray(final.psi)) ** 2
         assert pops[:, 2:].sum() > 0

@@ -124,3 +124,48 @@ class TestSchedulers:
         assert float(out.t) == pytest.approx(0.005)
         # pumping ran: some amplitude moved out of |2>
         assert float(jnp.sum(jnp.abs(out.psi[:, 1]) ** 2)) < n
+
+
+def test_frozen_pure_step_matches_windowed_outside_window():
+    """Outside the pump window the gated md_step does no quantum work, so
+    md_step_pure (no tick scan) must produce identical R/V/F/tick and
+    leave psi/t_part untouched."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from mdqtplasmasims_tpu.core.qt import QTEngine, random_s_superposition
+    from mdqtplasmasims_tpu.core.scheduler import FrozenTagScheduler
+    from mdqtplasmasims_tpu.levels import tag422
+    from mdqtplasmasims_tpu.ops.yukawa import yukawa_forces_potential
+    from mdqtplasmasims_tpu.state import make_state
+    from mdqtplasmasims_tpu.units import PlasmaUnits
+
+    n, ratio, qdt = 32, 5, 4e-4
+    L = PlasmaUnits.box_length(n)
+    ldeb = PlasmaUnits(2.0, 0.1).debye_length
+    engine = QTEngine(tag422(), h=qdt * 110.0, dt_plasma=qdt,
+                      plas_to_quant_vel=1.28, gamma_to_einstein=110.0,
+                      apply_force=False)
+    sched = FrozenTagScheduler(
+        engine=engine,
+        forces_fn=lambda R: yukawa_forces_potential(R, L, ldeb),
+        L=L, qdt=qdt, ratio=ratio, t_pump_start=100.0, t_pump_end=101.0)
+
+    key = jax.random.PRNGKey(5)
+    kr, kv, kp, kk = jax.random.split(key, 4)
+    R = jax.random.uniform(kr, (n, 3), jnp.float64, 0, L)
+    V = jax.random.normal(kv, (n, 3), jnp.float64) * 0.2
+    psi = random_s_superposition(kp, n, 5, jnp.complex128)
+    st = make_state(R, V, psi, kk, dtype=jnp.float64)
+    st = st._replace(F=sched.forces_fn(R)[0],
+                     tick=jnp.asarray(40, jnp.int32))  # far from window
+
+    a = sched.md_step(st)
+    b = sched.md_step_pure(st)
+    for name in ("R", "V", "F"):
+        np.testing.assert_array_equal(np.asarray(getattr(a, name)),
+                                      np.asarray(getattr(b, name)),
+                                      err_msg=name)
+    assert int(a.tick) == int(b.tick)
+    np.testing.assert_array_equal(np.asarray(b.psi), np.asarray(st.psi))
+    np.testing.assert_array_equal(np.asarray(a.psi), np.asarray(st.psi))
