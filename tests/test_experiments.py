@@ -193,3 +193,32 @@ def test_sequential_jobs_share_compiled_program():
     after = ts.run_compiled._cache_size()
     assert after - before <= 1          # second job hit the jit cache
     assert r1["ekin_x"][0] != r2["ekin_x"][0]   # but got its own seed
+
+
+def test_golden_regression_small_cooling():
+    """Fixed-seed golden regression (SURVEY.md section 4's gap-to-fill):
+    a tiny f64 CPU cooling run must reproduce recorded observables.  This
+    guards the whole stack — init draws, scheduler semantics, QT engine,
+    forces, diagnostics — against silent semantic drift.  Tolerances are
+    loose enough to survive XLA/jax version changes but tight enough to
+    catch any physics change."""
+    from mdqtplasmasims_tpu.experiments.laser_cooling import (
+        canonical_run_cfg, initial_state, run_compiled)
+    cfg = CoolingConfig(n0=64, sample_freq=20, use_pallas=False,
+                        dtype="float64", job=3)
+    state = initial_state(cfg)
+    final, outs = run_compiled(canonical_run_cfg(cfg), state, 3)
+    np.testing.assert_allclose(
+        np.asarray(outs["ekin"]),
+        [[0.00428322, 0.00789371, 0.00242277],
+         [0.01370881, 0.02392701, 0.00897986],
+         [0.02429658, 0.03989654, 0.01842196]], rtol=2e-4)
+    np.testing.assert_allclose(
+        np.asarray(outs["epot"]),
+        [2.63460507, 2.60696920, 2.57036364], rtol=2e-5)
+    np.testing.assert_allclose(
+        np.asarray(outs["pops"][-1])[0],
+        [0.72136332, 0.23778885, 0.04127921], atol=2e-4)
+    np.testing.assert_allclose(
+        np.asarray(final.R[0]),
+        [3.56570218, 4.46742114, 3.63364798], rtol=1e-5)
