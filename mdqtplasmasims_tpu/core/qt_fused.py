@@ -11,8 +11,9 @@ planes.
 Layout per ion tile (T lanes): R/V/F as [3,T] rows, psi as [SP,T] re/im
 planes (S padded to a sublane multiple; pad rows are zero and stay zero),
 batched uniforms as [ratio*5, T].  The level-scheme tables (coupling
-matrix, decay weights, jump tables, force terms) are baked in as
-compile-time constants.
+matrix, decay weights, jump tables, force terms) ride as small VMEM
+inputs (vecs [SP,8], mats [4*SP,SP]) — Pallas kernels cannot capture
+non-scalar Python constants.
 
 Semantics are identical to QTEngine.step_sm + leapfrog_substep given the
 same rolls (verified by tests/test_fused.py to f32 tolerance).

@@ -11,6 +11,11 @@ sampleFreq=10 for a ~2-minute CPU run).
 Round-1 result: total-Ekin(t) and Epot(t) median relative difference 2.8%
 (DIH rise and oscillation structure aligned); final S/P/D populations
 within +-0.035 — all at the N=256 job-to-job stochastic level.
+
+Passing a *family* directory containing job1/job2/... runs the pooled
+high-statistics mode instead (N0=1000 / tmax=10 / sampleFreq=20, jobs
+averaged on both sides); results are printed by the script and recorded
+in RESULTS.md.
 """
 import glob
 import os
@@ -21,32 +26,56 @@ import numpy as np
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 
+def _ref_job(job_dir):
+    e = np.loadtxt(os.path.join(job_dir, "energies.dat"))
+    pf = sorted(glob.glob(os.path.join(job_dir,
+                                       "statePopulationsVsVTime*.dat")))
+    pr = np.loadtxt(pf[-1])
+    return e, pr[:, 1:4].mean(0)
+
+
 def main(ref_dir: str) -> int:
     import jax
     jax.config.update("jax_platforms", "cpu")
     from mdqtplasmasims_tpu.experiments.laser_cooling import (
         CoolingConfig, run)
 
-    ref = np.loadtxt(os.path.join(ref_dir, "energies.dat"))
-    cfg = CoolingConfig(n0=256, tmax=2.0, sample_freq=10, use_pallas=False,
-                        dtype="float64")
-    final, res = run(cfg)
-    outs = res["outs"]
-    n = min(len(ref), len(outs["t"]))
+    jobs = sorted(glob.glob(os.path.join(ref_dir, "job*")))
+    if jobs:   # pooled high-statistics mode
+        refs = [_ref_job(d) for d in jobs]
+        n = min(len(e) for e, _ in refs)
+        ref = np.mean([e[:n] for e, _ in refs], axis=0)
+        ref_spd = np.mean([s for _, s in refs], axis=0)
+        cfgs = [CoolingConfig(n0=1000, tmax=10.0, sample_freq=20,
+                              use_pallas=False, dtype="float64", job=j)
+                for j in range(1, len(jobs) + 1)]
+    else:
+        ref = np.loadtxt(os.path.join(ref_dir, "energies.dat"))
+        pf = sorted(glob.glob(os.path.join(
+            ref_dir, "statePopulationsVsVTime*.dat")))
+        ref_spd = np.loadtxt(pf[-1])[:, 1:4].mean(0)
+        cfgs = [CoolingConfig(n0=256, tmax=2.0, sample_freq=10,
+                              use_pallas=False, dtype="float64")]
 
-    ek_ref = ref[:n, 1:4].sum(1)
-    ek_my = outs["ekin"][:n].sum(1)
+    ek_list, ep_list, spd_list, nmin = [], [], [], len(ref)
+    for cfg in cfgs:
+        final, res = run(cfg)
+        outs = res["outs"]
+        n = min(nmin, len(outs["t"]))
+        ek_list.append(outs["ekin"][:n].sum(1))
+        ep_list.append(outs["epot"][:n])
+        spd_list.append(np.asarray(outs["pops"][n - 1].mean(0)))
+        nmin = n
+    ek_my = np.mean([x[:nmin] for x in ek_list], axis=0)
+    ep_my = np.mean([x[:nmin] for x in ep_list], axis=0)
+    my_spd = np.mean(spd_list, axis=0)
+
+    ek_ref = ref[:nmin, 1:4].sum(1)
     ek_diff = float(np.median(np.abs(ek_ref - ek_my) / ek_ref))
-    ep_diff = float(np.median(np.abs(ref[:n, 4] - outs["epot"][:n])
-                              / ref[:n, 4]))
+    ep_diff = float(np.median(np.abs(ref[:nmin, 4] - ep_my)
+                              / ref[:nmin, 4]))
     print(f"total-Ekin median rel diff: {ek_diff:.3f}")
     print(f"Epot median rel diff:       {ep_diff:.3f}")
-
-    pops_files = sorted(glob.glob(os.path.join(ref_dir,
-                                               "statePopulationsVsVTime*.dat")))
-    pr = np.loadtxt(pops_files[-1])
-    ref_spd = pr[:, 1:4].mean(0)
-    my_spd = np.asarray(outs["pops"][n - 1].mean(0))
     print(f"final S/P/D: ref {ref_spd.round(3)} vs mine {my_spd.round(3)}")
 
     ok = ek_diff < 0.1 and ep_diff < 0.1 and np.abs(ref_spd - my_spd).max() < 0.08
