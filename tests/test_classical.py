@@ -197,3 +197,16 @@ class TestMonteCarlo:
                                0, L)
         _, acc = mc.run(R, jax.random.PRNGKey(3), 1000)
         assert float(acc) / 1000 > 0.99
+
+
+def test_autocorr_suite_matches_singles():
+    """The bundled one-compile suite equals the four separate calls."""
+    from mdqtplasmasims_tpu.ops.correlations import (autocorr_suite,
+                                                     power_autocorr)
+    rng = np.random.default_rng(3)
+    v = jnp.asarray(rng.normal(size=(50, 16, 3)))
+    suite = autocorr_suite(v, 3.0)
+    for k, s in zip((1, 2, 3, 4), suite):
+        np.testing.assert_allclose(np.asarray(s),
+                                   np.asarray(power_autocorr(v, k, 3.0)),
+                                   rtol=1e-12)
