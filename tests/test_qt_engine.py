@@ -91,6 +91,16 @@ class TestMasterEquationAgreement:
         me = lindblad_rk4(scheme, v=0.2, dt=0.01, nsteps=1000)
         assert np.max(np.abs(pops[200:] - me[200:])) < 0.04
 
+    def test_tag408_linear(self):
+        """The 7-state LINEAR coupling (4 counter-propagating sigma
+        channels, randomFrozenStartTag408Linear.cpp:438) at its reference
+        operating point (det=-2.5, Om=0.7)."""
+        scheme = tag408(-2.5, 0.7, linear=True)
+        pops = run_trajectories(scheme, v=0.4, dt=0.01, nsteps=1000,
+                                n_traj=3000)
+        me = lindblad_rk4(scheme, v=0.4, dt=0.01, nsteps=1000)
+        assert np.max(np.abs(pops[200:] - me[200:])) < 0.04
+
     @pytest.mark.slow
     def test_sr12(self):
         scheme = sr12_cooling(-1.0, 1.0, 1.0, 1.0)

@@ -13,7 +13,7 @@ Round-1 result: total-Ekin(t) and Epot(t) median relative difference 2.8%
 within +-0.035 — all at the N=256 job-to-job stochastic level.
 
 Passing a *family* directory containing job1/job2/... runs the pooled
-high-statistics mode instead (N0=1000 / tmax=10 / sampleFreq=20, jobs
+high-statistics mode instead (N0=600 / tmax=6 / sampleFreq=20, jobs
 averaged on both sides); results are printed by the script and recorded
 in RESULTS.md.
 """
@@ -46,7 +46,7 @@ def main(ref_dir: str) -> int:
         n = min(len(e) for e, _ in refs)
         ref = np.mean([e[:n] for e, _ in refs], axis=0)
         ref_spd = np.mean([s for _, s in refs], axis=0)
-        cfgs = [CoolingConfig(n0=1000, tmax=10.0, sample_freq=20,
+        cfgs = [CoolingConfig(n0=600, tmax=6.0, sample_freq=20,
                               use_pallas=False, dtype="float64", job=j)
                 for j in range(1, len(jobs) + 1)]
     else:
