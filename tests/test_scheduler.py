@@ -169,3 +169,43 @@ def test_frozen_pure_step_matches_windowed_outside_window():
     assert int(a.tick) == int(b.tick)
     np.testing.assert_array_equal(np.asarray(b.psi), np.asarray(st.psi))
     np.testing.assert_array_equal(np.asarray(a.psi), np.asarray(st.psi))
+
+
+def test_expansion_detuning():
+    """The expanding-frame detuning — the reference's 'PlusExpansion'
+    feature (SpeedUp.cpp:447,506-510).  The two independent
+    transcriptions (units.expansion_detuning and laser_cooling.
+    expansion_detuning_fn) must agree, the curve must have the
+    reference's shape (0 at t=0, asymptotically linear-over-sqrt
+    saturating slope), and enabling frac_of_sig must change the QT
+    dynamics through the scheduler."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from mdqtplasmasims_tpu.experiments.laser_cooling import (
+        CoolingConfig, build_scheduler, expansion_detuning_fn, initial_state)
+    from mdqtplasmasims_tpu.units import expansion_detuning
+
+    cfg = CoolingConfig(n0=48, frac_of_sig=1.0, sig0=0.04, te=19.0,
+                        use_pallas=False, dtype="float64")
+    f = expansion_detuning_fn(cfg)
+    for t in (0.0, 1.0, 7.5, 30.0, 120.0):
+        a = float(f(t))
+        b = expansion_detuning(t, cfg.density, cfg.sig0, cfg.te,
+                               cfg.frac_of_sig)
+        np.testing.assert_allclose(a, b, rtol=1e-12, err_msg=f"t={t}")
+    assert float(f(0.0)) == 0.0
+    assert float(f(30.0)) > float(f(1.0)) > 0.0
+
+    # scheduler wiring: same state stepped with/without expansion detuning
+    # must diverge in the wavefunctions (the detuning shifts every laser)
+    sched_on = build_scheduler(cfg)
+    assert sched_on.exp_det_fn is not None
+    sched_off = build_scheduler(CoolingConfig(
+        n0=48, frac_of_sig=0.0, use_pallas=False, dtype="float64"))
+    st = initial_state(cfg)
+    st = st._replace(tick=jnp.asarray(5000, jnp.int32),
+                     t=jnp.asarray(5000 * cfg.qdt, jnp.float64))
+    a = sched_on.md_step(st)
+    b = sched_off.md_step(st)
+    assert not np.array_equal(np.asarray(a.psi), np.asarray(b.psi))
