@@ -222,3 +222,21 @@ def test_golden_regression_small_cooling():
     np.testing.assert_allclose(
         np.asarray(final.R[0]),
         [3.56570218, 4.46742114, 3.63364798], rtol=1e-5)
+
+
+def test_interval_vaf_and_lccf_outputs(tmp_path):
+    """The pre-SpeedUp generation's active diagnostics: interval VAF and
+    the LCCF current transform J(k) must be recorded and written
+    (LaserCoolingPlusExpansionMDQT.cpp's Zfunc/LCCF outputs)."""
+    cfg = CoolingConfig(n0=48, tmax=0.4, sample_freq=10,
+                        vaf_intervals=(0.1, 0.25), record_lccf=True,
+                        use_pallas=False, dtype="float64",
+                        save_directory=str(tmp_path))
+    final, res = run_cooling(cfg)
+    files = {p.name for p in tmp_path.rglob("*.dat")}
+    assert any(f.startswith("VAF_interval") for f in files), files
+    assert "J_interval0.dat" in files
+    vaf = np.loadtxt(next(tmp_path.rglob("VAF_interval*.dat")))
+    assert np.isfinite(vaf).all()
+    j = np.loadtxt(next(tmp_path.rglob("J_interval0.dat")))
+    assert np.isfinite(j).all() and j.size > 0
