@@ -240,3 +240,30 @@ def test_interval_vaf_and_lccf_outputs(tmp_path):
     assert np.isfinite(vaf).all()
     j = np.loadtxt(next(tmp_path.rglob("J_interval0.dat")))
     assert np.isfinite(j).all() and j.size > 0
+
+
+def test_periodic_checkpoint_and_resume(tmp_path):
+    """Walltime chaining: a run with checkpoint_every_segments publishes
+    native checkpoints mid-run, and run(resume=True) continues from the
+    newest one to the (longer) tmax instead of restarting."""
+    import dataclasses
+    import glob
+    cfg1 = CoolingConfig(n0=48, tmax=0.2, sample_freq=10,
+                         checkpoint_every_segments=1, use_pallas=False,
+                         dtype="float64", save_directory=str(tmp_path))
+    final1, res1 = run_cooling(cfg1)
+    d = str(next(tmp_path.rglob("checkpoint_*.npz")).parent)
+    cks = sorted(glob.glob(os.path.join(d, "checkpoint_*.npz")))
+    assert cks, "no mid-run checkpoints written"
+
+    # "next walltime window": same run directory, longer tmax
+    cfg2 = dataclasses.replace(cfg1, tmax=0.4)
+    final2, res2 = run_cooling(cfg2, resume=True)
+    n_md = int(round(cfg2.tmax / cfg2.timestep))
+    assert float(final2.t) == pytest.approx(n_md * cfg2.timestep, rel=1e-6)
+    # only the remaining segments were computed in the resumed call
+    n_total = n_md // cfg2.sample_freq
+    assert res2["outs"]["t"].shape[0] < n_total
+    # and the full energies.dat now covers the whole run
+    e = np.loadtxt(os.path.join(d, "energies.dat"))
+    assert e.shape[0] == n_total
