@@ -55,6 +55,13 @@ class FusedTickSpec:
     L: float
     apply_force: bool
     internal_rng: bool = False   # draw uniforms in-kernel (pltpu PRNG)
+    # expanding-frame detuning exp_det(t) = c1*t/sqrt(1+c2*t^2) added to the
+    # Doppler shift u, computed in-kernel from the tick counter
+    # (laserCoolingPlusExpansionMDQTSpeedUp.cpp:447); zero coefs disable it
+    exp_c1: float = 0.0
+    exp_c2: float = 0.0
+    # explicit norm division after every tick (SpeedUp.cpp:706-712)
+    renormalize: bool = False
 
     @property
     def S(self) -> int:
@@ -75,8 +82,8 @@ def _make_kernel(spec: FusedTickSpec):
     L = spec.L
     ratio = spec.ratio
 
-    def kernel(first_ref, seed_ref, vecs_ref, mats_ref, R_ref, V_ref,
-               F_ref, tp_ref, pre_ref, pim_ref, *rest):
+    def kernel(first_ref, tick0_ref, seed_ref, vecs_ref, mats_ref, R_ref,
+               V_ref, F_ref, tp_ref, pre_ref, pim_ref, *rest):
         if spec.internal_rng:
             (Ro_ref, Vo_ref, tpo_ref, preo_ref, pimo_ref) = rest
             rolls_ref = None
@@ -98,6 +105,7 @@ def _make_kernel(spec: FusedTickSpec):
         LT_c = mats_ref[3 * SP:4 * SP, :]      # lower-triangular ones
         rows = jax.lax.broadcasted_iota(jnp.int32, (SP, T), 0)
         first = first_ref[0, 0]
+        tick0 = tick0_ref[0, 0]          # run tick counter at block entry
 
         def hpsi(a, b, u, cphi, sphi):
             """(Hr + iHi)(a + ib) -> (re, im).  u: [1,T] row."""
@@ -160,6 +168,14 @@ def _make_kernel(spec: FusedTickSpec):
             # ---- quantum tick ----
             tp = tp + jnp.float32(qdt)
             u = V[0:1, :] * jnp.float32(p2q)          # [1,T]
+            if spec.exp_c1:
+                # expansion-frame detuning at the tick's entry time, same
+                # convention as CoolingScheduler.substeps (t before the
+                # tick increments): t = (tick0 + i) * qdt
+                tpl = (tick0 + tick_f) * jnp.float32(qdt)
+                u = u + (jnp.float32(spec.exp_c1) * tpl
+                         * jax.lax.rsqrt(1.0 + jnp.float32(spec.exp_c2)
+                                         * tpl * tpl))
             if sch.tdep_rows:
                 phi_ang = (jnp.float32(sch.tdep_freq) * u
                            * (tp * jnp.float32(g2e)))
@@ -236,6 +252,12 @@ def _make_kernel(spec: FusedTickSpec):
             a = jnp.where(jumped, a_j, ae)
             b = jnp.where(jumped, jnp.zeros_like(be), be)
             tp = jnp.where(jumped, jnp.zeros_like(tp), tp)
+            if spec.renormalize:
+                # guarded so pad columns (norm 0) stay exactly zero
+                nrm = jnp.sqrt(jnp.sum(a * a + b * b, axis=0, keepdims=True))
+                inv = jnp.where(nrm > 0.0, 1.0 / nrm, 0.0)
+                a = a * inv
+                b = b * inv
             if spec.apply_force and sch.has_force:
                 kick = jnp.where(jumped, kick_j, kick_nj)
                 rows3 = jax.lax.broadcasted_iota(jnp.int32, V.shape, 0)
@@ -257,14 +279,24 @@ def _make_kernel(spec: FusedTickSpec):
 
 @functools.partial(jax.jit, static_argnames=("spec", "tile", "interpret"))
 def fused_md_substeps(spec: FusedTickSpec, first, R, V, F, tp, psi_re,
-                      psi_im, rolls=None, seed=None, tile: int = 512,
-                      interpret: bool = False):
+                      psi_im, rolls=None, seed=None, tick0=None,
+                      tile: int = 512, interpret: bool = False):
     """One MD step's worth of quantum-substepped ticks as one kernel.
 
     Shapes: R/V/F [3, Np], tp [1, Np], psi planes [SP, Np], rolls
     [ratio*5, Np]; Np must be a multiple of ``tile``; ``first`` is a (1,1)
-    f32 flag selecting the reference's 2nd-order first drift.
+    f32 flag selecting the reference's 2nd-order first drift; ``tick0`` is
+    the (1,1) f32 run tick counter, required when the spec enables the
+    expanding-frame detuning (exp_c1 != 0).
     """
+    # the kernel unrolls complex arithmetic assuming purely real coupling
+    # tables (true for all four reference schemes); fail loudly otherwise
+    if np.abs(np.asarray(spec.scheme.coupling).imag).max() != 0.0:
+        raise ValueError("fused kernel requires a real coupling matrix; "
+                         f"scheme {spec.scheme.name} has complex entries")
+    if any(complex(m).imag != 0.0 for m in spec.scheme.tdep_coefs):
+        raise ValueError("fused kernel requires real tdep coefficients; "
+                         f"scheme {spec.scheme.name} has complex entries")
     npad = R.shape[1]
     grid = (npad // tile,)
     kern = _make_kernel(spec)
@@ -297,7 +329,7 @@ def fused_md_substeps(spec: FusedTickSpec, first, R, V, F, tp, psi_re,
                                          memory_space=pltpu.VMEM)
     smem11 = pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM)
     in_specs = [
-        smem11, smem11,
+        smem11, smem11, smem11,
         pl.BlockSpec((SP, 8), lambda i: (0, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((4 * SP, SP), lambda i: (0, 0),
                      memory_space=pltpu.VMEM),
@@ -308,6 +340,12 @@ def fused_md_substeps(spec: FusedTickSpec, first, R, V, F, tp, psi_re,
         in_specs.append(row_spec(spec.ratio * 5))
     if seed is None:
         seed = jnp.zeros((1, 1), jnp.int32)
+    if tick0 is None:
+        if spec.exp_c1:
+            raise ValueError("tick0 is required when exp_c1 != 0 (the "
+                             "expanding-frame detuning is a function of "
+                             "absolute run time)")
+        tick0 = jnp.zeros((1, 1), jnp.float32)
     out = pl.pallas_call(
         kern,
         grid=grid,
@@ -322,7 +360,7 @@ def fused_md_substeps(spec: FusedTickSpec, first, R, V, F, tp, psi_re,
             jax.ShapeDtypeStruct((SP, npad), jnp.float32),
         ),
         interpret=interpret,
-    )(*((first, seed, jnp.asarray(vecs), jnp.asarray(mats), R, V, F, tp,
-         psi_re, psi_im)
+    )(*((first, tick0, seed, jnp.asarray(vecs), jnp.asarray(mats), R, V, F,
+         tp, psi_re, psi_im)
         + (() if spec.internal_rng else (rolls,))))
     return out

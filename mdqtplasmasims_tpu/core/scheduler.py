@@ -74,12 +74,13 @@ class CoolingScheduler:
 
         psi_sm = state.psi.T
         first = (state.tick == 0).astype(jnp.float32).reshape(1, 1)
+        tick0 = state.tick.astype(jnp.float32).reshape(1, 1)
         Ro, Vo, tpo, preo, pimo = fused_md_substeps(
             self.fused_spec, first, pad_rows(state.R.T, 3),
             pad_rows(state.V.T, 3), pad_rows(F.T, 3),
             pad_rows(state.t_part[None, :], 1),
             pad_rows(psi_sm.real, SP), pad_rows(psi_sm.imag, SP),
-            rolls=rolls, seed=seed, tile=self.tile,
+            rolls=rolls, seed=seed, tick0=tick0, tile=self.tile,
             interpret=self.interpret)
         S = state.psi.shape[1]
         psi = (preo[:S, :n] + 1j * pimo[:S, :n]).T.astype(state.psi.dtype)
@@ -148,7 +149,8 @@ class CoolingScheduler:
         first = (tick == 0).astype(jnp.float32).reshape(1, 1)
         Rp, Vp, tpp, prep, pimp = fused_md_substeps(
             self.fused_spec, first, Rp, Vp, Fp, tpp, prep, pimp,
-            rolls=rolls, seed=seed, tile=self.tile,
+            rolls=rolls, seed=seed,
+            tick0=tick.astype(jnp.float32).reshape(1, 1), tile=self.tile,
             interpret=self.interpret)
         return (Rp, Vp, Fp, tpp, prep, pimp, key, tick + self.ratio)
 
@@ -192,6 +194,7 @@ class CoolingScheduler:
 
         psi_sm = jnp.swapaxes(states.psi, 1, 2)          # [E, S, n]
         first = (states.tick[0] == 0).astype(jnp.float32).reshape(1, 1)
+        tick0 = states.tick[0].astype(jnp.float32).reshape(1, 1)
         Ro, Vo, tpo, preo, pimo = fused_md_substeps(
             self.fused_spec, first,
             fold(jnp.swapaxes(states.R, 1, 2)),
@@ -199,7 +202,7 @@ class CoolingScheduler:
             fold(jnp.swapaxes(F, 1, 2)),
             fold(states.t_part[:, None, :]),
             fold(psi_sm.real, SP), fold(psi_sm.imag, SP),
-            rolls=rolls, seed=seed, tile=self.tile,
+            rolls=rolls, seed=seed, tick0=tick0, tile=self.tile,
             interpret=self.interpret)
         psi = (unfold(preo, S) + 1j * unfold(pimo, S)).astype(states.psi.dtype)
         tick_i = states.tick + self.ratio

@@ -120,10 +120,17 @@ def build_engine(cfg: CoolingConfig) -> QTEngine:
                     apply_force=True, renormalize=cfg.renormalize)
 
 
-def expansion_detuning_fn(cfg: CoolingConfig):
-    """Time-dependent expanding-frame detuning (SpeedUp.cpp:447), traced."""
+def expansion_coeffs(cfg: CoolingConfig):
+    """(c1, c2) of the expanding-frame detuning c1*t/sqrt(1+c2*t^2)
+    (SpeedUp.cpp:447)."""
     c1 = 0.0126 * cfg.frac_of_sig * cfg.te / (math.sqrt(cfg.density) * cfg.sig0)
     c2 = 0.00014314 * cfg.te / (cfg.density * cfg.sig0 ** 2)
+    return c1, c2
+
+
+def expansion_detuning_fn(cfg: CoolingConfig):
+    """Time-dependent expanding-frame detuning (SpeedUp.cpp:447), traced."""
+    c1, c2 = expansion_coeffs(cfg)
 
     def f(t):
         return c1 * t / jnp.sqrt(1.0 + c2 * t * t)
@@ -141,14 +148,15 @@ def build_scheduler(cfg: CoolingConfig, mask=None) -> CoolingScheduler:
     engine = build_engine(cfg)
     fused_spec = None
     if (cfg.fused and use_pallas and cfg.dtype == "float32"
-            and not cfg.frac_of_sig and not cfg.renormalize
             and mask is None):
         from ..core.qt_fused import FusedTickSpec
+        c1, c2 = expansion_coeffs(cfg) if cfg.frac_of_sig else (0.0, 0.0)
         fused_spec = FusedTickSpec(
             scheme=engine.scheme, h=engine.h, qdt=cfg.qdt,
             plas_to_quant_vel=engine.plas_to_quant_vel,
             gamma_to_einstein=engine.gamma_to_einstein, ratio=cfg.ratio,
-            L=L, apply_force=True, internal_rng=True)
+            L=L, apply_force=True, internal_rng=True,
+            exp_c1=c1, exp_c2=c2, renormalize=cfg.renormalize)
     return CoolingScheduler(
         engine=engine, forces_fn=forces_fn, L=L, qdt=cfg.qdt,
         ratio=cfg.ratio,
@@ -199,12 +207,15 @@ def run_compiled(cfg: CoolingConfig, state: SimState, n_segments: int):
     if sched.fused_spec is not None:
         # SoA-resident segment: stay in the fused kernel's [rows, Np]
         # layout for all sample_freq MD steps; convert to SimState only
-        # at the sample boundary (scheduler.py soa_* helpers)
+        # at the sample boundary (scheduler.py soa_* helpers).  The mask
+        # is built from the *actual* ion count (which differs from cfg.n0
+        # when exact_n=False draws a Poissonian N), not from cfg.n0.
         from ..ops.yukawa import auto_tile, yukawa_forces_n3l_soa
-        npad = sched._npad(cfg.n0)
-        mask_row = jnp.zeros((1, npad), jnp.float32).at[0, :cfg.n0].set(1.0)
+        n_actual = state.R.shape[0]
+        npad = sched._npad(n_actual)
+        mask_row = jnp.zeros((1, npad), jnp.float32).at[0, :n_actual].set(1.0)
         soa_forces = lambda Rp: yukawa_forces_n3l_soa(
-            Rp, mask_row, L, pu.debye_length, tile=auto_tile(cfg.n0))
+            Rp, mask_row, L, pu.debye_length, tile=auto_tile(n_actual))
 
         def segment(state, _):
             carry = jax.lax.fori_loop(

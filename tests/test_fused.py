@@ -15,14 +15,17 @@ from mdqtplasmasims_tpu.levels import sr12_cooling, tag422, with_recoil
 from mdqtplasmasims_tpu.units import PlasmaUnits
 
 
-def xla_reference(engine, R, V, F, tp, psi, rolls, qdt, L, ratio, first):
+def xla_reference(engine, R, V, F, tp, psi, rolls, qdt, L, ratio, first,
+                  tick0=0, exp_det_fn=None):
     """The existing per-tick path with supplied rolls (f32)."""
     R, V, psi_sm = R.T, V.T, psi.T
     F_sm = F.T
     for i in range(ratio):
         fs = first and i == 0
         R, V = leapfrog_substep(R, V, F_sm, qdt, L, fs)
-        psi_sm, vx, tp = engine.step_sm(psi_sm, V[0, :], tp, rolls=rolls[i])
+        exp_det = exp_det_fn((tick0 + i) * qdt) if exp_det_fn else 0.0
+        psi_sm, vx, tp = engine.step_sm(psi_sm, V[0, :], tp,
+                                        exp_det=exp_det, rolls=rolls[i])
         V = V.at[0, :].set(vx)
     return R, V, tp, psi_sm
 
@@ -99,6 +102,111 @@ def test_fused_matches_xla(scheme_name, excited_start):
     # pad rows/cols stay zero
     assert float(jnp.abs(preo[S:, :]).max()) == 0.0
     assert float(jnp.abs(preo[:, n:]).max()) == 0.0
+
+
+@pytest.mark.parametrize("renorm", [False, True])
+def test_fused_expansion_and_renormalize_match_xla(renorm):
+    """The full flagship envelope on the fused path: expanding-frame
+    detuning (computed in-kernel from the tick counter) and explicit
+    renormalization must reproduce the XLA per-tick path (VERDICT item 1;
+    laserCoolingPlusExpansionMDQTSpeedUp.cpp:447,706-712)."""
+    n, tile, npad, ratio, tick_start = 96, 128, 128, 12, 3700
+    L = PlasmaUnits.box_length(n)
+    scheme = with_recoil(sr12_cooling(), 9.1e-4, 3.6e-4)
+    S = scheme.n_states
+    h, qdt, p2q, g2e = 0.00985, 8e-5, 1.327, 123.1
+    # flagship-like coefficients: frac_of_sig=0.5, te=19, density=2, sig0=4
+    c1 = 0.0126 * 0.5 * 19.0 / (np.sqrt(2.0) * 4.0)
+    c2 = 0.00014314 * 19.0 / (2.0 * 16.0)
+    exp_det_fn = lambda t: np.float32(c1 * t / np.sqrt(1.0 + c2 * t * t))
+    engine = QTEngine(scheme, h=h, dt_plasma=qdt, plas_to_quant_vel=p2q,
+                      gamma_to_einstein=g2e, apply_force=True,
+                      renormalize=renorm)
+    spec = FusedTickSpec(scheme=scheme, h=h, qdt=qdt, plas_to_quant_vel=p2q,
+                         gamma_to_einstein=g2e, ratio=ratio, L=L,
+                         apply_force=True, exp_c1=c1, exp_c2=c2,
+                         renormalize=renorm)
+
+    key = jax.random.PRNGKey(5)
+    kr, kv, kp, kf, kq = jax.random.split(key, 5)
+    R = jax.random.uniform(kr, (n, 3), jnp.float32, 0, L)
+    V = jax.random.normal(kv, (n, 3), jnp.float32) * 0.3
+    F = jax.random.normal(kf, (n, 3), jnp.float32) * 0.5
+    psi = jnp.zeros((n, S), jnp.complex64)
+    psi = psi.at[:, 2].set(0.7).at[:, 4].set(0.5j).at[:, 0].set(0.51)
+    tp = jnp.abs(jax.random.normal(kq, (n,), jnp.float32))
+    rolls = jax.random.uniform(jax.random.PRNGKey(17), (ratio, 5, n),
+                               jnp.float32)
+
+    R_x, V_x, tp_x, psi_x = xla_reference(
+        engine, R, V, F, tp, psi, rolls, qdt, L, ratio, first=False,
+        tick0=tick_start, exp_det_fn=exp_det_fn)
+
+    SP = spec.SP
+
+    def pad_rows(x, rows):
+        out = jnp.zeros((rows, npad), jnp.float32)
+        return out.at[:x.shape[0], :n].set(x)
+
+    Ro, Vo, tpo, preo, pimo = fused_md_substeps(
+        spec, jnp.zeros((1, 1), jnp.float32), pad_rows(R.T, 3),
+        pad_rows(V.T, 3), pad_rows(F.T, 3), pad_rows(tp[None, :], 1),
+        pad_rows(psi.T.real, SP), pad_rows(psi.T.imag, SP),
+        pad_rows(rolls.reshape(ratio * 5, n), ratio * 5),
+        tick0=jnp.full((1, 1), tick_start, jnp.float32), tile=tile,
+        interpret=True)
+
+    np.testing.assert_allclose(np.asarray(Ro[:, :n]), np.asarray(R_x),
+                               atol=2e-5, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(Vo[:, :n]), np.asarray(V_x),
+                               atol=2e-5, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(tpo[0, :n]), np.asarray(tp_x),
+                               atol=2e-5)
+    np.testing.assert_allclose(np.asarray(preo[:S, :n]),
+                               np.asarray(psi_x.real), atol=5e-5)
+    np.testing.assert_allclose(np.asarray(pimo[:S, :n]),
+                               np.asarray(psi_x.imag), atol=5e-5)
+    # pad rows/cols stay exactly zero (renormalize must not 0/0 them)
+    assert float(jnp.abs(preo[S:, :]).max()) == 0.0
+    assert float(jnp.abs(preo[:, n:]).max()) == 0.0
+    assert float(jnp.abs(pimo[:, n:]).max()) == 0.0
+    if renorm:
+        norm = preo[:S, :n] ** 2 + pimo[:S, :n] ** 2
+        np.testing.assert_allclose(np.asarray(jnp.sum(norm, 0)), 1.0,
+                                   atol=1e-5)
+
+
+def test_fused_requires_tick0_with_expansion():
+    scheme = with_recoil(sr12_cooling(), 9.1e-4, 3.6e-4)
+    spec = FusedTickSpec(scheme=scheme, h=0.01, qdt=8e-5,
+                         plas_to_quant_vel=1.3, gamma_to_einstein=123.0,
+                         ratio=2, L=10.0, apply_force=True, exp_c1=0.5,
+                         exp_c2=0.1)
+    z3 = jnp.zeros((3, 128), jnp.float32)
+    z1 = jnp.zeros((1, 128), jnp.float32)
+    zS = jnp.zeros((spec.SP, 128), jnp.float32)
+    rolls = jnp.zeros((10, 128), jnp.float32)
+    with pytest.raises(ValueError, match="tick0"):
+        fused_md_substeps(spec, jnp.zeros((1, 1), jnp.float32), z3, z3, z3,
+                          z1, zS, zS, rolls, tile=128, interpret=True)
+
+
+def test_fused_rejects_complex_coupling():
+    scheme = sr12_cooling()
+    C = scheme.coupling.copy()
+    C[2, 1] += 0.3j
+    C[1, 2] -= 0.3j
+    bad = dataclasses.replace(scheme, coupling=C)
+    spec = FusedTickSpec(scheme=bad, h=0.01, qdt=8e-5,
+                         plas_to_quant_vel=1.3, gamma_to_einstein=123.0,
+                         ratio=2, L=10.0, apply_force=True)
+    z3 = jnp.zeros((3, 128), jnp.float32)
+    z1 = jnp.zeros((1, 128), jnp.float32)
+    zS = jnp.zeros((spec.SP, 128), jnp.float32)
+    rolls = jnp.zeros((10, 128), jnp.float32)
+    with pytest.raises(ValueError, match="real coupling"):
+        fused_md_substeps(spec, jnp.zeros((1, 1), jnp.float32), z3, z3, z3,
+                          z1, zS, zS, rolls, tile=128, interpret=True)
 
 
 def test_fused_ensemble_fold_matches_per_job():
