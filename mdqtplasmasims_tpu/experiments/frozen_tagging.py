@@ -227,6 +227,24 @@ def _output_block(cfg, state, spin_up, vholder, epot0, L, ldeb, bins):
                 n_up=jnp.sum(spin_up))
 
 
+@partial(jax.jit, static_argnames=("cfg",))
+def tag_instant_output(cfg: FrozenTagConfig, state: SimState, spin_up,
+                       vholder, epot0):
+    """Output block at the tag instant itself.  The reference emits it
+    the moment ``t >= tendV0``: the 422 variant writes only the tau=0
+    VAF row (measureSpinUps(); Zfunc(0); printVAF —
+    randomFrozenStartTag422Linear.cpp:1000-1005), the 408 variants also
+    call output() there (randomFrozenStartTag408Linear.cpp /
+    408Quad.cpp, same block), so energies/moments/vel_dist get a first
+    row at the tag instant too.  Since ``vholder`` is the velocity
+    snapshot just taken, the VAF value is the <v^2> normalization row."""
+    pu = PlasmaUnits(cfg.density, cfg.ge)
+    L = PlasmaUnits.box_length(cfg.n0)
+    bins = centered_bins(cfg.np_dtype)
+    return _output_block(cfg, state, spin_up, vholder, epot0, L,
+                         pu.debye_length, bins)
+
+
 @partial(jax.jit, static_argnames=("cfg", "seg_lengths"))
 def run_phase_b(cfg: FrozenTagConfig, state: SimState, spin_up, vholder,
                 epot0, seg_lengths: tuple):
@@ -278,6 +296,7 @@ def run(cfg: FrozenTagConfig, seed: Optional[int] = None):
     n_md_total = int(round(cfg.tmax / cfg.timestep))
     state = run_phase_a(cfg_run, state, n_md_a)
     state, spin_up, vholder = measure(cfg_run, state)
+    out_tag = tag_instant_output(cfg_run, state, spin_up, vholder, epot0)
 
     # phase B segment lengths: align to the global sample_freq grid
     first = cfg.sample_freq - (n_md_a % cfg.sample_freq)
@@ -291,10 +310,11 @@ def run(cfg: FrozenTagConfig, seed: Optional[int] = None):
     jax.block_until_ready(state)
 
     outs = safe_device_get(outs)
+    out_tag = safe_device_get(out_tag)
     final = safe_device_get(state)
     spin_up_np = np.asarray(safe_device_get(spin_up))
-    results = dict(outs=outs, spin_up=spin_up_np, epot0=float(epot0),
-                   final=final, n_md_a=n_md_a)
+    results = dict(outs=outs, out_tag=out_tag, spin_up=spin_up_np,
+                   epot0=float(epot0), final=final, n_md_a=n_md_a)
 
     if cfg.save_directory is not None:
         d = frozen_tag_dir(cfg.save_directory,
@@ -310,22 +330,36 @@ def write_outputs(directory: str, cfg: FrozenTagConfig, res: dict,
                   n_md_total: int) -> None:
     w = DatWriter(directory)
     outs = res["outs"]
+    out_tag = res["out_tag"]
     bins = (np.arange(4001) - 2000) * 0.0025
+
+    # tag-instant emission: the VAF/LongKin tau=0 normalization row for
+    # every variant; the 408 variants additionally call output() there
+    # (see tag_instant_output) so their other streams get the row too.
+    full_tag_row = cfg.variant != "422linear"
+    if full_tag_row:
+        outs = {k: np.concatenate([np.asarray(out_tag[k])[None], v])
+                for k, v in outs.items()}
+        ac_t = outs["t"]
+        ac = outs["long_kin" if cfg.variant == "408quad" else "vaf"]
+    else:
+        ac_t = np.concatenate([[out_tag["t"]], outs["t"]])
+        key = "long_kin" if cfg.variant == "408quad" else "vaf"
+        ac = np.concatenate([[out_tag[key]], outs[key]])
     n_samples = outs["t"].shape[0]
 
     c0_tag = res["n_md_a"]
     w.write_text(f"spinUpIons_timestep{c0_tag:06d}.dat",
-                 str(int(res["outs"]["n_up"][0])))
+                 str(int(out_tag["n_up"])))
 
     energies = np.concatenate([outs["t"][:, None], outs["energies"]], axis=1)
     w.append("energies.dat", energies)
     moments = np.concatenate([outs["t"][:, None], outs["moments"]], axis=1)
     w.append("taggedMoments.dat", moments)
     if cfg.variant == "408quad":
-        w.append("vSquareAutoCorr.dat",
-                 np.stack([outs["t"], outs["long_kin"]], -1))
+        w.append("vSquareAutoCorr.dat", np.stack([ac_t, ac], -1))
     else:
-        w.append("VAF.dat", np.stack([outs["t"], outs["vaf"]], -1))
+        w.append("VAF.dat", np.stack([ac_t, ac], -1))
     for k in range(n_samples):
         w.write(f"vel_distX_timestep{k:06d}.dat",
                 np.stack([bins, outs["pvel_x"][k]], -1))

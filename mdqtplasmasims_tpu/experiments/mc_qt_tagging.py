@@ -13,6 +13,7 @@ suite.
 from __future__ import annotations
 
 import dataclasses
+import time
 from functools import partial
 from typing import Optional
 
@@ -248,10 +249,13 @@ def run(cfg: MCTagConfig, seed: Optional[int] = None) -> dict:
 
 
 def _write_outputs(cfg: MCTagConfig, res: dict) -> None:
+    # the 422 main stamps the run date into the directory name
+    # (MonteCarloFollowedByQTTagging422Linear.cpp:1127-1134)
+    stamp = time.strftime("Date%m%d%y") if cfg.is_422 else None
     d = mc_tag_dir(cfg.save_directory, gamma=cfg.gamma, kappa=cfg.kappa,
                    n=cfg.n, tpump_seconds=cfg.tpump_seconds,
                    detuning=cfg.detuning, om=cfg.om, density=cfg.density,
-                   job=cfg.job)
+                   job=cfg.job, date_stamp=stamp)
     w = DatWriter(d)
     t_axis = np.arange(cfg.record_steps) * cfg.timestep
     bins = (np.arange(4001) - 2000) * 0.0025

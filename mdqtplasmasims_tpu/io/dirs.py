@@ -52,10 +52,16 @@ def mc_transport_dir(base: str, *, gamma, kappa, n, job) -> str:
 
 
 def mc_tag_dir(base: str, *, gamma, kappa, n, tpump_seconds, detuning, om,
-               density, job) -> str:
+               density, job, date_stamp: str | None = None) -> str:
+    """``date_stamp`` reproduces the 422 variant's ``Date%m%d%y`` suffix
+    (MonteCarloFollowedByQTTagging422Linear.cpp:1127-1134, strcat'd onto
+    the param name before mkdir); the 408 variants have it commented out
+    (e.g. 408Quad.cpp:1162-1165), so callers pass None there."""
     name = (f"Gamma{_u(gamma * 100)}Kappa{_u(kappa * 100)}NumIons{_u(n)}"
             f"PumpTime{_u(1e9 * tpump_seconds)}Det{_u(100 * abs(detuning))}"
             f"Om{_u(100 * om)}Density{_u(10 * density)}")
+    if date_stamp is not None:
+        name += date_stamp
     return os.path.join(base, name, f"job{job}")
 
 

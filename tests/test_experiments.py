@@ -38,6 +38,22 @@ class TestCooling:
         e = np.loadtxt(d)
         assert e.shape[1] == 7
 
+    def test_renormalize_end_to_end(self):
+        """reNormalizewvFns=1 path (SpeedUp.cpp:74,706-712): with the
+        explicit per-tick renormalization the wavefunction norms stay at
+        exactly 1 over a full run, and the physics (energies) stays within
+        the stochastic envelope of the default path."""
+        cfg = CoolingConfig(n0=64, tmax=0.3, sample_freq=30,
+                            use_pallas=False, renormalize=True)
+        final, res = run_cooling(cfg)
+        norms = np.linalg.norm(np.asarray(final.psi), axis=1)
+        np.testing.assert_allclose(norms, 1.0, atol=1e-5)
+        outs = res["outs"]
+        assert np.isfinite(outs["ekin"]).all()
+        # DIH still happens and the energy audit still balances
+        de = (outs["ekin"].sum(-1) + outs["epot"] - res["epot0"])
+        assert np.abs(de).max() < 0.2 * outs["ekin"][-1].sum()
+
     def test_checkpoint_resume_roundtrip(self, tmp_path):
         cfg = CoolingConfig(n0=64, tmax=0.2, sample_freq=10,
                             use_pallas=False,
@@ -78,6 +94,34 @@ class TestFrozenTagging:
             assert "vSquareAutoCorr.dat" in files
         else:
             assert "VAF.dat" in files
+
+    @pytest.mark.parametrize("variant", ["422linear", "408linear"])
+    def test_tag_instant_row(self, variant, tmp_path):
+        """The reference emits outputs the moment t >= tendV0: a tau=0
+        VAF row for every variant (Zfunc(0); printVAF —
+        randomFrozenStartTag422Linear.cpp:1000-1005) and, in the 408
+        variants only, a full output() row too."""
+        cfg = FrozenTagConfig(variant=variant, n0=64, tstart=0.1, tmax=0.5,
+                              tpump_seconds=1e-7, sample_freq=10,
+                              use_pallas=False,
+                              save_directory=str(tmp_path))
+        final, res = run_frozen(cfg)
+        vaf = np.loadtxt(next(tmp_path.rglob("VAF.dat")))
+        n_b = res["outs"]["t"].shape[0]
+        assert vaf.shape[0] == n_b + 1
+        # tau=0 normalization row: VAF(0) = <vx^2> at the tag instant
+        t_tag = res["out_tag"]["t"]
+        np.testing.assert_allclose(vaf[0, 0], t_tag, rtol=1e-6)
+        np.testing.assert_allclose(vaf[0, 1], res["out_tag"]["vaf"],
+                                   rtol=1e-5)
+        assert vaf[1, 0] > vaf[0, 0]
+        energies = np.loadtxt(next(tmp_path.rglob("energies.dat")))
+        moments = np.loadtxt(next(tmp_path.rglob("taggedMoments.dat")))
+        extra = 1 if variant != "422linear" else 0
+        assert energies.shape[0] == n_b + extra
+        assert moments.shape[0] == n_b + extra
+        if extra:
+            np.testing.assert_allclose(energies[0, 0], t_tag, rtol=1e-6)
 
     def test_resume_run_roundtrip(self, tmp_path):
         """resume_run restores R/V (to %g file precision), the spin-up
