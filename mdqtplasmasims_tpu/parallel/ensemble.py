@@ -72,14 +72,20 @@ def ring_forces_fn(L: float, ldeb: float, axis: str = ION_AXIS,
 
 
 def make_sharded_md_step(scheduler_factory: Callable[[Callable], "CoolingScheduler"],
-                         mesh: Mesh, L: float, ldeb: float):
+                         mesh: Mesh, L: float, ldeb: float,
+                         forces: str = "gather"):
     """Build a jitted [E, N, ...] SimState -> SimState step over the mesh.
 
     ``scheduler_factory(forces_fn)`` returns a scheduler whose ``md_step``
     advances one single-system state; it is vmapped over the local ensemble
-    block inside shard_map.
+    block inside shard_map.  ``forces`` picks the cross-shard force path:
+    ``"gather"`` (one all_gather of positions per refresh) or ``"ring"``
+    (ppermute circulation, O(N/k) peak memory per chip — for huge N).
     """
-    sched = scheduler_factory(sharded_forces_fn(L, ldeb))
+    assert forces in ("gather", "ring"), forces
+    fn = (ring_forces_fn(L, ldeb) if forces == "ring"
+          else sharded_forces_fn(L, ldeb))
+    sched = scheduler_factory(fn)
     spec = state_pspec()
 
     def local_step(state: SimState) -> SimState:

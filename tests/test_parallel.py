@@ -63,6 +63,94 @@ class TestShardedStep:
         assert np.allclose(np.asarray(out.F[0]), np.asarray(F_ref),
                            rtol=1e-12, atol=1e-12)
 
+    def test_full_state_matches_single_device(self):
+        """On an ens-only mesh (n_ions=1) the per-member RNG streams are
+        identical to the unsharded ones, so three sharded MD steps plus a
+        diagnostics sample must reproduce the full SimState of the
+        unsharded scheduler exactly (f64)."""
+        from mdqtplasmasims_tpu.core.md import kinetic_energies
+        from mdqtplasmasims_tpu.ops.yukawa import (yukawa_forces_potential,
+                                                   yukawa_potential)
+
+        cfg = CoolingConfig(n0=48, use_pallas=False, dtype="float64")
+        pu = PlasmaUnits(cfg.density, cfg.ge)
+        L = PlasmaUnits.box_length(cfg.n0)
+        n_ens, n_ions = 8, 1
+        mesh = make_mesh(n_ens, n_ions)
+
+        def factory(forces_fn):
+            return CoolingScheduler(engine=build_engine(cfg),
+                                    forces_fn=forces_fn, L=L, qdt=cfg.qdt,
+                                    ratio=cfg.ratio)
+
+        step = make_sharded_md_step(factory, mesh, L, pu.debye_length)
+        keys = shard_keys(jax.random.PRNGKey(3), n_ens, n_ions)
+        states = batched_initial_states(_init_one(cfg), keys[:, 0])
+        states = states._replace(key=keys)
+
+        out = states
+        for _ in range(3):
+            out = step(out)
+
+        # unsharded replay, same math (cols=R is the identical row-block
+        # computation the sharded path performs after its all_gather)
+        sched = factory(lambda R: yukawa_forces_potential(R, L,
+                                                          pu.debye_length,
+                                                          cols=R))
+        for i in range(n_ens):
+            member = jax.tree.map(lambda a: a[i], states)
+            member = member._replace(key=states.key[i, 0])
+            for _ in range(3):
+                member = sched.md_step(member)
+            for name in ("R", "V", "F", "t_part"):
+                np.testing.assert_array_equal(
+                    np.asarray(getattr(out, name)[i]),
+                    np.asarray(getattr(member, name)), err_msg=name)
+            np.testing.assert_array_equal(np.asarray(out.psi[i]),
+                                          np.asarray(member.psi))
+            assert int(out.tick[i]) == int(member.tick)
+            # diagnostics sample on the sharded result == unsharded
+            ek_s = kinetic_energies(out.V[i])
+            ek_u = kinetic_energies(member.V)
+            np.testing.assert_array_equal(np.asarray(ek_s),
+                                          np.asarray(ek_u))
+            np.testing.assert_allclose(
+                float(yukawa_potential(out.R[i], L, pu.debye_length)),
+                float(yukawa_potential(member.R, L, pu.debye_length)),
+                rtol=1e-14)
+
+    def test_ring_step_matches_gather_step(self):
+        """A full MD step with the ppermute-ring force path == the
+        all_gather path (same keys; forces differ only by summation
+        order -> 1e-12 f64)."""
+        cfg = CoolingConfig(n0=64, use_pallas=False, dtype="float64")
+        pu = PlasmaUnits(cfg.density, cfg.ge)
+        L = PlasmaUnits.box_length(cfg.n0)
+        n_ens, n_ions = 2, 4
+        mesh = make_mesh(n_ens, n_ions)
+
+        def factory(forces_fn):
+            return CoolingScheduler(engine=build_engine(cfg),
+                                    forces_fn=forces_fn, L=L, qdt=cfg.qdt,
+                                    ratio=cfg.ratio)
+
+        keys = shard_keys(jax.random.PRNGKey(5), n_ens, n_ions)
+        states = batched_initial_states(_init_one(cfg), keys[:, 0])
+        states = states._replace(key=keys)
+
+        out_g = make_sharded_md_step(factory, mesh, L, pu.debye_length,
+                                     forces="gather")(states)
+        out_r = make_sharded_md_step(factory, mesh, L, pu.debye_length,
+                                     forces="ring")(states)
+        for name in ("R", "V", "F", "t_part"):
+            np.testing.assert_allclose(
+                np.asarray(getattr(out_r, name)),
+                np.asarray(getattr(out_g, name)),
+                rtol=1e-11, atol=1e-12, err_msg=name)
+        np.testing.assert_allclose(np.asarray(out_r.psi),
+                                   np.asarray(out_g.psi),
+                                   rtol=1e-11, atol=1e-12)
+
     def test_sharded_forces_match(self):
         """Row-sharded force computation == unsharded."""
         from jax import shard_map
