@@ -69,6 +69,10 @@ class CoolingConfig:
     timestep: float = 0.002
     sample_freq: int = 40
     renormalize: bool = False
+    # "speedup" (laserCoolingPlusExpansionMDQTSpeedUp.cpp, the current
+    # generation) or "pre_speedup" (LaserCoolingPlusExpansionMDQT.cpp:502's
+    # sqrt(dr)-smaller DP Ehrenfest kick) — see levels.sr12_cooling
+    physics: str = "speedup"
     job: int = 1
     exact_n: bool = True          # pin N = n0 (False: Poissonian as reference)
     dtype: str = "float32"
@@ -110,7 +114,8 @@ class CoolingConfig:
 
 def build_engine(cfg: CoolingConfig) -> QTEngine:
     scheme = with_recoil(
-        sr12_cooling(cfg.detuning, cfg.detuning_dp, cfg.om, cfg.om_dp),
+        sr12_cooling(cfg.detuning, cfg.detuning_dp, cfg.om, cfg.om_dp,
+                     gs_convention=cfg.physics),
         kick_s=cfg.vkick, kick_d=cfg.vkick * K_RATIO_1033)
     u = cfg.units
     return QTEngine(scheme, h=cfg.qdt * u.gamma_to_einstein,

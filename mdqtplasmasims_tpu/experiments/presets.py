@@ -25,9 +25,12 @@ def north_star(**kw) -> CoolingConfig:
 magnesium = north_star
 
 def pre_speedup(**kw) -> CoolingConfig:
-    """LaserCoolingPlusExpansionMDQT.cpp run shape: the same physics
-    engine with its active interval diagnostics (13 VAF intervals at
-    t=3,5,...,27 and the LCCF J(k) stream)."""
+    """LaserCoolingPlusExpansionMDQT.cpp as compiled: the old-generation
+    DP Ehrenfest-kick convention (physics="pre_speedup",
+    LaserCoolingPlusExpansionMDQT.cpp:502) plus its active interval
+    diagnostics (13 VAF intervals at t=3,5,...,27 and the LCCF J(k)
+    stream, :1252-1362)."""
+    kw.setdefault("physics", "pre_speedup")
     kw.setdefault("vaf_intervals", tuple(range(3, 28, 2)))
     kw.setdefault("record_lccf", True)
     return CoolingConfig(**kw)

@@ -40,14 +40,15 @@ derived quantity (decay_w, coupling, jump probabilities, force weights)
 matches the corresponding reference file exactly.
 
 NOTE on the pre-SpeedUp generation: LaserCoolingPlusExpansionMDQT.cpp (the
-original file, superseded per reference README.md:30) disagrees with the
-SpeedUp file on the gs convention — it builds gs as *rates* (:1198-1216),
-uses gs (not gs^2) in the jump-probability operator, and scales the DP
-Ehrenfest kick by OmDP/sqrt(decayRatio) instead of OmDP/decayRatio (:503).
-Following SURVEY.md section 7 ("Follow the SpeedUp file"), this framework
-implements the SpeedUp physics; the pre-SpeedUp file's *diagnostics*
-(interval VAF, LCCF) are available via CoolingConfig.vaf_intervals /
-record_lccf.
+original file, superseded per reference README.md:30) builds gs as *rates*
+(:1198-1216) and uses gs (not gs^2) in the jump operator and collapse
+chains — which is algebraically IDENTICAL to the SpeedUp amplitudes under
+gs_rate = gs_amp^2.  The only behavioral physics delta is the DP Ehrenfest
+kick prefactor: OmDP/sqrt(decayRatio) (old :502) vs OmDP/decayRatio
+(SpeedUp :503), i.e. the old DP optical force is sqrt(dr)~1/4 of the
+SpeedUp one.  Select it with ``sr12_cooling(gs_convention="pre_speedup")``
+or ``CoolingConfig(physics="pre_speedup")``; the old file's *diagnostics*
+(interval VAF, LCCF) are CoolingConfig.vaf_intervals / record_lccf.
 """
 
 from __future__ import annotations
@@ -109,13 +110,26 @@ def _dest_table(n: int, entries: dict) -> np.ndarray:
 
 def sr12_cooling(detuning: float = -1.0, detuning_dp: float = 1.0,
                  om: float = 1.0, om_dp: float = 1.0,
-                 decay_ratio: float = DECAY_RATIO_D52_408) -> LevelScheme:
+                 decay_ratio: float = DECAY_RATIO_D52_408,
+                 gs_convention: str = "speedup") -> LevelScheme:
     """12-state Sr+ S1/2 + P1/2(4) + D5/2(6) cooling scheme.
 
     State order (laserCoolingPlusExpansionMDQTSpeedUp.cpp:156-167):
       0: S -1/2   1: S +1/2
       2: P +3/2   3: P +1/2   4: P -1/2   5: P -3/2
       6..11: D -5/2 .. +5/2
+
+    ``gs_convention`` selects the generation of the reference physics:
+    ``"speedup"`` (default) follows laserCoolingPlusExpansionMDQTSpeedUp
+    (the current file per reference README.md:30); ``"pre_speedup"``
+    reproduces the original LaserCoolingPlusExpansionMDQT.cpp.  The two
+    differ ONLY in the DP Ehrenfest-kick prefactor — OmDP/decayRatio
+    (SpeedUp.cpp:503) vs OmDP/sqrt(decayRatio) (old :502), a sqrt(dr)~1/4
+    smaller DP force in the old generation.  All other apparent deltas
+    (gs as rates vs amplitudes, gs vs gs^2 in the jump operator and
+    collapse chains) cancel algebraically under gs_rate = gs_amp^2:
+    old :481/:518/:534-579/:586-700 == SpeedUp :484-486/:1201-1205/
+    :525-567/:573-703 exactly.
     """
     S = 12
     dr = decay_ratio
@@ -185,14 +199,16 @@ def sr12_cooling(detuning: float = -1.0, detuning_dp: float = 1.0,
                       (0, 3, np.sqrt(g2[(0, 3)]) * om),
                       (1, 4, -np.sqrt(g2[(1, 4)]) * om),
                       (0, 5, -np.sqrt(g2[(0, 5)]) * om)]
-    force_terms_dp = [(8, 5, np.sqrt(g2[(8, 5)]) * om_dp / dr),
-                      (9, 4, np.sqrt(g2[(9, 4)]) * om_dp / dr),
-                      (10, 3, np.sqrt(g2[(10, 3)]) * om_dp / dr),
-                      (11, 2, np.sqrt(g2[(11, 2)]) * om_dp / dr),
-                      (6, 5, -np.sqrt(g2[(6, 5)]) * om_dp / dr),
-                      (7, 4, -np.sqrt(g2[(7, 4)]) * om_dp / dr),
-                      (8, 3, -np.sqrt(g2[(8, 3)]) * om_dp / dr),
-                      (9, 2, -np.sqrt(g2[(9, 2)]) * om_dp / dr)]
+    assert gs_convention in ("speedup", "pre_speedup"), gs_convention
+    dp_force = om_dp / (dr if gs_convention == "speedup" else np.sqrt(dr))
+    force_terms_dp = [(8, 5, np.sqrt(g2[(8, 5)]) * dp_force),
+                      (9, 4, np.sqrt(g2[(9, 4)]) * dp_force),
+                      (10, 3, np.sqrt(g2[(10, 3)]) * dp_force),
+                      (11, 2, np.sqrt(g2[(11, 2)]) * dp_force),
+                      (6, 5, -np.sqrt(g2[(6, 5)]) * dp_force),
+                      (7, 4, -np.sqrt(g2[(7, 4)]) * dp_force),
+                      (8, 3, -np.sqrt(g2[(8, 3)]) * dp_force),
+                      (9, 2, -np.sqrt(g2[(9, 2)]) * dp_force)]
 
     # jump destination tables (lines 573-703).  Source P sublevel chosen
     # prop. to population; S-vs-D branch with fixed prob dr/(1+dr); then
@@ -213,7 +229,9 @@ def sr12_cooling(detuning: float = -1.0, detuning_dp: float = 1.0,
     }
 
     return LevelScheme(
-        name="sr12_cooling", n_states=S, decay_w=decay_w, e0=e0, e1=e1,
+        name=("sr12_cooling" if gs_convention == "speedup"
+              else "sr12_cooling_pre_speedup"),
+        n_states=S, decay_w=decay_w, e0=e0, e1=e1,
         coupling=C, tdep_rows=tdep_rows, tdep_cols=tdep_cols,
         tdep_coefs=tdep_coefs, tdep_freq=tdep_freq,
         force_a=tuple(a for a, _, _ in force_terms_sp + force_terms_dp),

@@ -114,7 +114,8 @@ def collapse_chain(dr):
 def qstep(wvFn, velPlas, tPart, rolls, *, detuning, detuningDP, Om, OmDP,
           dr, plasVelToQuantVel, gamToEinsteinFreq, dtQuant, vKick,
           vKickDP, fracOfSig=0.0, Te=19.0, density=2.0, sig0=4.0, t=0.0,
-          reNormalizewvFns=False, dest_state_order=False):
+          reNormalizewvFns=False, dest_state_order=False,
+          gs_convention="speedup"):
     """One reference quantum tick for one ion (SpeedUp.cpp:438-717).
 
     Returns (wvFn', velPlas', tPart').  ``rolls`` are the five uniforms in
@@ -123,6 +124,16 @@ def qstep(wvFn, velPlas, tPart, rolls, *, detuning, detuningDP, Om, OmDP,
     framework's state-ascending cumulative instead of the reference's
     if-chain order (identical distribution, different uniform->outcome
     map) so trajectories are bit-comparable.
+
+    ``gs_convention="pre_speedup"`` reproduces the original
+    LaserCoolingPlusExpansionMDQT.cpp:502 generation: there gs[] are
+    *rates* and the DP Ehrenfest sum is vKickDP*(OmDP/sqrt(dr))*
+    sum Im(p)*sqrt(gs_rate) — with sqrt(gs_rate) = gs_amplitude this is
+    the SpeedUp expression with OmDP/dr replaced by OmDP/sqrt(dr) (a
+    factor sqrt(dr) ~ 1/4 smaller DP kick).  Everything else (dp,
+    Hamiltonian, RK stages, collapse chains — old :481,:518,:534-579,
+    :586-700) is algebraically identical between the two generations
+    once the rate<->amplitude change of variables is applied.
     """
     gs = gs_table(dr)
     h = dtQuant * gamToEinsteinFreq
@@ -140,10 +151,12 @@ def qstep(wvFn, velPlas, tPart, rolls, *, detuning, detuningDP, Om, OmDP,
         # p_ab = <a|psi><psi|b> = psi_a conj(psi_b) with 0-based indices
         def p(a, b):
             return wvFn[a] * np.conj(wvFn[b])
+        dp_pref = (OmDP / dr if gs_convention == "speedup"
+                   else OmDP / np.sqrt(dr))
         kick = (vKick * Om * (p(1, 2).imag * gs[0] + p(0, 3).imag * gs[2]
                               - p(1, 4).imag * gs[4]
                               - p(0, 5).imag * gs[5]) * h
-                + vKickDP * (OmDP / dr)
+                + vKickDP * dp_pref
                 * (p(8, 5).imag * gs[8] + p(9, 4).imag * gs[11]
                    + p(10, 3).imag * gs[14] + p(11, 2).imag * gs[17]
                    - p(6, 5).imag * gs[6] - p(7, 4).imag * gs[9]

@@ -236,6 +236,72 @@ class TestReferenceTranscription:
                                        err_msg=f"ion {i} t_part")
 
 
+    def test_pre_speedup_convention_tables(self):
+        """gs_convention='pre_speedup' differs from 'speedup' ONLY in the
+        DP Ehrenfest-force weights, by the factor sqrt(dr)
+        (LaserCoolingPlusExpansionMDQT.cpp:502 vs SpeedUp.cpp:503); the
+        Hamiltonian, decay and jump tables are generation-invariant."""
+        new = sr12_cooling(self.DET, self.DETDP, self.OM, self.OMDP,
+                           decay_ratio=self.DR)
+        old = sr12_cooling(self.DET, self.DETDP, self.OM, self.OMDP,
+                           decay_ratio=self.DR,
+                           gs_convention="pre_speedup")
+        np.testing.assert_array_equal(old.coupling, new.coupling)
+        np.testing.assert_array_equal(old.decay_w, new.decay_w)
+        np.testing.assert_array_equal(old.jump_dest, new.jump_dest)
+        np.testing.assert_array_equal(old.e0, new.e0)
+        np.testing.assert_array_equal(old.e1, new.e1)
+        assert old.tdep_coefs == new.tdep_coefs
+        w_old = np.array(old.force_w)
+        w_new = np.array(new.force_w)
+        np.testing.assert_allclose(w_old[:4], w_new[:4], rtol=1e-15)  # SP
+        np.testing.assert_allclose(w_old[4:], w_new[4:] * np.sqrt(self.DR),
+                                   rtol=1e-14)                        # DP
+
+    def test_pre_speedup_trajectory_transcription(self):
+        """Engine with physics='pre_speedup' against the oracle in the
+        old-generation kick convention, identical rolls, 60 ticks."""
+        from reference_qstep import qstep
+
+        scheme = with_recoil(
+            sr12_cooling(self.DET, self.DETDP, self.OM, self.OMDP,
+                         decay_ratio=self.DR, gs_convention="pre_speedup"),
+            kick_s=self.VKICK, kick_d=self.VKICKDP)
+        eng = QTEngine(scheme, h=self.QDT * self.G2E, dt_plasma=self.QDT,
+                       plas_to_quant_vel=self.P2Q,
+                       gamma_to_einstein=self.G2E, apply_force=True)
+        n, T = 24, 60
+        rng = np.random.default_rng(7)
+        psi0 = rng.normal(size=(n, 12)) + 1j * rng.normal(size=(n, 12))
+        psi0[:, 6:] *= 0.3
+        psi0 /= np.linalg.norm(psi0, axis=1, keepdims=True)
+        v0 = rng.uniform(-0.8, 0.8, n)
+        tp0 = rng.uniform(0.0, 2.0, n)
+        rolls = rng.uniform(size=(T, 5, n))
+
+        psi_sm = jnp.asarray(psi0.T)
+        vx = jnp.asarray(v0)
+        tp = jnp.asarray(tp0)
+        for k in range(T):
+            psi_sm, vx, tp = eng.step_sm(psi_sm, vx, tp, exp_det=0.0,
+                                         rolls=jnp.asarray(rolls[k]))
+
+        for i in range(n):
+            w, v, tpart = psi0[i].copy(), v0[i], tp0[i]
+            for k in range(T):
+                w, v, tpart = qstep(
+                    w, v, tpart, rolls[k, :, i], detuning=self.DET,
+                    detuningDP=self.DETDP, Om=self.OM, OmDP=self.OMDP,
+                    dr=self.DR, plasVelToQuantVel=self.P2Q,
+                    gamToEinsteinFreq=self.G2E, dtQuant=self.QDT,
+                    vKick=self.VKICK, vKickDP=self.VKICKDP,
+                    dest_state_order=True, gs_convention="pre_speedup")
+            np.testing.assert_allclose(np.asarray(psi_sm[:, i]), w,
+                                       atol=1e-10, err_msg=f"ion {i} psi")
+            np.testing.assert_allclose(float(vx[i]), v, atol=1e-12,
+                                       err_msg=f"ion {i} vx")
+
+
 class TestInvariants:
     @pytest.mark.parametrize("scheme_fn", [
         lambda: sr12_cooling(), lambda: tag408(-2.5, 0.7, True),
