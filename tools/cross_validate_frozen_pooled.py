@@ -1,0 +1,151 @@
+"""Pooled high-statistics cross-validation of the frozen-start tagging
+families against the compiled reference, with quantified z-scores
+(VERDICT round-1 item 5: replace 3-job "overlapping ranges" with N0>=600,
+>=8 jobs/side, z-scored tag fraction + tagged moments).
+
+For each variant (422linear, 408linear) this script patches a copy of the
+reference source (N0=600, tstart=1, tmax=2, sampleFreq=10; pump
+parameters left at each file's compiled defaults), compiles it with
+tools/arma_shim.hpp, runs JOBS jobs, runs the framework with JOBS seeds
+at the matched configuration, and compares per-job observables:
+
+  * tag fraction            (spinUpIons count / N)
+  * tagged <vx>, <vx^2>     (taggedMoments.dat rows at the tag instant
+                             and at the final sample)
+  * all-ion <vx^2>          (the tau=0 VAF normalization row)
+
+z = (mean_ref - mean_fw) / sqrt(s_ref^2/k + s_fw^2/k); PASS if every
+|z| < 3 (and the pooled tag fractions differ by < 20% relative).
+
+Usage: python tools/cross_validate_frozen_pooled.py [variant] [workdir]
+       variant in {422linear, 408linear, both (default)}
+"""
+
+import glob
+import os
+import re
+import shutil
+import subprocess
+import sys
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+JOBS = 8
+N0, TSTART, TMAX, SAMPLE_FREQ = 600, 1.0, 2.0, 10
+
+REF_FILES = {
+    "422linear": "/root/reference/randomFrozenStartTag422Linear.cpp",
+    "408linear": "/root/reference/randomFrozenStartTag408Linear.cpp",
+}
+
+
+def patch_and_compile(variant: str, workdir: str) -> str:
+    src = open(REF_FILES[variant]).read()
+    subs = [
+        (r"#define N0 3500", f"#define N0 {N0}"),
+        (r"#define tmax 25", f"#define tmax {TMAX:g}"),
+        (r"#define tstartV0 15", f"#define tstartV0 {TSTART:g}"),
+        (r"int sampleFreq = 40;", f"int sampleFreq = {SAMPLE_FREQ};"),
+        (r'char saveDirectory\[256\] = "data4\d\d/";',
+         f'char saveDirectory[256] = "refdata_{variant}/";'),
+    ]
+    for pat, rep in subs:
+        src, n = re.subn(pat, rep, src)
+        assert n == 1, (variant, pat)
+    cpp = os.path.join(workdir, f"ref_{variant}.cpp")
+    open(cpp, "w").write(src)
+    shim = os.path.join(workdir, "shim")
+    os.makedirs(shim, exist_ok=True)
+    shutil.copy(os.path.join(REPO, "tools", "arma_shim.hpp"),
+                os.path.join(shim, "armadillo"))
+    out = os.path.join(workdir, f"ref_{variant}")
+    subprocess.run(["g++", "-std=c++11", "-fopenmp", "-O2", "-I", shim,
+                    "-o", out, cpp, "-lm"], check=True)
+    return out
+
+
+def ref_job_stats(job_dir: str) -> dict:
+    ions = glob.glob(os.path.join(job_dir, "ions_timestep*.dat"))
+    n = int(open(ions[0]).read().split()[0])
+    ups = glob.glob(os.path.join(job_dir, "spinUpIons_timestep*.dat"))
+    n_up = int(open(ups[0]).read().split()[0])
+    tm = np.loadtxt(os.path.join(job_dir, "taggedMoments.dat")).reshape(-1, 5)
+    vaf = np.loadtxt(os.path.join(job_dir, "VAF.dat")).reshape(-1, 2)
+    return dict(frac=n_up / n, m1_tag=tm[0, 1], m2_tag=tm[0, 2],
+                m1_end=tm[-1, 1], m2_end=tm[-1, 2], vaf0=vaf[0, 1])
+
+
+def fw_job_stats(variant: str, job: int) -> dict:
+    from mdqtplasmasims_tpu.experiments.frozen_tagging import (
+        FrozenTagConfig, run)
+    cfg = FrozenTagConfig(variant=variant, n0=N0, tstart=TSTART, tmax=TMAX,
+                          sample_freq=SAMPLE_FREQ, use_pallas=False,
+                          dtype="float64", job=job)
+    final, res = run(cfg)
+    tag, outs = res["out_tag"], res["outs"]
+    return dict(frac=float(res["spin_up"].mean()),
+                m1_tag=float(tag["moments"][0]),
+                m2_tag=float(tag["moments"][1]),
+                m1_end=float(outs["moments"][-1][0]),
+                m2_end=float(outs["moments"][-1][1]),
+                vaf0=float(tag["vaf"]))
+
+
+def zscore(a: np.ndarray, b: np.ndarray) -> float:
+    k = len(a)
+    se = np.sqrt(a.var(ddof=1) / k + b.var(ddof=1) / k)
+    return float((a.mean() - b.mean()) / max(se, 1e-12))
+
+
+def run_variant(variant: str, workdir: str) -> bool:
+    print(f"== {variant}: compiling + running {JOBS} reference jobs")
+    binary = patch_and_compile(variant, workdir)
+    for j in range(1, JOBS + 1):
+        subprocess.run([binary, str(j)], cwd=workdir, check=True,
+                       timeout=3600)
+    fam = glob.glob(os.path.join(workdir, f"refdata_{variant}", "*"))
+    assert len(fam) == 1, fam
+    refs = [ref_job_stats(os.path.join(fam[0], f"job{j}"))
+            for j in range(1, JOBS + 1)]
+
+    print(f"== {variant}: running {JOBS} framework jobs")
+    fws = [fw_job_stats(variant, j) for j in range(1, JOBS + 1)]
+
+    ok = True
+    print(f"  {'observable':10s} {'ref (mean+-sd)':>22s} "
+          f"{'framework':>22s} {'z':>6s}")
+    for key in ("frac", "m1_tag", "m2_tag", "m1_end", "m2_end", "vaf0"):
+        a = np.array([r[key] for r in refs])
+        b = np.array([f[key] for f in fws])
+        z = zscore(a, b)
+        print(f"  {key:10s} {a.mean():+11.4f} +- {a.std(ddof=1):6.4f} "
+              f"{b.mean():+11.4f} +- {b.std(ddof=1):6.4f} {z:+6.2f}")
+        ok &= abs(z) < 3.0
+    fa = np.array([r["frac"] for r in refs]).mean()
+    fb = np.array([f["frac"] for f in fws]).mean()
+    ok &= abs(fa - fb) / max(fa, 1e-9) < 0.20
+    print(f"  pooled tag fraction: ref {fa:.4f} vs fw {fb:.4f}")
+    print(f"== {variant}:", "PASS" if ok else "FAIL")
+    return bool(ok)
+
+
+def main(variant: str = "both", workdir: str = "/tmp/xval_frozen_pooled"
+         ) -> int:
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_enable_x64", True)
+    os.makedirs(workdir, exist_ok=True)
+    variants = (["422linear", "408linear"] if variant == "both"
+                else [variant])
+    results = {v: run_variant(v, workdir) for v in variants}
+    ok = all(results.values())
+    print("POOLED FROZEN-TAG CROSS-VALIDATION",
+          "PASS" if ok else "FAIL", results)
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main(*sys.argv[1:]))
