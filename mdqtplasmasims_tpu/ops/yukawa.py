@@ -239,19 +239,58 @@ def yukawa_potential_pallas(R, L, ldeb, mask=None, tile: int = 512):
     return 0.5 * jnp.sum(pot) / n_eff
 
 
-def _yukawa_n3l_kernel(xl_ref, ys_ref, f_ref, g_ref, *, L, ldeb, rcut2):
-    """Half-pair (Newton's-third-law) force kernel: only tiles with
-    ``j >= i`` do pair math; each off-diagonal tile emits the i-side sums
-    into the accumulator ``f_ref`` and the j-side *reaction* sums into the
-    scatter buffer ``g_ref`` (reduced outside).  This is the TPU-shaped
-    version of the reference's third-law update ``F(jj) -= ...``
-    (laserCoolingPlusExpansionMDQTSpeedUp.cpp:228-233) — no racy scatter,
-    just one extra buffer reduction.
+def _n3l_rounds(nt: int) -> int:
+    """Round-robin schedule depth: unordered tile pairs {i, (i+jj)%nt}
+    for jj in [0, nt//2] cover every pair exactly once when nt is odd;
+    for even nt the last round (jj = nt/2) covers each cross pair twice,
+    so the kernel masks it to i < nt/2.  Total active tiles =
+    nt*(nt+1)/2 either way — and, unlike a j >= i triangle test over an
+    (nt, nt) grid, *every* grid step does pair work (the square grid
+    wastes ~45% of its steps on skipped block fetches)."""
+    return nt // 2 + 1
 
-    ``xl_ref`` is [4, TI] (row 3 = i-side mask: padded i lanes must not
-    push reaction forces onto real j ions); ``ys_ref`` [TJ, 8] as usual.
-    Diagonal tiles (j == i) evaluate both ordered pairs on the i side and
-    write zero reaction rows, so nothing is double counted."""
+
+# Grid-schedule crossover, measured on v5e (in-process A/B, N=3500 vs
+# N=14000 at tile=512): the square grid's skipped lower-triangle steps
+# pipeline to near-zero cost at small nt (its simpler monotone block
+# indexing wins by ~5% at nt=7), while at large nt the round-robin's
+# halved step count wins (~6% at nt=28, growing with nt).
+_N3L_RR_MIN_NT = 12
+
+
+def _half_pair_tile(x, ys, *, L, ldeb, rcut2, reaction):
+    """Shared half-pair tile math.  x [4, TI] (row 3 = i mask), ys
+    [TJ, 8].  Returns (fx, fy, fz) i-side row sums [TI] and, when
+    ``reaction`` is set, (gx, gy, gz) j-side reaction column sums [TJ]."""
+    dx = x[0:1, :] - ys[:, 0:1]
+    dy = x[1:2, :] - ys[:, 1:2]
+    dz = x[2:3, :] - ys[:, 2:3]
+    dx -= L * jnp.round(dx * (1.0 / L))
+    dy -= L * jnp.round(dy * (1.0 / L))
+    dz -= L * jnp.round(dz * (1.0 / L))
+    r2 = dx * dx + dy * dy + dz * dz
+    valid = ((r2 > 0) & (r2 < rcut2) & (ys[:, 3:4] > 0)
+             & (x[3:4, :] > 0))
+    r2s = jnp.where(valid, r2, 1.0)
+    inv_r = jax.lax.rsqrt(r2s)
+    r = r2s * inv_r
+    ft = jnp.where(valid, jnp.exp(-r * (1.0 / ldeb))
+                   * (inv_r + 1.0 / ldeb) * inv_r * inv_r, 0.0)
+    fxt = dx * ft
+    fyt = dy * ft
+    fzt = dz * ft
+    rows = (jnp.sum(fxt, axis=0), jnp.sum(fyt, axis=0),
+            jnp.sum(fzt, axis=0))
+    if not reaction:
+        return rows
+    return rows + (jnp.sum(fxt, axis=1), jnp.sum(fyt, axis=1),
+                   jnp.sum(fzt, axis=1))
+
+
+def _yukawa_n3l_kernel_sq(xl_ref, ys_ref, f_ref, g_ref, *, L, ldeb, rcut2):
+    """Square-grid half-pair kernel (small-nt variant): grid (nt, nt),
+    tiles with j < i skip the pair math (their block fetches pipeline to
+    near-zero cost at small nt — see _N3L_RR_MIN_NT)."""
     i = pl.program_id(0)
     j = pl.program_id(1)
 
@@ -263,32 +302,58 @@ def _yukawa_n3l_kernel(xl_ref, ys_ref, f_ref, g_ref, *, L, ldeb, rcut2):
 
     @pl.when(j >= i)
     def _():
-        x = xl_ref[...]
-        ys = ys_ref[...]
-        dx = x[0:1, :] - ys[:, 0:1]
-        dy = x[1:2, :] - ys[:, 1:2]
-        dz = x[2:3, :] - ys[:, 2:3]
-        dx -= L * jnp.round(dx * (1.0 / L))
-        dy -= L * jnp.round(dy * (1.0 / L))
-        dz -= L * jnp.round(dz * (1.0 / L))
-        r2 = dx * dx + dy * dy + dz * dz
-        valid = ((r2 > 0) & (r2 < rcut2) & (ys[:, 3:4] > 0)
-                 & (x[3:4, :] > 0))
-        r2s = jnp.where(valid, r2, 1.0)
-        inv_r = jax.lax.rsqrt(r2s)
-        r = r2s * inv_r
-        ft = jnp.where(valid, jnp.exp(-r * (1.0 / ldeb))
-                       * (inv_r + 1.0 / ldeb) * inv_r * inv_r, 0.0)
-        fxt = dx * ft
-        fyt = dy * ft
-        fzt = dz * ft
-        f_ref[0, :] += jnp.sum(fxt, axis=0)
-        f_ref[1, :] += jnp.sum(fyt, axis=0)
-        f_ref[2, :] += jnp.sum(fzt, axis=0)
-        off = jnp.where(j > i, -1.0, 0.0).astype(ft.dtype)
-        g_ref[0, :, 0] = off * jnp.sum(fxt, axis=1)
-        g_ref[0, :, 1] = off * jnp.sum(fyt, axis=1)
-        g_ref[0, :, 2] = off * jnp.sum(fzt, axis=1)
+        fx, fy, fz, gx, gy, gz = _half_pair_tile(
+            xl_ref[...], ys_ref[...], L=L, ldeb=ldeb, rcut2=rcut2,
+            reaction=True)
+        f_ref[0, :] += fx
+        f_ref[1, :] += fy
+        f_ref[2, :] += fz
+        off = jnp.where(j > i, -1.0, 0.0).astype(fx.dtype)
+        g_ref[0, :, 0] = off * gx
+        g_ref[0, :, 1] = off * gy
+        g_ref[0, :, 2] = off * gz
+
+
+def _yukawa_n3l_kernel(xl_ref, ys_ref, f_ref, g_ref, *, L, ldeb, rcut2,
+                       nt):
+    """Half-pair (Newton's-third-law) force kernel on the round-robin
+    grid (i in [0, nt), jj in [0, nt//2]): tile pair {i, j=(i+jj)%nt} is
+    evaluated once; the i-side sums accumulate into ``f_ref`` and the
+    j-side *reaction* sums go to the per-round scatter buffer ``g_ref``
+    (reduced outside).  This is the TPU-shaped version of the
+    reference's third-law update ``F(jj) -= ...``
+    (laserCoolingPlusExpansionMDQTSpeedUp.cpp:228-233) — no racy
+    scatter, just one extra buffer reduction.
+
+    ``xl_ref`` is [4, TI] (row 3 = i-side mask: padded i lanes must not
+    push reaction forces onto real j ions); ``ys_ref`` [TJ, 8] as usual.
+    The jj == 0 round is the diagonal: both ordered pairs are evaluated
+    on the i side and the reaction rows stay zero.  For even nt the
+    jj == nt/2 round double-covers, so only i < nt/2 is active there."""
+    i = pl.program_id(0)
+    jj = pl.program_id(1)
+
+    @pl.when(jj == 0)
+    def _():
+        f_ref[...] = jnp.zeros_like(f_ref)
+
+    g_ref[...] = jnp.zeros_like(g_ref)
+
+    # rounds jj < nt/2 are always active (for odd nt that is every
+    # round); an even nt's final round jj == nt/2 double-covers the
+    # {i, i+nt/2} pairs, so only the i < nt/2 half runs it
+    @pl.when((jj * 2 < nt) | (i * 2 < nt))
+    def _():
+        fx, fy, fz, gx, gy, gz = _half_pair_tile(
+            xl_ref[...], ys_ref[...], L=L, ldeb=ldeb, rcut2=rcut2,
+            reaction=True)
+        f_ref[0, :] += fx
+        f_ref[1, :] += fy
+        f_ref[2, :] += fz
+        off = jnp.where(jj > 0, -1.0, 0.0).astype(fx.dtype)
+        g_ref[0, :, 0] = off * gx
+        g_ref[0, :, 1] = off * gy
+        g_ref[0, :, 2] = off * gz
 
 
 @functools.partial(jax.jit, static_argnames=("L", "ldeb", "tile",
@@ -297,32 +362,41 @@ def _yukawa_n3l(Rl4: jax.Array, Rs: jax.Array, *, L: float, ldeb: float,
                 tile: int, interpret: bool = False) -> jax.Array:
     npad = Rl4.shape[1]
     nt = npad // tile
-    kern = functools.partial(_yukawa_n3l_kernel, L=L, ldeb=ldeb,
-                             rcut2=(L / 2.0) ** 2)
+    rcut2 = (L / 2.0) ** 2
+    if nt >= _N3L_RR_MIN_NT:
+        nr = _n3l_rounds(nt)
+        kern = functools.partial(_yukawa_n3l_kernel, L=L, ldeb=ldeb,
+                                 rcut2=rcut2, nt=nt)
+        ys_ix = lambda i, jj: ((i + jj) % nt, 0)
+        g_ix = lambda i, jj: (jj, (i + jj) % nt, 0)
+    else:
+        nr = nt
+        kern = functools.partial(_yukawa_n3l_kernel_sq, L=L, ldeb=ldeb,
+                                 rcut2=rcut2)
+        ys_ix = lambda i, j: (j, 0)
+        g_ix = lambda i, j: (i, j, 0)
     f, g = pl.pallas_call(
         kern,
-        grid=(nt, nt),
+        grid=(nt, nr),
         in_specs=[
-            pl.BlockSpec((4, tile), lambda i, j: (0, i),
+            pl.BlockSpec((4, tile), lambda i, jj: (0, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile, 8), lambda i, j: (j, 0),
-                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, 8), ys_ix, memory_space=pltpu.VMEM),
         ],
         out_specs=(
-            pl.BlockSpec((3, tile), lambda i, j: (0, i),
+            pl.BlockSpec((3, tile), lambda i, jj: (0, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tile, 8), lambda i, j: (i, j, 0),
-                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile, 8), g_ix, memory_space=pltpu.VMEM),
         ),
         out_shape=(
             jax.ShapeDtypeStruct((3, npad), Rl4.dtype),
-            jax.ShapeDtypeStruct((nt, npad, 8), Rl4.dtype),
+            jax.ShapeDtypeStruct((nr, npad, 8), Rl4.dtype),
         ),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary")),
         interpret=interpret,
     )(Rl4, Rs)
-    # fold the per-i-slot reaction rows onto the direct sums
+    # fold the per-round (per-i-slot for the square grid) reaction rows
     return f + jnp.sum(g, axis=0)[:, :3].T
 
 
@@ -348,47 +422,34 @@ def yukawa_forces_n3l_pallas(R: jax.Array, L: float, ldeb: float,
 
 
 def _yukawa_n3l_kernel_batched(xl_ref, ys_ref, f_ref, g_ref, *, L, ldeb,
-                               rcut2):
-    """Ensemble-batched half-pair kernel: grid (E, i_tiles, j_tiles) with
-    a leading singleton ensemble dim on every block; same tile math as
-    ``_yukawa_n3l_kernel``."""
+                               rcut2, nt, rr):
+    """Ensemble-batched half-pair kernel: grid (E, i_tiles, rounds) with
+    a leading singleton ensemble dim on every block; same schedule
+    dispatch (round-robin vs square) and tile math as the unbatched
+    kernels."""
     i = pl.program_id(1)
-    j = pl.program_id(2)
+    jj = pl.program_id(2)
 
-    @pl.when(j == 0)
+    @pl.when(jj == 0)
     def _():
         f_ref[...] = jnp.zeros_like(f_ref)
 
     g_ref[...] = jnp.zeros_like(g_ref)
 
-    @pl.when(j >= i)
+    active = ((jj * 2 < nt) | (i * 2 < nt)) if rr else (jj >= i)
+
+    @pl.when(active)
     def _():
-        x = xl_ref[0]
-        ys = ys_ref[0]
-        dx = x[0:1, :] - ys[:, 0:1]
-        dy = x[1:2, :] - ys[:, 1:2]
-        dz = x[2:3, :] - ys[:, 2:3]
-        dx -= L * jnp.round(dx * (1.0 / L))
-        dy -= L * jnp.round(dy * (1.0 / L))
-        dz -= L * jnp.round(dz * (1.0 / L))
-        r2 = dx * dx + dy * dy + dz * dz
-        valid = ((r2 > 0) & (r2 < rcut2) & (ys[:, 3:4] > 0)
-                 & (x[3:4, :] > 0))
-        r2s = jnp.where(valid, r2, 1.0)
-        inv_r = jax.lax.rsqrt(r2s)
-        r = r2s * inv_r
-        ft = jnp.where(valid, jnp.exp(-r * (1.0 / ldeb))
-                       * (inv_r + 1.0 / ldeb) * inv_r * inv_r, 0.0)
-        fxt = dx * ft
-        fyt = dy * ft
-        fzt = dz * ft
-        f_ref[0, 0, :] += jnp.sum(fxt, axis=0)
-        f_ref[0, 1, :] += jnp.sum(fyt, axis=0)
-        f_ref[0, 2, :] += jnp.sum(fzt, axis=0)
-        off = jnp.where(j > i, -1.0, 0.0).astype(ft.dtype)
-        g_ref[0, 0, :, 0] = off * jnp.sum(fxt, axis=1)
-        g_ref[0, 0, :, 1] = off * jnp.sum(fyt, axis=1)
-        g_ref[0, 0, :, 2] = off * jnp.sum(fzt, axis=1)
+        fx, fy, fz, gx, gy, gz = _half_pair_tile(
+            xl_ref[0], ys_ref[0], L=L, ldeb=ldeb, rcut2=rcut2,
+            reaction=True)
+        f_ref[0, 0, :] += fx
+        f_ref[0, 1, :] += fy
+        f_ref[0, 2, :] += fz
+        off = jnp.where(jj > (0 if rr else i), -1.0, 0.0).astype(fx.dtype)
+        g_ref[0, 0, :, 0] = off * gx
+        g_ref[0, 0, :, 1] = off * gy
+        g_ref[0, 0, :, 2] = off * gz
 
 
 @functools.partial(jax.jit, static_argnames=("L", "ldeb", "tile",
@@ -398,26 +459,32 @@ def _yukawa_n3l_batched(Rl4: jax.Array, Rs: jax.Array, *, L: float,
                         interpret: bool = False) -> jax.Array:
     e, _, npad = Rl4.shape
     nt = npad // tile
+    rr = nt >= _N3L_RR_MIN_NT
+    nr = _n3l_rounds(nt) if rr else nt
     kern = functools.partial(_yukawa_n3l_kernel_batched, L=L, ldeb=ldeb,
-                             rcut2=(L / 2.0) ** 2)
+                             rcut2=(L / 2.0) ** 2, nt=nt, rr=rr)
+    if rr:
+        ys_ix = lambda b, i, jj: (b, (i + jj) % nt, 0)
+        g_ix = lambda b, i, jj: (b, jj, (i + jj) % nt, 0)
+    else:
+        ys_ix = lambda b, i, j: (b, j, 0)
+        g_ix = lambda b, i, j: (b, i, j, 0)
     f, g = pl.pallas_call(
         kern,
-        grid=(e, nt, nt),
+        grid=(e, nt, nr),
         in_specs=[
-            pl.BlockSpec((1, 4, tile), lambda b, i, j: (b, 0, i),
+            pl.BlockSpec((1, 4, tile), lambda b, i, jj: (b, 0, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tile, 8), lambda b, i, j: (b, j, 0),
-                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile, 8), ys_ix, memory_space=pltpu.VMEM),
         ],
         out_specs=(
-            pl.BlockSpec((1, 3, tile), lambda b, i, j: (b, 0, i),
+            pl.BlockSpec((1, 3, tile), lambda b, i, jj: (b, 0, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, tile, 8), lambda b, i, j: (b, i, j, 0),
-                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, tile, 8), g_ix, memory_space=pltpu.VMEM),
         ),
         out_shape=(
             jax.ShapeDtypeStruct((e, 3, npad), Rl4.dtype),
-            jax.ShapeDtypeStruct((e, nt, npad, 8), Rl4.dtype),
+            jax.ShapeDtypeStruct((e, nr, npad, 8), Rl4.dtype),
         ),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary")),

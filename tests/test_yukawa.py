@@ -93,6 +93,25 @@ def test_n3l_kernel_interpret(system):
     assert np.abs(F.sum(0)).max() < 2e-5 * scale
 
 
+@pytest.mark.parametrize("n", [120, 250, 480, 640, 1600, 2000])
+def test_n3l_round_robin_schedule(n):
+    """The half-pair grid schedules must cover every unordered tile pair
+    exactly once: the square grid at small nt (1, 2, 4, 5 at tile=128)
+    and the round-robin grid (i, (i+jj)%nt) above the crossover — odd
+    nt=13 (n=1600) and even nt=16 (n=2000)."""
+    from mdqtplasmasims_tpu.ops.yukawa import (yukawa_forces,
+                                               yukawa_forces_n3l_pallas)
+    pu = PlasmaUnits(density=2.0, Ge=0.1)
+    L = PlasmaUnits.box_length(n)
+    rng = np.random.default_rng(n)
+    Rj = jnp.asarray(rng.uniform(0, L, (n, 3)), jnp.float32)
+    F_ref = np.array(yukawa_forces(Rj, L, pu.debye_length, chunk=128))
+    F = np.array(yukawa_forces_n3l_pallas(Rj, L, pu.debye_length,
+                                          tile=128, interpret=True))
+    scale = np.abs(F_ref).max()
+    assert np.abs(F - F_ref).max() < 2e-5 * scale
+
+
 def test_n3l_kernel_mask(system):
     """Masked-out ions neither exert nor receive force through either the
     direct or the reaction (third-law) path of the half-pair kernel."""
