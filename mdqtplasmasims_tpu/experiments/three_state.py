@@ -40,6 +40,7 @@ class ThreeStateConfig:
     sample_freq: int = 1000
     apply_force: bool = True
     vkick: float = 0.0012076       # laserCoolNoPlasmaThreeState.cpp:88
+    dispatch_segments: int = 500   # ticks per device dispatch = this*1000
     job: int = 1
     dtype: str = "float32"
     save_directory: Optional[str] = None
@@ -92,10 +93,23 @@ def run(cfg: ThreeStateConfig, seed: Optional[int] = None):
     # job/save_directory don't affect the traced program — strip them so
     # sequential jobs (cli --jobs) share one compiled program
     cfg_run = dataclasses.replace(cfg, job=1, save_directory=None)
-    (V, psi, t_part, _), recs = run_compiled(cfg_run, V, psi, t_part, krun,
-                                             n_segments)
+    # The production tmax=45000 is 4.5M quantum ticks; one dispatch that
+    # long trips the relay's per-dispatch deadline (UNAVAILABLE), so run
+    # groups of segments with the carry staying on device and fetch once
+    # at the end.  All groups share one compiled program (same length)
+    # plus at most one remainder-length program.
+    group = min(cfg.dispatch_segments or n_segments, n_segments)
+    carry, rec_groups = (V, psi, t_part, krun), []
+    done = 0
+    while done < n_segments:
+        g = min(group, n_segments - done)
+        carry, recs_g = run_compiled(cfg_run, *carry, g)
+        rec_groups.append(recs_g)
+        done += g
+    V = carry[0]
     jax.block_until_ready(V)
-    recs = np.asarray(safe_device_get(recs))
+    recs = np.concatenate([np.asarray(safe_device_get(r))
+                           for r in rec_groups])
     t_axis = (np.arange(1, n_segments + 1) * cfg.sample_freq) * cfg.dt
     results = dict(t=t_axis, ekin_x=recs[:, 0], ground_pop=recs[:, 1],
                    V=np.asarray(safe_device_get(V)))

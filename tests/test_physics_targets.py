@@ -1,7 +1,10 @@
 """Known-physics targets (the reference's substitute for tests, SURVEY.md
 section 4, made into actual tests): disorder-induced heating curve, DIH
-equilibrium coupling, EIT dark-state resonance, f32-vs-f64 error budget."""
+equilibrium coupling, EIT dark-state resonance, f32-vs-f64 error budget,
+and the production-length TPU soak assertions (artifacts/soak)."""
 
+import json
+import os
 from functools import partial
 
 import jax
@@ -99,3 +102,85 @@ class TestDIH:
         assert np.abs(T64[:200] - T32[:200]).max() / scale < 0.01
         # late times: time-averaged temperature agrees
         assert abs(T64[500:].mean() - T32[500:].mean()) / scale < 0.05
+
+
+SOAK_SUMMARY = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), "artifacts", "soak", "summary.json")
+
+
+@pytest.fixture(scope="module")
+def soak():
+    """Headline numbers from the production-length TPU soak
+    (tools/soak.py; one full reference-scale run per family on real
+    hardware, .dat outputs archived under artifacts/soak).  Runs on any
+    backend — the assertions read the archived summary."""
+    if not os.path.exists(SOAK_SUMMARY):
+        pytest.skip("no soak archive; run tools/soak.py on the TPU")
+    with open(SOAK_SUMMARY) as f:
+        return json.load(f)
+
+
+class TestFullScaleSoak:
+    """Production-run physics targets, per family, at the reference's own
+    operating points (VERDICT round-1 item 9).  Bands are anchored to the
+    thesis values and to the pooled compiled-reference cross-validations
+    in RESULTS.md, widened for seed-to-seed scatter."""
+
+    def test_cooling_flagship(self, soak):
+        c = soak["cooling"]
+        assert c["n0"] == 3500 and c["tmax"] == 30.0
+        # DIH: EkinX peaks near omega_p t ~ 1 at the Ge=0.1 coupling
+        assert 0.3 < c["dih_peak_t"] < 2.0
+        assert 0.10 < c["dih_peak_ekin_x"] < 0.25
+        # post-DIH coupling lands at the known Gamma ~ 2-4 window
+        assert 2.0 < c["gamma_dih"] < 4.5
+        # laser cooling beats DIH: late EkinX well below the peak
+        # (README.md:107 monotone-decrease signature)
+        assert 0.4 < c["cooling_ratio"] < 0.85
+        # steady-state S/P/D populations with D-shelving vs the 1033
+        # repump (RESULTS.md: 0.59/0.19/0.22)
+        assert 0.45 < c["pop_s"] < 0.72
+        assert 0.10 < c["pop_p"] < 0.30
+        assert 0.10 < c["pop_d"] < 0.35
+
+    def test_frozen_tagging(self, soak):
+        f = soak["frozen"]
+        assert f["n0"] == 3500 and f["tstart"] == 15.0
+        # pooled compiled-reference value 0.439-0.447 (RESULTS.md table)
+        assert 0.30 < f["tag_fraction"] < 0.55
+        # velocity-selective sigma+ pumping tags the vx>0 wing
+        assert 0.10 < f["tagged_vx_at_tag"] < 0.35
+        assert 0.20 < f["tagged_vx2_at_tag"] < 0.45
+        # tau=0 VAF row = <vx^2> at the DIH plateau
+        assert 0.20 < f["vaf_tau0"] < 0.45
+
+    def test_mc_tagging(self, soak):
+        m = soak["mc_tag"]
+        # pooled compiled-reference tag fraction 0.0394 (RESULTS.md)
+        assert 0.02 < m["tag_fraction"] < 0.06
+        # thermostatted recording at the target Gamma=3 coupling
+        assert abs(m["mean_record_temp"] * m["gamma"] - 1.0) < 0.10
+        # quad-pump velocity selectivity: tagged <vx^2> well above
+        # thermal 1/Gamma (reference 2.80x, framework pooled 2.66x)
+        assert m["selectivity"] > 2.0
+        # VAF decays to a small fraction of tau=0 within the window
+        assert m["vaf_norm_min"] < 0.2
+
+    def test_transport_anisotropy(self, soak):
+        t = soak["transport"]
+        assert abs(t["mean_record_temp"] * t["gamma"] - 1.0) < 0.15
+        assert t["vaf_norm_min"] < 0.2
+        # collisional relaxation erases the imposed T anisotropy
+        assert (t["aniso_spread_relaxed"]
+                < 0.25 * t["aniso_spread_initial"])
+
+    def test_three_state_doppler(self, soak):
+        if "three_state" not in soak:
+            pytest.skip("three_state soak not archived yet")
+        s = soak["three_state"]
+        # laser cooling pulls Ekin down by a large factor from the 10 mK
+        # start toward the Doppler limit...
+        assert s["cooling_factor"] > 3.0
+        # ...and lands within an O(1) factor of the textbook two-level
+        # limit (the 3-level scheme differs O(1); three_state.py:112)
+        assert 0.3 < s["ekin_x_final"] / s["doppler_limit"] < 5.0
