@@ -32,6 +32,24 @@ from ..state import SimState
 from .md import leapfrog_substep, wrap_pbc
 from .qt import QTEngine
 
+#: Candidate ion-tile widths for the fused tick-block kernel (multiples
+#: of the 128-lane width; 3584 = one grid step at the flagship N0=3500).
+_QT_TILE_CANDIDATES = (512, 896, 1024, 1792, 3584)
+
+
+def auto_qt_tile(n: int) -> int:
+    """Fused-kernel ion tile: among the candidate widths with the least
+    padding, prefer the largest one that still leaves >= 2 grid steps.
+    Measured on v5e at N0=3500 (npad=3584): tile=1792 runs the 25-tick
+    block ~5% faster than 512 (fewer grid steps amortize per-step block
+    bookkeeping) and ~4% faster than 3584 (a single grid step can't
+    double-buffer block DMA against compute)."""
+    min_npad = min(-(-max(n, t) // t) * t for t in _QT_TILE_CANDIDATES)
+    fitting = [t for t in _QT_TILE_CANDIDATES
+               if -(-max(n, t) // t) * t == min_npad]
+    pipelined = [t for t in fitting if min_npad // t >= 2]
+    return max(pipelined or fitting)
+
 
 @dataclasses.dataclass(frozen=True)
 class CoolingScheduler:

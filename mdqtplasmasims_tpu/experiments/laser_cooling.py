@@ -34,7 +34,7 @@ import numpy as np
 from ..core.init import frozen_gas_init
 from ..core.md import kinetic_energies
 from ..core.qt import QTEngine, state_populations
-from ..core.scheduler import CoolingScheduler
+from ..core.scheduler import CoolingScheduler, auto_qt_tile
 from ..io import checkpoint as ckpt
 from ..io.datfiles import DatWriter
 from ..io.dirs import cooling_dir
@@ -166,7 +166,7 @@ def build_scheduler(cfg: CoolingConfig, mask=None) -> CoolingScheduler:
         engine=engine, forces_fn=forces_fn, L=L, qdt=cfg.qdt,
         ratio=cfg.ratio,
         exp_det_fn=expansion_detuning_fn(cfg) if cfg.frac_of_sig else None,
-        fused_spec=fused_spec)
+        fused_spec=fused_spec, tile=auto_qt_tile(cfg.n0))
 
 
 def initial_state(cfg: CoolingConfig, seed: Optional[int] = None) -> SimState:
