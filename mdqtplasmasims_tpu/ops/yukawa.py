@@ -239,23 +239,22 @@ def yukawa_potential_pallas(R, L, ldeb, mask=None, tile: int = 512):
     return 0.5 * jnp.sum(pot) / n_eff
 
 
-def _n3l_rounds(nt: int) -> int:
-    """Round-robin schedule depth: unordered tile pairs {i, (i+jj)%nt}
-    for jj in [0, nt//2] cover every pair exactly once when nt is odd;
-    for even nt the last round (jj = nt/2) covers each cross pair twice,
-    so the kernel masks it to i < nt/2.  Total active tiles =
-    nt*(nt+1)/2 either way — and, unlike a j >= i triangle test over an
-    (nt, nt) grid, *every* grid step does pair work (the square grid
-    wastes ~45% of its steps on skipped block fetches)."""
-    return nt // 2 + 1
-
-
-# Grid-schedule crossover, measured on v5e (in-process A/B, N=3500 vs
-# N=14000 at tile=512): the square grid's skipped lower-triangle steps
-# pipeline to near-zero cost at small nt (its simpler monotone block
-# indexing wins by ~5% at nt=7), while at large nt the round-robin's
-# halved step count wins (~6% at nt=28, growing with nt).
-_N3L_RR_MIN_NT = 12
+def _n3l_pairs(nt: int):
+    """Triangle tile-pair enumeration for the half-pair schedule: the
+    nt(nt+1)/2 unordered pairs {i, j>=i}, i-major with j ascending, as
+    static (I, J) index tables.  The 1-D grid over these tables (block
+    indices read from scalar-prefetched tables) beats both a j>=i test
+    over an (nt, nt) grid (whose skipped lower-triangle steps still cost
+    block bookkeeping: -7% at nt=7/N=3500 on v5e) and a round-robin
+    {i, (i+jj)%nt} grid (whose modular ys indexing defeats sequential
+    prefetch: -1.5% at nt=28/N=14000).  i-major order keeps the f output
+    block resident across a row and the ys fetches sequential."""
+    II, JJ = [], []
+    for i in range(nt):
+        for j in range(i, nt):
+            II.append(i)
+            JJ.append(j)
+    return II, JJ
 
 
 def _half_pair_tile(x, ys, *, L, ldeb, rcut2, reaction):
@@ -287,73 +286,41 @@ def _half_pair_tile(x, ys, *, L, ldeb, rcut2, reaction):
                    jnp.sum(fzt, axis=1))
 
 
-def _yukawa_n3l_kernel_sq(xl_ref, ys_ref, f_ref, g_ref, *, L, ldeb, rcut2):
-    """Square-grid half-pair kernel (small-nt variant): grid (nt, nt),
-    tiles with j < i skip the pair math (their block fetches pipeline to
-    near-zero cost at small nt — see _N3L_RR_MIN_NT)."""
-    i = pl.program_id(0)
-    j = pl.program_id(1)
-
-    @pl.when(j == 0)
-    def _():
-        f_ref[...] = jnp.zeros_like(f_ref)
-
-    g_ref[...] = jnp.zeros_like(g_ref)
-
-    @pl.when(j >= i)
-    def _():
-        fx, fy, fz, gx, gy, gz = _half_pair_tile(
-            xl_ref[...], ys_ref[...], L=L, ldeb=ldeb, rcut2=rcut2,
-            reaction=True)
-        f_ref[0, :] += fx
-        f_ref[1, :] += fy
-        f_ref[2, :] += fz
-        off = jnp.where(j > i, -1.0, 0.0).astype(fx.dtype)
-        g_ref[0, :, 0] = off * gx
-        g_ref[0, :, 1] = off * gy
-        g_ref[0, :, 2] = off * gz
-
-
-def _yukawa_n3l_kernel(xl_ref, ys_ref, f_ref, g_ref, *, L, ldeb, rcut2,
-                       nt):
-    """Half-pair (Newton's-third-law) force kernel on the round-robin
-    grid (i in [0, nt), jj in [0, nt//2]): tile pair {i, j=(i+jj)%nt} is
-    evaluated once; the i-side sums accumulate into ``f_ref`` and the
-    j-side *reaction* sums go to the per-round scatter buffer ``g_ref``
-    (reduced outside).  This is the TPU-shaped version of the
-    reference's third-law update ``F(jj) -= ...``
+def _yukawa_n3l_kernel(ij_ref, xl_ref, ys_ref, f_ref, g_ref, *, L, ldeb,
+                       rcut2):
+    """Half-pair (Newton's-third-law) force kernel on the triangle grid:
+    the k-th step handles tile pair (i, j) = ij[:, k] from the static
+    _n3l_pairs tables (scalar-prefetched so the block DMA engine can
+    read them ahead).  The i-side sums accumulate into ``f_ref`` (the
+    i == j diagonal step is first in each row and initializes it); the
+    j-side *reaction* sums go to the per-step scatter buffer ``g_ref``,
+    scatter-reduced onto their j tiles outside.  This is the TPU-shaped
+    version of the reference's third-law update ``F(jj) -= ...``
     (laserCoolingPlusExpansionMDQTSpeedUp.cpp:228-233) — no racy
     scatter, just one extra buffer reduction.
 
     ``xl_ref`` is [4, TI] (row 3 = i-side mask: padded i lanes must not
     push reaction forces onto real j ions); ``ys_ref`` [TJ, 8] as usual.
-    The jj == 0 round is the diagonal: both ordered pairs are evaluated
-    on the i side and the reaction rows stay zero.  For even nt the
-    jj == nt/2 round double-covers, so only i < nt/2 is active there."""
-    i = pl.program_id(0)
-    jj = pl.program_id(1)
+    Diagonal steps evaluate both ordered pairs on the i side and write
+    zero reaction rows, so nothing is double counted."""
+    k = pl.program_id(0)
+    i = ij_ref[0, k]
+    j = ij_ref[1, k]
 
-    @pl.when(jj == 0)
+    @pl.when(i == j)
     def _():
         f_ref[...] = jnp.zeros_like(f_ref)
 
-    g_ref[...] = jnp.zeros_like(g_ref)
-
-    # rounds jj < nt/2 are always active (for odd nt that is every
-    # round); an even nt's final round jj == nt/2 double-covers the
-    # {i, i+nt/2} pairs, so only the i < nt/2 half runs it
-    @pl.when((jj * 2 < nt) | (i * 2 < nt))
-    def _():
-        fx, fy, fz, gx, gy, gz = _half_pair_tile(
-            xl_ref[...], ys_ref[...], L=L, ldeb=ldeb, rcut2=rcut2,
-            reaction=True)
-        f_ref[0, :] += fx
-        f_ref[1, :] += fy
-        f_ref[2, :] += fz
-        off = jnp.where(jj > 0, -1.0, 0.0).astype(fx.dtype)
-        g_ref[0, :, 0] = off * gx
-        g_ref[0, :, 1] = off * gy
-        g_ref[0, :, 2] = off * gz
+    fx, fy, fz, gx, gy, gz = _half_pair_tile(
+        xl_ref[...], ys_ref[...], L=L, ldeb=ldeb, rcut2=rcut2,
+        reaction=True)
+    f_ref[0, :] += fx
+    f_ref[1, :] += fy
+    f_ref[2, :] += fz
+    off = jnp.where(j > i, -1.0, 0.0).astype(fx.dtype)
+    g_ref[0, :, 0] = off * gx
+    g_ref[0, :, 1] = off * gy
+    g_ref[0, :, 2] = off * gz
 
 
 @functools.partial(jax.jit, static_argnames=("L", "ldeb", "tile",
@@ -362,42 +329,41 @@ def _yukawa_n3l(Rl4: jax.Array, Rs: jax.Array, *, L: float, ldeb: float,
                 tile: int, interpret: bool = False) -> jax.Array:
     npad = Rl4.shape[1]
     nt = npad // tile
-    rcut2 = (L / 2.0) ** 2
-    if nt >= _N3L_RR_MIN_NT:
-        nr = _n3l_rounds(nt)
-        kern = functools.partial(_yukawa_n3l_kernel, L=L, ldeb=ldeb,
-                                 rcut2=rcut2, nt=nt)
-        ys_ix = lambda i, jj: ((i + jj) % nt, 0)
-        g_ix = lambda i, jj: (jj, (i + jj) % nt, 0)
-    else:
-        nr = nt
-        kern = functools.partial(_yukawa_n3l_kernel_sq, L=L, ldeb=ldeb,
-                                 rcut2=rcut2)
-        ys_ix = lambda i, j: (j, 0)
-        g_ix = lambda i, j: (i, j, 0)
-    f, g = pl.pallas_call(
-        kern,
-        grid=(nt, nr),
+    II, JJ = _n3l_pairs(nt)
+    m = len(II)
+    ij = jnp.asarray([II, JJ], jnp.int32)
+    kern = functools.partial(_yukawa_n3l_kernel, L=L, ldeb=ldeb,
+                             rcut2=(L / 2.0) ** 2)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(m,),
         in_specs=[
-            pl.BlockSpec((4, tile), lambda i, jj: (0, i),
+            pl.BlockSpec((4, tile), lambda k, ij: (0, ij[0, k]),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile, 8), ys_ix, memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, 8), lambda k, ij: (ij[1, k], 0),
+                         memory_space=pltpu.VMEM),
         ],
         out_specs=(
-            pl.BlockSpec((3, tile), lambda i, jj: (0, i),
+            pl.BlockSpec((3, tile), lambda k, ij: (0, ij[0, k]),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tile, 8), g_ix, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile, 8), lambda k, ij: (k, 0, 0),
+                         memory_space=pltpu.VMEM),
         ),
+    )
+    f, g = pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
         out_shape=(
             jax.ShapeDtypeStruct((3, npad), Rl4.dtype),
-            jax.ShapeDtypeStruct((nr, npad, 8), Rl4.dtype),
+            jax.ShapeDtypeStruct((m, tile, 8), Rl4.dtype),
         ),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "arbitrary")),
+            dimension_semantics=("arbitrary",)),
         interpret=interpret,
-    )(Rl4, Rs)
-    # fold the per-round (per-i-slot for the square grid) reaction rows
-    return f + jnp.sum(g, axis=0)[:, :3].T
+    )(ij, Rl4, Rs)
+    # scatter the per-step reaction rows onto their j tiles (JJ static)
+    gj = jnp.zeros((nt, tile, 8), Rl4.dtype).at[jnp.asarray(JJ)].add(g)
+    return f + gj.reshape(npad, 8)[:, :3].T
 
 
 def yukawa_forces_n3l_pallas(R: jax.Array, L: float, ldeb: float,
@@ -405,11 +371,10 @@ def yukawa_forces_n3l_pallas(R: jax.Array, L: float, ldeb: float,
                              tile: int = 512,
                              interpret: bool = False) -> jax.Array:
     """Force-only half-pair Pallas kernel: each unordered ion pair is
-    evaluated once and its reaction partner filled in by Newton's third
-    law, skipping the strict-lower tile triangle of the full kernel
-    (~1.4x faster at N=3500: 210 vs 294 us per evaluation on v5e).
-    Diagnostics that need the potential keep using the full kernel at
-    sample times.  Returns ``F [N, 3]``."""
+    evaluated once (triangle-enumerated grid, _n3l_pairs) and its
+    reaction partner filled in by Newton's third law — ~1.5x the
+    full-tile kernel's rate on v5e.  Diagnostics that need the potential
+    keep using the full kernel at sample times.  Returns ``F [N, 3]``."""
     n = R.shape[0]
     npad = _round_up(max(n, tile), tile)
     m = mask if mask is not None else jnp.ones((n,), R.dtype)
@@ -421,35 +386,29 @@ def yukawa_forces_n3l_pallas(R: jax.Array, L: float, ldeb: float,
     return out[:, :n].T
 
 
-def _yukawa_n3l_kernel_batched(xl_ref, ys_ref, f_ref, g_ref, *, L, ldeb,
-                               rcut2, nt, rr):
-    """Ensemble-batched half-pair kernel: grid (E, i_tiles, rounds) with
-    a leading singleton ensemble dim on every block; same schedule
-    dispatch (round-robin vs square) and tile math as the unbatched
-    kernels."""
-    i = pl.program_id(1)
-    jj = pl.program_id(2)
+def _yukawa_n3l_kernel_batched(ij_ref, xl_ref, ys_ref, f_ref, g_ref, *,
+                               L, ldeb, rcut2):
+    """Ensemble-batched half-pair kernel: grid (E, pairs) with a leading
+    singleton ensemble dim on every block; same triangle schedule and
+    tile math as the unbatched kernel."""
+    k = pl.program_id(1)
+    i = ij_ref[0, k]
+    j = ij_ref[1, k]
 
-    @pl.when(jj == 0)
+    @pl.when(i == j)
     def _():
         f_ref[...] = jnp.zeros_like(f_ref)
 
-    g_ref[...] = jnp.zeros_like(g_ref)
-
-    active = ((jj * 2 < nt) | (i * 2 < nt)) if rr else (jj >= i)
-
-    @pl.when(active)
-    def _():
-        fx, fy, fz, gx, gy, gz = _half_pair_tile(
-            xl_ref[0], ys_ref[0], L=L, ldeb=ldeb, rcut2=rcut2,
-            reaction=True)
-        f_ref[0, 0, :] += fx
-        f_ref[0, 1, :] += fy
-        f_ref[0, 2, :] += fz
-        off = jnp.where(jj > (0 if rr else i), -1.0, 0.0).astype(fx.dtype)
-        g_ref[0, 0, :, 0] = off * gx
-        g_ref[0, 0, :, 1] = off * gy
-        g_ref[0, 0, :, 2] = off * gz
+    fx, fy, fz, gx, gy, gz = _half_pair_tile(
+        xl_ref[0], ys_ref[0], L=L, ldeb=ldeb, rcut2=rcut2,
+        reaction=True)
+    f_ref[0, 0, :] += fx
+    f_ref[0, 1, :] += fy
+    f_ref[0, 2, :] += fz
+    off = jnp.where(j > i, -1.0, 0.0).astype(fx.dtype)
+    g_ref[0, 0, :, 0] = off * gx
+    g_ref[0, 0, :, 1] = off * gy
+    g_ref[0, 0, :, 2] = off * gz
 
 
 @functools.partial(jax.jit, static_argnames=("L", "ldeb", "tile",
@@ -459,38 +418,40 @@ def _yukawa_n3l_batched(Rl4: jax.Array, Rs: jax.Array, *, L: float,
                         interpret: bool = False) -> jax.Array:
     e, _, npad = Rl4.shape
     nt = npad // tile
-    rr = nt >= _N3L_RR_MIN_NT
-    nr = _n3l_rounds(nt) if rr else nt
+    II, JJ = _n3l_pairs(nt)
+    m = len(II)
+    ij = jnp.asarray([II, JJ], jnp.int32)
     kern = functools.partial(_yukawa_n3l_kernel_batched, L=L, ldeb=ldeb,
-                             rcut2=(L / 2.0) ** 2, nt=nt, rr=rr)
-    if rr:
-        ys_ix = lambda b, i, jj: (b, (i + jj) % nt, 0)
-        g_ix = lambda b, i, jj: (b, jj, (i + jj) % nt, 0)
-    else:
-        ys_ix = lambda b, i, j: (b, j, 0)
-        g_ix = lambda b, i, j: (b, i, j, 0)
-    f, g = pl.pallas_call(
-        kern,
-        grid=(e, nt, nr),
+                             rcut2=(L / 2.0) ** 2)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(e, m),
         in_specs=[
-            pl.BlockSpec((1, 4, tile), lambda b, i, jj: (b, 0, i),
+            pl.BlockSpec((1, 4, tile), lambda b, k, ij: (b, 0, ij[0, k]),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tile, 8), ys_ix, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile, 8), lambda b, k, ij: (b, ij[1, k], 0),
+                         memory_space=pltpu.VMEM),
         ],
         out_specs=(
-            pl.BlockSpec((1, 3, tile), lambda b, i, jj: (b, 0, i),
+            pl.BlockSpec((1, 3, tile), lambda b, k, ij: (b, 0, ij[0, k]),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, tile, 8), g_ix, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, tile, 8), lambda b, k, ij: (b, k, 0, 0),
+                         memory_space=pltpu.VMEM),
         ),
+    )
+    f, g = pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
         out_shape=(
             jax.ShapeDtypeStruct((e, 3, npad), Rl4.dtype),
-            jax.ShapeDtypeStruct((e, nr, npad, 8), Rl4.dtype),
+            jax.ShapeDtypeStruct((e, m, tile, 8), Rl4.dtype),
         ),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "arbitrary")),
+            dimension_semantics=("parallel", "arbitrary")),
         interpret=interpret,
-    )(Rl4, Rs)
-    return f + jnp.swapaxes(jnp.sum(g, axis=1)[:, :, :3], 1, 2)
+    )(ij, Rl4, Rs)
+    gj = jnp.zeros((e, nt, tile, 8), Rl4.dtype).at[:, jnp.asarray(JJ)].add(g)
+    return f + jnp.swapaxes(gj.reshape(e, npad, 8)[:, :, :3], 1, 2)
 
 
 def yukawa_forces_n3l_soa(Rp: jax.Array, mask_row: jax.Array, L: float,

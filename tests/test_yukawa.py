@@ -94,11 +94,10 @@ def test_n3l_kernel_interpret(system):
 
 
 @pytest.mark.parametrize("n", [120, 250, 480, 640, 1600, 2000])
-def test_n3l_round_robin_schedule(n):
-    """The half-pair grid schedules must cover every unordered tile pair
-    exactly once: the square grid at small nt (1, 2, 4, 5 at tile=128)
-    and the round-robin grid (i, (i+jj)%nt) above the crossover — odd
-    nt=13 (n=1600) and even nt=16 (n=2000)."""
+def test_n3l_triangle_schedule(n):
+    """The triangle-enumerated half-pair schedule must cover every
+    unordered tile pair exactly once across grid sizes (nt = 1, 2, 4, 5,
+    13, 16 at tile=128), including the single-tile and even/odd cases."""
     from mdqtplasmasims_tpu.ops.yukawa import (yukawa_forces,
                                                yukawa_forces_n3l_pallas)
     pu = PlasmaUnits(density=2.0, Ge=0.1)

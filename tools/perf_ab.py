@@ -71,7 +71,7 @@ def mode_force():
         L = PlasmaUnits.box_length(n)
         R0 = jax.random.uniform(jax.random.PRNGKey(0), (n, 3),
                                 jnp.float32, 0, L)
-        for tile in (128, 256, 512):
+        for tile in (512, 256, 128):
             @jax.jit
             def loop(R):
                 def body(R, _):
@@ -125,6 +125,61 @@ def mode_ens():
               f"= {agg:.3e} aggregate updates/s", flush=True)
 
 
+def mode_soa():
+    """Split the SoA-resident MD step: force-only vs QT-block-only."""
+    from mdqtplasmasims_tpu.ops.yukawa import (auto_tile,
+                                               yukawa_forces_n3l_soa)
+    n_steps = ARG or 500
+    cfg, state = _flagship()
+    sched = build_scheduler(cfg)
+    pu = PlasmaUnits(cfg.density, cfg.ge)
+    L = PlasmaUnits.box_length(cfg.n0)
+    npad = sched._npad(cfg.n0)
+    mask_row = jnp.zeros((1, npad), jnp.float32).at[0, :cfg.n0].set(1.0)
+    soa_forces = lambda Rp: yukawa_forces_n3l_soa(
+        Rp, mask_row, L, pu.debye_length, tile=auto_tile(cfg.n0))
+
+    @jax.jit
+    def floop(state):
+        carry = sched.soa_init(state, state.F)
+        Rp = carry[0]
+
+        def body(Rp, _):
+            F = soa_forces(Rp)
+            return Rp + 1e-12 * F, None
+        Rp, _ = jax.lax.scan(body, Rp, None, length=n_steps)
+        return jnp.sum(Rp)
+
+    @jax.jit
+    def qloop(state):
+        carry = sched.soa_init(state, state.F)
+        Fp = carry[2]
+
+        def body(c, _):
+            c = sched.soa_md_step(c, lambda Rp: Fp)   # QT block, no force
+            return c, None
+        c, _ = jax.lax.scan(body, carry, None, length=n_steps)
+        return jnp.sum(c[1])
+
+    @jax.jit
+    def full(state):
+        carry = sched.soa_init(state, state.F)
+
+        def body(c, _):
+            return sched.soa_md_step(c, soa_forces), None
+        c, _ = jax.lax.scan(body, carry, None, length=n_steps)
+        return jnp.sum(c[1])
+
+    for name, fn in (("force_soa", floop), ("qt_block", qloop),
+                     ("full_step", full)):
+        float(fn(state))
+        t0 = time.perf_counter()
+        float(fn(state))
+        us = (time.perf_counter() - t0) / n_steps * 1e6
+        print(f"{name}: {us:8.1f} us/md_step ({us / sched.ratio:6.2f} "
+              f"us/tick-equiv)", flush=True)
+
+
 if __name__ == "__main__":
     dict(qt=mode_qt, force=mode_force, size=mode_size,
-         ens=mode_ens)[MODE]()
+         ens=mode_ens, soa=mode_soa)[MODE]()
