@@ -91,13 +91,23 @@ def mode_force():
 
 
 def mode_size():
-    n_steps = ARG or 200
-    for n0 in (3500, 14000, 56000):
+    """Production-path (run_compiled SoA loop incl. sampling) throughput
+    across N; n_segments scaled down at large N to bound wall time."""
+    from mdqtplasmasims_tpu.experiments.laser_cooling import run_compiled
+    for n0, n_seg in ((3500, 25), (14000, 10), (56000, 2)):
         cfg, state = _flagship(n0)
-        sched = build_scheduler(cfg)
-        us, _ = time_md_loop(sched, state, n_steps)
-        ups = n0 * sched.ratio / us * 1e6
-        print(f"N={n0:6d} qt_tile={sched.tile:5d}: {us:9.1f} us/md_step "
+
+        def checksum():
+            final, outs = run_compiled(cfg, state, n_seg)
+            return float(jnp.sum(final.V) + jnp.sum(outs["ekin"]))
+
+        checksum()
+        t0 = time.perf_counter()
+        checksum()
+        dt = time.perf_counter() - t0
+        ticks = n_seg * cfg.sample_freq * cfg.ratio
+        ups = n0 * ticks / dt
+        print(f"N={n0:6d}: {dt / ticks * 1e6:7.2f} us/tick "
               f"= {ups:.3e} updates/s", flush=True)
 
 
