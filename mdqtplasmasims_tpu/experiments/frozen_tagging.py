@@ -343,9 +343,10 @@ def write_outputs(directory: str, cfg: FrozenTagConfig, res: dict,
         ac_t = outs["t"]
         ac = outs["long_kin" if cfg.variant == "408quad" else "vaf"]
     else:
+        # only 422linear reaches here (full_tag_row covers the 408s),
+        # and its autocorrelation stream is the x-only VAF
         ac_t = np.concatenate([[out_tag["t"]], outs["t"]])
-        key = "long_kin" if cfg.variant == "408quad" else "vaf"
-        ac = np.concatenate([[out_tag[key]], outs[key]])
+        ac = np.concatenate([[out_tag["vaf"]], outs["vaf"]])
     n_samples = outs["t"].shape[0]
 
     c0_tag = res["n_md_a"]

@@ -215,12 +215,14 @@ def run_compiled(cfg: CoolingConfig, state: SimState, n_segments: int):
         # at the sample boundary (scheduler.py soa_* helpers).  The mask
         # is built from the *actual* ion count (which differs from cfg.n0
         # when exact_n=False draws a Poissonian N), not from cfg.n0.
-        from ..ops.yukawa import auto_tile, yukawa_forces_n3l_soa
+        from ..ops.yukawa import yukawa_forces_n3l_soa
         n_actual = state.R.shape[0]
         npad = sched._npad(n_actual)
         mask_row = jnp.zeros((1, npad), jnp.float32).at[0, :n_actual].set(1.0)
+        # tile=None -> largest width dividing npad (npad follows the QT
+        # tile, e.g. 896 at n=600, which 512 does not divide)
         soa_forces = lambda Rp: yukawa_forces_n3l_soa(
-            Rp, mask_row, L, pu.debye_length, tile=auto_tile(n_actual))
+            Rp, mask_row, L, pu.debye_length)
 
         def segment(state, _):
             carry = jax.lax.fori_loop(

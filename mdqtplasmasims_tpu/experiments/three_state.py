@@ -108,8 +108,9 @@ def run(cfg: ThreeStateConfig, seed: Optional[int] = None):
         done += g
     V = carry[0]
     jax.block_until_ready(V)
-    recs = np.concatenate([np.asarray(safe_device_get(r))
-                           for r in rec_groups])
+    recs = (np.concatenate([np.asarray(safe_device_get(r))
+                            for r in rec_groups])
+            if rec_groups else np.zeros((0, 2)))
     t_axis = (np.arange(1, n_segments + 1) * cfg.sample_freq) * cfg.dt
     results = dict(t=t_axis, ekin_x=recs[:, 0], ground_pop=recs[:, 1],
                    V=np.asarray(safe_device_get(V)))

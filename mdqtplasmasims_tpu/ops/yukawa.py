@@ -454,16 +454,31 @@ def _yukawa_n3l_batched(Rl4: jax.Array, Rs: jax.Array, *, L: float,
     return f + jnp.swapaxes(gj.reshape(e, npad, 8)[:, :, :3], 1, 2)
 
 
+def soa_force_tile(npad: int) -> int:
+    """Largest force-tile width that divides an already-padded lane count
+    (the SoA loop pads with the *QT* tile — 512/896/1024/1792/3584, all
+    multiples of 128 — which need not be a multiple of the force tile)."""
+    for t in (512, 256, 128):
+        if npad % t == 0:
+            return t
+    raise ValueError(f"npad {npad} not a multiple of 128")
+
+
 def yukawa_forces_n3l_soa(Rp: jax.Array, mask_row: jax.Array, L: float,
-                          ldeb: float, tile: int = 512,
+                          ldeb: float, tile: Optional[int] = None,
                           interpret: bool = False) -> jax.Array:
     """Half-pair forces straight from the lane layout: ``Rp [3, Np]``
     (padded, as carried by the SoA-resident MD loop) and a static
     ``mask_row [1, Np]`` marking real ions.  Skips the ``[N,3]``
     round-trip the array-of-structs wrapper pays per call; only the
     unavoidable lane->sublane transpose for the j-side remains.
-    Returns ``F [3, Np]``."""
+    ``tile`` defaults to the largest width dividing Np (it MUST divide —
+    the kernel grid covers exactly nt*tile lanes).  Returns ``F [3, Np]``."""
     npad = Rp.shape[1]
+    if tile is None:
+        tile = soa_force_tile(npad)
+    if npad % tile != 0:
+        raise ValueError(f"force tile {tile} does not divide npad {npad}")
     Rl4 = jnp.concatenate([Rp, mask_row], axis=0)
     Rs = (jnp.zeros((npad, 8), Rp.dtype).at[:, :3].set(Rp.T)
           .at[:, 3].set(mask_row[0]))

@@ -111,6 +111,41 @@ def test_n3l_triangle_schedule(n):
     assert np.abs(F - F_ref).max() < 2e-5 * scale
 
 
+def test_soa_force_tile_divides_qt_padding():
+    """The SoA loop pads with the QT tile (512/896/1024/1792/3584 per
+    core.scheduler.auto_qt_tile); the auto force tile must divide every
+    such npad — regression for the n0=600 (npad=896) trace crash."""
+    from mdqtplasmasims_tpu.core.scheduler import auto_qt_tile
+    from mdqtplasmasims_tpu.ops.yukawa import soa_force_tile
+    for n in (64, 300, 600, 1000, 3500, 6000, 14000, 56000):
+        t = auto_qt_tile(n)
+        npad = -(-max(n, t) // t) * t
+        ft = soa_force_tile(npad)
+        assert npad % ft == 0, (n, npad, ft)
+
+
+def test_n3l_soa_non512_padding():
+    """yukawa_forces_n3l_soa with a QT-tile padding 512 does not divide
+    (npad=896 at n=600) must agree with the XLA forces — the auto force
+    tile drops to 128 there."""
+    from mdqtplasmasims_tpu.ops.yukawa import (yukawa_forces,
+                                               yukawa_forces_n3l_soa)
+    n, npad = 600, 896
+    pu = PlasmaUnits(density=2.0, Ge=0.1)
+    L = PlasmaUnits.box_length(n)
+    rng = np.random.default_rng(6)
+    R = rng.uniform(0, L, (n, 3)).astype(np.float32)
+    Rp = jnp.zeros((3, npad), jnp.float32).at[:, :n].set(R.T)
+    mask_row = jnp.zeros((1, npad), jnp.float32).at[0, :n].set(1.0)
+    F = np.asarray(yukawa_forces_n3l_soa(Rp, mask_row, L,
+                                         pu.debye_length, interpret=True))
+    F_ref = np.asarray(yukawa_forces(jnp.asarray(R), L, pu.debye_length,
+                                     chunk=128))
+    scale = np.abs(F_ref).max()
+    assert np.abs(F[:, :n].T - F_ref).max() < 2e-5 * scale
+    assert np.abs(F[:, n:]).max() == 0.0
+
+
 def test_n3l_kernel_mask(system):
     """Masked-out ions neither exert nor receive force through either the
     direct or the reaction (third-law) path of the half-pair kernel."""

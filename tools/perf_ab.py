@@ -137,8 +137,7 @@ def mode_ens():
 
 def mode_soa():
     """Split the SoA-resident MD step: force-only vs QT-block-only."""
-    from mdqtplasmasims_tpu.ops.yukawa import (auto_tile,
-                                               yukawa_forces_n3l_soa)
+    from mdqtplasmasims_tpu.ops.yukawa import yukawa_forces_n3l_soa
     n_steps = ARG or 500
     cfg, state = _flagship()
     sched = build_scheduler(cfg)
@@ -147,7 +146,7 @@ def mode_soa():
     npad = sched._npad(cfg.n0)
     mask_row = jnp.zeros((1, npad), jnp.float32).at[0, :cfg.n0].set(1.0)
     soa_forces = lambda Rp: yukawa_forces_n3l_soa(
-        Rp, mask_row, L, pu.debye_length, tile=auto_tile(cfg.n0))
+        Rp, mask_row, L, pu.debye_length)
 
     @jax.jit
     def floop(state):
