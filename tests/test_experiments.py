@@ -205,6 +205,19 @@ class TestThreeState:
         # without kicks the velocity distribution is untouched
         assert abs(res["ekin_x"][-1] - res["ekin_x"][0]) < 1e-9
 
+    def test_dispatch_groups_bit_identical(self):
+        """Splitting the run into device-dispatch groups (the relay
+        per-dispatch deadline workaround) must not change anything: the
+        carry stays on device and the per-segment op sequence is
+        identical."""
+        base = dict(n0=64, tmax=60.0, sample_freq=100, temperature_k=0.01)
+        res_one = run_three(ThreeStateConfig(**base))          # one group
+        res_split = run_three(ThreeStateConfig(
+            **base, dispatch_segments=2))                      # 3 groups
+        np.testing.assert_array_equal(res_one["ekin_x"],
+                                      res_split["ekin_x"])
+        np.testing.assert_array_equal(res_one["V"], res_split["V"])
+
 
 class TestEnsembleCompiled:
     def test_batched_ensemble_matches_physics(self):
