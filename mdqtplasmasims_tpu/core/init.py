@@ -6,11 +6,13 @@
 2. Cubic lattice + Maxwell-Boltzmann velocities (MC transport family,
    MonteCarloFollowedByMDAndTempAnisotropy.cpp:173-203).
 
-The frozen-gas initializer returns a *fixed-capacity* set of ``n_max``
-particles plus a float mask: the reference samples ions from a 9L box and
-keeps the ones landing in the cell, giving a run-dependent N.  On TPU the
-shapes must be static, so we draw N ~ Binomial(N9L, 1/729) on the host and
-mask the tail.  ``exact_n=True`` pins N = N0 for ensemble vmapping.
+The reference samples ions from a 9L box and keeps the ones landing in
+the cell, giving a run-dependent N; ``exact_n=False`` reproduces that by
+drawing N ~ Binomial(N9L, 1/729) on the *host* (so the array shape is
+static within the run, but differs run-to-run — each distinct N compiles
+its own program and such states cannot be stacked into an ensemble).
+``exact_n=True`` (default) pins N = N0 so ensembles vmap and programs are
+shared across jobs.
 """
 
 from __future__ import annotations
@@ -43,12 +45,12 @@ def frozen_gas_positions(key: jax.Array, n: int, L: float,
 def frozen_gas_init(key: jax.Array, n0: int, *, n_states: int = 0,
                     exact_n: bool = True, dtype=jnp.float32,
                     seed_for_count: Optional[int] = None):
-    """Positions, velocities(=0), wavefunctions, mask for a frozen-gas start.
+    """Positions, velocities(=0), wavefunctions for a frozen-gas start.
 
-    Returns (R, V, psi, n_actual).  With ``exact_n`` the count is pinned to
-    n0 (recommended for vmapped ensembles); otherwise it is Poissonian about
-    n0 as in the reference, still materialized with n0-sized arrays when the
-    draw is below capacity (capacity errors raise).
+    Returns (R, V, psi, n_actual) with arrays sized to ``n_actual``.  With
+    ``exact_n`` the count is pinned to n0 (recommended: vmappable, one
+    compiled program); otherwise it is Binomial about n0 as in the
+    reference, drawn on the host so shapes stay static within the run.
     """
     from .qt import random_s_superposition
 

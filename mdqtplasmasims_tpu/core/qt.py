@@ -35,7 +35,7 @@ TPU-native design notes:
 from __future__ import annotations
 
 import dataclasses
-from typing import NamedTuple
+from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -140,14 +140,16 @@ class QTEngine:
             p.decay_w[:, None] * (phi.real ** 2 + phi.imag ** 2), axis=0)
 
     def step_sm(self, psi: jax.Array, vx: jax.Array, t_part: jax.Array,
-                key: jax.Array = None, exp_det=0.0, rolls=None):
+                key: Optional[jax.Array] = None, exp_det=0.0, rolls=None):
         """Advance every ion one quantum tick.  psi: [S,N] (state-major).
 
         Returns ``(psi, vx, t_part)``.  ``exp_det`` is the scalar
         expansion-frame detuning (units of gamma) added to the Doppler
-        shift.  ``rolls`` optionally supplies the [5, N] uniforms (drawn in
-        batch by the scheduler — one RNG call per MD step instead of one
-        per tick)."""
+        shift.  Exactly one of ``key`` / ``rolls`` must be given:
+        ``rolls`` supplies the [5, N] uniforms (drawn in batch by the
+        scheduler — one RNG call per MD step instead of one per tick)."""
+        if key is None and rolls is None:
+            raise ValueError("step_sm needs either key= or rolls=")
         rdtype = vx.dtype
         p = _params(self.scheme, rdtype, psi.dtype)
         h = jnp.asarray(self.h, rdtype)

@@ -87,14 +87,23 @@ def _make_kernel(spec: FusedTickSpec):
         if spec.internal_rng:
             (Ro_ref, Vo_ref, tpo_ref, preo_ref, pimo_ref) = rest
             rolls_ref = None
-            # one independent hardware-PRNG stream per (md step, ion tile)
-            pltpu.prng_seed(seed_ref[0, 0] + pl.program_id(0))
+            # one independent hardware-PRNG stream per (md step, ion
+            # tile): prng_seed mixes both words (Mosaic caps at 2), so
+            # the stream identity is ~62 bits — word 2 (tick*ntiles +
+            # tile) is unique by construction within a run, killing the
+            # intra-run birthday collisions a single 31-bit seed has
+            # (~5 expected replayed tiles per 1e5-step run), and word 1
+            # (a fresh 31-bit draw per MD step) decorrelates runs/jobs
+            pltpu.prng_seed(
+                seed_ref[0, 0],
+                tick0_ref[0, 0].astype(jnp.int32) * pl.num_programs(0)
+                + pl.program_id(0))
         else:
             (rolls_ref, Ro_ref, Vo_ref, tpo_ref, preo_ref, pimo_ref) = rest
         T = R_ref.shape[1]
         # scheme tables ride as inputs (pallas kernels cannot capture
-        # non-scalar constants): vecs [SP,8] cols = w,e0,e1,src_mask;
-        # mats [3*SP,SP] = C | cumS^T | cumD^T
+        # non-scalar constants): vecs [SP,8] cols = w,e0,e1,src_mask
+        # and mats [4*SP,SP] = C | cumS^T | cumD^T | lower-tri ones
         w_c = vecs_ref[:, 0:1]
         e0_c = vecs_ref[:, 1:2]
         e1_c = vecs_ref[:, 2:3]

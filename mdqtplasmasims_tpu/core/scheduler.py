@@ -73,40 +73,10 @@ class CoolingScheduler:
 
     def _fused_substeps(self, state: SimState, F) -> SimState:
         """Whole ratio-tick block as one Pallas kernel (core/qt_fused.py)."""
-        from .qt_fused import fused_md_substeps
-        n = state.R.shape[0]
-        npad = -(-max(n, self.tile) // self.tile) * self.tile
-        key, sub = jax.random.split(state.key)
-        if self.fused_spec.internal_rng:
-            rolls = None
-            seed = jax.random.randint(sub, (1, 1), 0, 2 ** 31 - 1, jnp.int32)
-        else:
-            rolls = jax.random.uniform(sub, (self.ratio * 5, npad),
-                                       jnp.float32)
-            seed = None
-        SP = self.fused_spec.SP
-
-        def pad_rows(x, rows):
-            out = jnp.zeros((rows, npad), jnp.float32)
-            return out.at[:x.shape[0], :n].set(x)
-
-        psi_sm = state.psi.T
-        first = (state.tick == 0).astype(jnp.float32).reshape(1, 1)
-        tick0 = state.tick.astype(jnp.float32).reshape(1, 1)
-        Ro, Vo, tpo, preo, pimo = fused_md_substeps(
-            self.fused_spec, first, pad_rows(state.R.T, 3),
-            pad_rows(state.V.T, 3), pad_rows(F.T, 3),
-            pad_rows(state.t_part[None, :], 1),
-            pad_rows(psi_sm.real, SP), pad_rows(psi_sm.imag, SP),
-            rolls=rolls, seed=seed, tick0=tick0, tile=self.tile,
-            interpret=self.interpret)
-        S = state.psi.shape[1]
-        psi = (preo[:S, :n] + 1j * pimo[:S, :n]).T.astype(state.psi.dtype)
-        tick_i = state.tick + self.ratio
-        return state._replace(
-            R=Ro[:, :n].T, V=Vo[:, :n].T, F=F, psi=psi,
-            t_part=tpo[0, :n], key=key, tick=tick_i,
-            t=tick_i.astype(state.t.dtype) * self.qdt)
+        carry = self.soa_init(state, F)
+        Fp = carry[2]          # F already computed by md_step
+        carry = self.soa_md_step(carry, lambda Rp: Fp)
+        return self.soa_restore(carry, state)
 
     # ---- SoA-resident segment loop (fused path only) -----------------
     # The fused kernel speaks [rows, Np] f32 planes; converting to/from
@@ -179,10 +149,17 @@ class CoolingScheduler:
         step (grid tiles E*npad ions) instead of a vmapped XLA substep
         scan; only the force kernel (which couples ions within a job)
         stays per-job.  The in-kernel PRNG seeds per ion tile
-        (qt_fused.py), so folded jobs get independent streams."""
+        (qt_fused.py), so folded jobs get independent streams.
+
+        All members must share one tick counter (``states.tick[0]`` is
+        applied to the whole fold for the first-step drift and the
+        expansion-frame time) — true for ensembles built by
+        ``run_ensemble``/``run_compiled_ensemble``, which start every
+        member at tick 0; do not fold members resumed from different
+        checkpoints."""
         from .qt_fused import fused_md_substeps
         E, n, _ = states.R.shape
-        npad = -(-max(n, self.tile) // self.tile) * self.tile
+        npad = self._npad(n)
         SP = self.fused_spec.SP
         S = states.psi.shape[-1]
 

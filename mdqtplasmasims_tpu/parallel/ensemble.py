@@ -7,8 +7,9 @@ devices) and the ion axis may additionally be sharded for the O(N^2) force
 kernel, with one ``all_gather`` of positions over ICI per force refresh.
 
 RNG: every (job, ion-shard) pair gets an independent threefry key via
-``fold_in`` — replacing (and fixing) the reference's ``srand48(time+job)``
-plus unseeded ``std::random_device`` (SURVEY.md L4).
+nested ``jax.random.split`` (``shard_keys``: base -> per-job -> per-shard)
+— replacing (and fixing) the reference's ``srand48(time+job)`` plus
+unseeded ``std::random_device`` (SURVEY.md L4).
 """
 
 from __future__ import annotations

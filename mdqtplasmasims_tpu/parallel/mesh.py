@@ -24,10 +24,14 @@ ION_AXIS = "ions"
 
 def factor_devices(n: int, max_ion_shards: int = 4) -> Tuple[int, int]:
     """Split n devices into (ens, ions).  Ensemble parallelism is perfectly
-    scalable so it gets the larger factor; the ion axis only pays off for
-    large N, so cap it."""
+    scalable (no collectives), so the ion axis — which pays one all_gather
+    per force refresh and only wins for large N — takes the *smallest*
+    non-trivial factor (capped at max_ion_shards) and the ensemble axis
+    gets everything else; e.g. 8 -> (ens=4, ions=2).  Pass an explicit
+    split to make_mesh for a different policy (ions=1 maximizes
+    throughput when every member fits on one chip)."""
     ions = 1
-    for cand in range(min(max_ion_shards, n), 0, -1):
+    for cand in range(2, min(max_ion_shards, n) + 1):
         if n % cand == 0:
             ions = cand
             break
