@@ -298,10 +298,11 @@ def run(cfg: FrozenTagConfig, seed: Optional[int] = None):
     state, spin_up, vholder = measure(cfg_run, state)
     out_tag = tag_instant_output(cfg_run, state, spin_up, vholder, epot0)
 
-    # phase B segment lengths: align to the global sample_freq grid
+    # phase B segment lengths: align to the global sample_freq grid (the
+    # reference's (c0+1)%sampleFreq==0 gate first fires at
+    # c0 = n_md_a + first - 1; when n_md_a is already on the grid the
+    # first segment is a full sample_freq)
     first = cfg.sample_freq - (n_md_a % cfg.sample_freq)
-    if first == cfg.sample_freq:
-        first = cfg.sample_freq
     remaining = n_md_total - n_md_a - first
     n_full = max(0, remaining // cfg.sample_freq)
     seg_lengths = (first,) + (cfg.sample_freq,) * n_full
@@ -361,8 +362,19 @@ def write_outputs(directory: str, cfg: FrozenTagConfig, res: dict,
         w.append("vSquareAutoCorr.dat", np.stack([ac_t, ac], -1))
     else:
         w.append("VAF.dat", np.stack([ac_t, ac], -1))
+    # File numbering matches the reference's global MD-step counter: the
+    # output gate (c0+1)%sampleFreq==0 (randomFrozenStartTag422Linear.cpp
+    # :1009) first fires at c0 = n_md_a + first - 1 and then every
+    # sampleFreq steps; the 408 variants additionally emit at the tag
+    # instant itself (c0 = n_md_a).
+    f = cfg.sample_freq
+    first_len = f - (res["n_md_a"] % f)
+    labels = [res["n_md_a"] + first_len - 1 + j * f
+              for j in range(n_samples)]
+    if full_tag_row:
+        labels = [res["n_md_a"]] + labels[:-1]
     for k in range(n_samples):
-        w.write(f"vel_distX_timestep{k:06d}.dat",
+        w.write(f"vel_distX_timestep{labels[k]:06d}.dat",
                 np.stack([bins, outs["pvel_x"][k]], -1))
 
     c0 = n_md_total - 1

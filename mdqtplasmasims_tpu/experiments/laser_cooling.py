@@ -330,6 +330,7 @@ def run(cfg: CoolingConfig, seed: Optional[int] = None,
     directory — the TPU equivalent of the reference's walltime-window
     chaining with ``newRun=0, c0=<last timestep>`` (README.md:51-53)."""
     done = 0
+    epot0_resume = None
     save_dir = _save_dir(cfg) if cfg.save_directory is not None else None
     if resume and save_dir is not None and state is None:
         c0_last = latest_checkpoint(save_dir)
@@ -343,11 +344,19 @@ def run(cfg: CoolingConfig, seed: Optional[int] = None,
                                    t=jnp.asarray(tick * cfg.qdt,
                                                  cfg.np_dtype))
             done = int(z["counter"])
+            # the t=0 potential rides the checkpoint: the energies.dat
+            # total-change column is Ekin+Epot-Epot0 with Epot0 from
+            # *initialization* (SpeedUp.cpp never reassigns it on a
+            # newRun=0 restart) — recomputing it from the restored R
+            # would put a jump at the splice
+            if "epot0" in z:
+                epot0_resume = float(z["epot0"])
     if state is None:
         state = initial_state(cfg, seed)
     pu = PlasmaUnits(cfg.density, cfg.ge)
     L = PlasmaUnits.box_length(cfg.n0)
-    epot0 = yukawa_potential(state.R, L, pu.debye_length)
+    epot0 = (epot0_resume if epot0_resume is not None
+             else yukawa_potential(state.R, L, pu.debye_length))
 
     n_md = int(round(cfg.tmax / cfg.timestep))
     n_segments = n_md // cfg.sample_freq
@@ -371,7 +380,7 @@ def run(cfg: CoolingConfig, seed: Optional[int] = None,
             import os
             os.makedirs(save_dir, exist_ok=True)
             ckpt.save_native(save_dir, c0, R=st.R, V=st.V, psi=st.psi,
-                             counter=done)
+                             counter=done, extra={"epot0": epot0_f})
 
     if not outs_groups:           # resume found nothing left to do
         final_np = safe_device_get(state)
@@ -466,15 +475,23 @@ def write_outputs(directory: str, cfg: CoolingConfig, outs, epot0: float,
     w.append("energies.dat", energies)
 
     # Interval VAF + LCCF of the pre-SpeedUp code, evaluated from the
-    # per-sample snapshots (identical to the reference's streaming Zfunc /
-    # LCCF, which also only fire at sample times —
-    # LaserCoolingPlusExpansionMDQT.cpp:1252-1362).
+    # per-sample snapshots.  The reference's streaming Zfunc/LCCF also
+    # fire only at sample cadence, but its interval gate is offset from
+    # the output grid by up to half a period
+    # (LaserCoolingPlusExpansionMDQT.cpp:1252-1362: (c0-vstart)%sampleFreq
+    # with vstart=(tstart-0.02)/dt+9), so interval origins here sit on the
+    # nearest output sample — within sampleFreq/2 MD steps of the
+    # reference's.  On a resumed run, intervals that started before the
+    # resume point have no snapshot and are skipped (their pre-crash rows
+    # are already on disk).
     n = final.R.shape[0]
     vholder = np.zeros((max(13, len(cfg.vaf_intervals)), n, 3))
     if cfg.vaf_intervals and "V" in outs:
         t_arr = np.asarray(outs["t"], np.float64)
         for k, tstart in enumerate(cfg.vaf_intervals):
-            idx = int(np.searchsorted(t_arr, tstart))
+            if sample_offset and tstart < t_arr[0]:
+                continue
+            idx = int(np.argmin(np.abs(t_arr - tstart)))
             if idx >= n_samples:
                 continue
             v0 = np.asarray(outs["V"][idx], np.float64)
@@ -497,7 +514,8 @@ def write_outputs(directory: str, cfg: CoolingConfig, outs, epot0: float,
                                            _jnp.asarray(outs["V"][j]),
                                            _jnp.asarray(kv)))
             rows = np.concatenate([
-                np.full((kv.shape[0], 1), j * cfg.sample_freq), ks,
+                np.full((kv.shape[0], 1),
+                        (j + sample_offset) * cfg.sample_freq), ks,
                 np.stack([J[0].real, J[0].imag, J[1].real, J[1].imag,
                           J[2].real, J[2].imag], -1)], axis=1)
             w.append("J_interval0.dat", rows)

@@ -251,16 +251,19 @@ def _write_outputs(cfg: MCTransportConfig, res: dict) -> None:
                          kappa=cfg.kappa, n=cfg.n, job=cfg.job)
     w = DatWriter(d)
     dr = 0.05
-    rr = np.arange(400) * dr
+    # the reference writes only int((L/2)/dr) rows (the r < L/2 cap,
+    # MonteCarlo...cpp:627/649) — not the full 400-slot array
+    n_gr = int((cfg.L / 2.0) / dr)
+    rr = np.arange(n_gr) * dr
 
     for i, g in enumerate(res["gr_mc"]):
         w.write(f"pairPairCorrStepNum{i * cfg.gr_every_mc}.dat",
-                np.stack([rr, g], -1))
+                np.stack([rr, g[:n_gr]], -1))
     # record-phase g(r) snapshots (the reference reuses the same filename
     # pattern with the record-step index, MonteCarlo...cpp:1099)
     for i, g in enumerate(res["gr_record"]):
         w.write(f"pairPairCorrStepNum{i * cfg.gr_every_record}.dat",
-                np.stack([rr, g], -1))
+                np.stack([rr, g[:n_gr]], -1))
     t_axis = np.arange(cfg.record_steps) * cfg.timestep
     for name, arr in (("VAF", res["vaf"]), ("longViscAutoCorr", res["long_visc"]),
                       ("vCubeAutoCorr", res["v_cube"]),

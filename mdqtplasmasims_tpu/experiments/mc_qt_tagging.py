@@ -264,10 +264,11 @@ def _write_outputs(cfg: MCTagConfig, res: dict) -> None:
     for k in range(0, cfg.record_steps, cfg.dist_every):
         w.write(f"vel_distX_timestep{k:06d}.dat",
                 np.stack([bins, res["dists"][k]], -1))
-    rr = np.arange(400) * 0.05
+    n_gr = int((cfg.L / 2.0) / 0.05)   # reference's r < L/2 row cap
+    rr = np.arange(n_gr) * 0.05
     for i, g in enumerate(res["grs"]):
         w.write(f"pairPairCorrStepNum{i * cfg.gr_every_record}.dat",
-                np.stack([rr, g], -1))
+                np.stack([rr, g[:n_gr]], -1))
     w.write("temperature.dat", res["temps"][:, None])
     for name, arr in (("VAF", res["vaf"]),
                       ("longViscAutoCorr", res["long_visc"]),

@@ -54,16 +54,11 @@ def mc_tag_422_linear(**kw) -> MCTagConfig:
 
 
 def frozen_tag_408_linear(**kw) -> FrozenTagConfig:
-    kw.setdefault("detuning", -2.5)
-    kw.setdefault("om", 0.7)
-    kw.setdefault("tpump_seconds", 2e-7)
+    # pump defaults come from FROZEN_VARIANT_DEFAULTS via __post_init__
     return FrozenTagConfig(variant="408linear", **kw)
 
 
 def frozen_tag_408_quad(**kw) -> FrozenTagConfig:
-    kw.setdefault("detuning", 0.0)
-    kw.setdefault("om", 2.0)
-    kw.setdefault("tpump_seconds", 1e-7)
     return FrozenTagConfig(variant="408quad", **kw)
 
 

@@ -51,5 +51,5 @@ def gaussian_kde(v: jax.Array, bins: jax.Array, *, folded: bool,
         k = k * weights[None, :]
     out = jnp.sum(k, axis=1)
     if normalize:
-        out = out / KDE_NORM
+        out = out / (6.0 * np.sqrt(2.0 * np.pi) * width)
     return out

@@ -47,7 +47,9 @@ def pair_correlation(R: jax.Array, L: float, *, dr: float = 0.05,
     hist = jnp.sum(jax.lax.map(row_block, (pad(Rx), pad(Ry), pad(Rz))),
                    axis=0).astype(R.dtype)
     i = jnp.arange(n_use, dtype=R.dtype)
-    shell = jnp.where(i == 0, n * 4.0 / 3.0 * jnp.pi * dr ** 3,
+    # bin 0: the reference's N*4/3 is C *integer* division (5461 for
+    # N=4096, not 5461.33) before the double promotion
+    shell = jnp.where(i == 0, float(n * 4 // 3) * jnp.pi * dr ** 3,
                       n * 3.0 * dr ** 3 * i * i)
     g = hist / shell
     return jnp.pad(g, (0, n_bins - n_use))

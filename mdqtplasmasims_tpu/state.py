@@ -11,6 +11,7 @@ from __future__ import annotations
 from typing import NamedTuple
 
 import jax
+import numpy as np
 import jax.numpy as jnp
 
 
@@ -46,8 +47,14 @@ def make_state(R, V, psi=None, key=None, *, t=0.0,
     cdtype = jnp.complex64 if dtype == jnp.float32 else jnp.complex128
     if psi is None:
         psi = jnp.zeros((n, 0), cdtype)
-    else:
+    elif isinstance(psi, jax.Array):
         psi = jnp.asarray(psi, cdtype)
+    else:
+        # complex host arrays can't be shipped directly on every backend
+        # (axon relay: complex transfers are UNIMPLEMENTED — the failure
+        # surfaces asynchronously at the next block, e.g. on resume)
+        from .util import safe_device_put
+        psi = safe_device_put(np.asarray(psi, cdtype))
     if key is None:
         key = jax.random.PRNGKey(0)
     return SimState(

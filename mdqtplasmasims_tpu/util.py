@@ -26,6 +26,25 @@ def _get_real(x):
         return jax.device_get(_fresh_copy(x))
 
 
+@jax.jit
+def _combine_ri(r, i):
+    return r + 1j * i.astype(r.dtype)
+
+
+def safe_device_put(x):
+    """Host -> device hardened for quirky PJRT backends: complex host
+    arrays are shipped as two real transfers and combined on device
+    (complex transfers are UNIMPLEMENTED on the axon-tunneled TPU; the
+    error surfaces asynchronously at the next block/fetch, far from the
+    offending ``device_put``)."""
+    x = np.asarray(x)
+    if np.issubdtype(x.dtype, np.complexfloating):
+        r = np.ascontiguousarray(x.real)
+        i = np.ascontiguousarray(x.imag)
+        return _combine_ri(jnp.asarray(r), jnp.asarray(i))
+    return jnp.asarray(x)
+
+
 def safe_device_get(tree):
     """``jax.device_get`` hardened for quirky PJRT backends (the
     axon-tunneled TPU in this container): complex leaves are transferred as

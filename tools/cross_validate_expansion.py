@@ -76,7 +76,18 @@ def main() -> int:
     binary = patch_and_compile(workdir)
     print(f"== compiled {binary}; running {JOBS} reference jobs",
           flush=True)
+    n_rows_full = int(round(TMAX / 0.002)) // SAMPLE_FREQ
     for j in range(1, JOBS + 1):
+        done = glob.glob(os.path.join(workdir, "refdata_exp", "*",
+                                      f"job{j}", "energies.dat"))
+        if done and len(np.loadtxt(done[0])) >= n_rows_full:
+            print(f"   job{j}: already complete, skipping", flush=True)
+            continue
+        if done:
+            # partial run: the binary APPENDS to energies.dat, so a
+            # rerun over a partial dir would corrupt it — start clean
+            shutil.rmtree(os.path.dirname(done[0]))
+            print(f"   job{j}: removed partial dir", flush=True)
         subprocess.run([binary, str(j)], cwd=workdir, check=True,
                        timeout=3600)
     fam = glob.glob(os.path.join(workdir, "refdata_exp", "*"))
