@@ -157,11 +157,22 @@ class CoolingScheduler:
         ``run_ensemble``/``run_compiled_ensemble``, which start every
         member at tick 0; do not fold members resumed from different
         checkpoints."""
-        from .qt_fused import fused_md_substeps
+        carry = self.soa_ens_init(states, F)
+        Fp = carry[2]
+        carry = self.soa_ens_md_step(carry, lambda Rp: Fp)
+        return self.soa_ens_restore(carry, states)
+
+    # Ensemble SoA-resident segment loop: same idea as soa_* but with the
+    # job axis folded into the lane dimension ([rows, E*npad] planes).
+    # Converting SimState <-> planes per MD step costs 8 [E,SP,npad]
+    # transposes + a complex split; keeping planes across a whole
+    # sampling segment pays that once per sample instead.
+
+    def soa_ens_init(self, states: SimState, F=None):
+        """[E,...] SimState batch -> folded planes + per-member keys."""
         E, n, _ = states.R.shape
         npad = self._npad(n)
         SP = self.fused_spec.SP
-        S = states.psi.shape[-1]
 
         def fold(x, rows=None):
             # [E, r, n] -> [rows, E*npad], job blocks contiguous on the ion
@@ -171,42 +182,60 @@ class CoolingScheduler:
             out = out.at[:, :x.shape[1], :n].set(x.astype(jnp.float32))
             return jnp.swapaxes(out, 0, 1).reshape(rows, E * npad)
 
+        psi_sm = jnp.swapaxes(states.psi, 1, 2)          # [E, S, n]
+        Fp = (jnp.zeros((3, E * npad), jnp.float32) if F is None
+              else fold(jnp.swapaxes(F, 1, 2)))
+        return (fold(jnp.swapaxes(states.R, 1, 2)),
+                fold(jnp.swapaxes(states.V, 1, 2)), Fp,
+                fold(states.t_part[:, None, :]),
+                fold(psi_sm.real, SP), fold(psi_sm.imag, SP),
+                states.key, states.tick)
+
+    def soa_ens_md_step(self, carry, soa_forces_fn):
+        """One ensemble MD step in folded-plane layout; ``soa_forces_fn``
+        maps Rp [3, E*npad] -> F [3, E*npad] (job-batched kernel)."""
+        from .qt_fused import fused_md_substeps
+        Rp, Vp, _, tpp, prep, pimp, keys, tick = carry
+        Fp = soa_forces_fn(Rp)
+        ks = jax.vmap(jax.random.split)(keys)            # [E, 2, 2]
+        new_keys = ks[:, 0]
+        if self.fused_spec.internal_rng:
+            rolls = None
+            seed = jax.random.randint(ks[0, 1], (1, 1), 0, 2 ** 31 - 1,
+                                      jnp.int32)
+        else:
+            rolls = jax.random.uniform(ks[0, 1],
+                                       (self.ratio * 5, Rp.shape[1]),
+                                       jnp.float32)
+            seed = None
+        first = (tick[0] == 0).astype(jnp.float32).reshape(1, 1)
+        tick0 = tick[0].astype(jnp.float32).reshape(1, 1)
+        Rp, Vp, tpp, prep, pimp = fused_md_substeps(
+            self.fused_spec, first, Rp, Vp, Fp, tpp, prep, pimp,
+            rolls=rolls, seed=seed, tick0=tick0, tile=self.tile,
+            interpret=self.interpret)
+        return (Rp, Vp, Fp, tpp, prep, pimp, new_keys, tick + self.ratio)
+
+    def soa_ens_restore(self, carry, states: SimState) -> SimState:
+        """Folded planes -> [E,...] SimState batch (template dtypes)."""
+        Rp, Vp, Fp, tpp, prep, pimp, keys, tick = carry
+        E, n, _ = states.R.shape
+        npad = Rp.shape[1] // E
+        S = states.psi.shape[-1]
+
         def unfold(y, rows):  # [rows', E*npad] -> [E, rows, n]
             y = jnp.swapaxes(y.reshape(-1, E, npad), 0, 1)
             return y[:, :rows, :n]
 
-        keys = jax.vmap(jax.random.split)(states.key)   # [E, 2, 2]
-        new_keys = keys[:, 0]
-        if self.fused_spec.internal_rng:
-            rolls = None
-            seed = jax.random.randint(keys[0, 1], (1, 1), 0, 2 ** 31 - 1,
-                                      jnp.int32)
-        else:
-            rolls = jax.random.uniform(keys[0, 1],
-                                       (self.ratio * 5, E * npad),
-                                       jnp.float32)
-            seed = None
-
-        psi_sm = jnp.swapaxes(states.psi, 1, 2)          # [E, S, n]
-        first = (states.tick[0] == 0).astype(jnp.float32).reshape(1, 1)
-        tick0 = states.tick[0].astype(jnp.float32).reshape(1, 1)
-        Ro, Vo, tpo, preo, pimo = fused_md_substeps(
-            self.fused_spec, first,
-            fold(jnp.swapaxes(states.R, 1, 2)),
-            fold(jnp.swapaxes(states.V, 1, 2)),
-            fold(jnp.swapaxes(F, 1, 2)),
-            fold(states.t_part[:, None, :]),
-            fold(psi_sm.real, SP), fold(psi_sm.imag, SP),
-            rolls=rolls, seed=seed, tick0=tick0, tile=self.tile,
-            interpret=self.interpret)
-        psi = (unfold(preo, S) + 1j * unfold(pimo, S)).astype(states.psi.dtype)
-        tick_i = states.tick + self.ratio
+        psi = (unfold(prep, S) + 1j * unfold(pimp, S)).astype(states.psi.dtype)
         return states._replace(
-            R=jnp.swapaxes(unfold(Ro, 3), 1, 2),
-            V=jnp.swapaxes(unfold(Vo, 3), 1, 2), F=F,
+            R=jnp.swapaxes(unfold(Rp, 3), 1, 2).astype(states.R.dtype),
+            V=jnp.swapaxes(unfold(Vp, 3), 1, 2).astype(states.V.dtype),
+            F=jnp.swapaxes(unfold(Fp, 3), 1, 2).astype(states.F.dtype),
             psi=jnp.swapaxes(psi, 1, 2),
-            t_part=unfold(tpo, 1)[:, 0, :], key=new_keys, tick=tick_i,
-            t=tick_i.astype(states.t.dtype) * self.qdt)
+            t_part=unfold(tpp, 1)[:, 0, :].astype(states.t_part.dtype),
+            key=keys, tick=tick,
+            t=tick.astype(states.t.dtype) * self.qdt)
 
     def substeps(self, state: SimState, F: jax.Array) -> SimState:
         """The ratio quantum-substepped ticks with the given (fresh) forces

@@ -266,22 +266,40 @@ def run_compiled_ensemble(cfg: CoolingConfig, states: SimState,
             return yukawa_forces_n3l_pallas_batched(R, L, pu.debye_length)
 
     if sched.fused_spec is not None:
-        # fold the job axis into the fused kernel's ion axis: one kernel
-        # launch per MD step for the whole ensemble (scheduler.py)
-        def md_step(states):
-            F = batched_forces(states.R)
-            return sched.fused_substeps_ensemble(states, F)
+        # fold the job axis into the fused kernel's ion axis (one kernel
+        # launch per MD step for the whole ensemble) and stay in folded
+        # [rows, E*npad] planes for the whole sampling segment — the
+        # SimState<->plane conversion happens once per sample, not per
+        # MD step (scheduler.py soa_ens_*)
+        from ..ops.yukawa import yukawa_forces_n3l_soa_batched
+        E, n_actual = states.R.shape[0], states.R.shape[1]
+        npad = sched._npad(n_actual)
+        mask_row = jnp.zeros((1, npad),
+                             jnp.float32).at[0, :n_actual].set(1.0)
+        soa_forces = lambda Rp: yukawa_forces_n3l_soa_batched(
+            Rp, mask_row, E, L, pu.debye_length)
+
+        def segment(states, _):
+            carry = jax.lax.fori_loop(
+                0, cfg.sample_freq,
+                lambda i, c: sched.soa_ens_md_step(c, soa_forces),
+                sched.soa_ens_init(states, states.F))
+            states = sched.soa_ens_restore(carry, states)
+            outs = jax.vmap(lambda s: _sample_outputs(
+                s, cfg, L, pu.debye_length, bins))(states)
+            return states, outs
     else:
         def md_step(states):
             F = batched_forces(states.R)
             return jax.vmap(sched.substeps)(states, F)
 
-    def segment(states, _):
-        states = jax.lax.fori_loop(0, cfg.sample_freq,
-                                   lambda i, s: md_step(s), states)
-        outs = jax.vmap(
-            lambda s: _sample_outputs(s, cfg, L, pu.debye_length, bins))(states)
-        return states, outs
+        def segment(states, _):
+            states = jax.lax.fori_loop(0, cfg.sample_freq,
+                                       lambda i, s: md_step(s), states)
+            outs = jax.vmap(
+                lambda s: _sample_outputs(s, cfg, L, pu.debye_length,
+                                          bins))(states)
+            return states, outs
 
     states, outs = jax.lax.scan(segment, states, None, length=n_segments)
     # [n_segments, E, ...] -> [E, n_segments, ...] (per-job layout)

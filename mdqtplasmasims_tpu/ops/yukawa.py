@@ -486,6 +486,30 @@ def yukawa_forces_n3l_soa(Rp: jax.Array, mask_row: jax.Array, L: float,
                        interpret=interpret)
 
 
+def yukawa_forces_n3l_soa_batched(Rp: jax.Array, mask_row: jax.Array,
+                                  e: int, L: float, ldeb: float,
+                                  tile: Optional[int] = None,
+                                  interpret: bool = False) -> jax.Array:
+    """Job-batched half-pair forces straight from the *folded* lane
+    layout: ``Rp [3, E*npad]`` (job blocks contiguous on the ion axis, as
+    carried by the ensemble SoA loop) and a per-job ``mask_row [1, npad]``
+    marking real ions.  Returns ``F [3, E*npad]``."""
+    npad = Rp.shape[1] // e
+    if tile is None:
+        tile = soa_force_tile(npad)
+    if npad % tile != 0:
+        raise ValueError(f"force tile {tile} does not divide npad {npad}")
+    R3 = jnp.swapaxes(Rp.reshape(3, e, npad), 0, 1)       # [E, 3, npad]
+    m = jnp.broadcast_to(mask_row[None], (e, 1, npad))
+    Rl4 = jnp.concatenate([R3, m.astype(Rp.dtype)], axis=1)
+    Rs = jnp.zeros((e, npad, 8), Rp.dtype)
+    Rs = Rs.at[:, :, :3].set(jnp.swapaxes(R3, 1, 2))
+    Rs = Rs.at[:, :, 3].set(m[:, 0, :])
+    F = _yukawa_n3l_batched(Rl4, Rs, L=float(L), ldeb=float(ldeb),
+                            tile=tile, interpret=interpret)   # [E, 3, npad]
+    return jnp.swapaxes(F, 0, 1).reshape(3, e * npad)
+
+
 def yukawa_forces_n3l_pallas_batched(R: jax.Array, L: float, ldeb: float,
                                      tile: int = 512,
                                      interpret: bool = False) -> jax.Array:

@@ -275,6 +275,70 @@ def test_fused_ensemble_fold_matches_per_job():
     assert int(out.tick[0]) == 7 + ratio
 
 
+def test_soa_ensemble_segment_matches_per_step():
+    """The ensemble SoA-resident segment loop (scheduler.soa_ens_*) is the
+    same computation as repeated fused_substeps_ensemble calls — same
+    job-batched force kernel, same RNG draws — so final state batches
+    must match bit-for-bit."""
+    from mdqtplasmasims_tpu.core.scheduler import CoolingScheduler
+    from mdqtplasmasims_tpu.ops.yukawa import (
+        yukawa_forces_n3l_pallas_batched, yukawa_forces_n3l_soa_batched)
+    from mdqtplasmasims_tpu.state import SimState
+
+    n, tile, npad, ratio, E, steps = 96, 128, 128, 4, 3, 3
+    L = PlasmaUnits.box_length(n)
+    ldeb = PlasmaUnits(2.0, 0.1).debye_length
+    scheme = with_recoil(sr12_cooling(), 9.1e-4, 3.6e-4)
+    S = scheme.n_states
+    h, qdt, p2q, g2e = 0.00985, 8e-5, 1.327, 123.1
+    engine = QTEngine(scheme, h=h, dt_plasma=qdt, plas_to_quant_vel=p2q,
+                      gamma_to_einstein=g2e, apply_force=True)
+    spec = FusedTickSpec(scheme=scheme, h=h, qdt=qdt, plas_to_quant_vel=p2q,
+                         gamma_to_einstein=g2e, ratio=ratio, L=L,
+                         apply_force=True, internal_rng=False)
+    sched = CoolingScheduler(engine=engine, forces_fn=None, L=L, qdt=qdt,
+                             ratio=ratio, fused_spec=spec, tile=tile,
+                             interpret=True)
+
+    key = jax.random.PRNGKey(5)
+    kr, kv, kp, kk = jax.random.split(key, 4)
+    R = jax.random.uniform(kr, (E, n, 3), jnp.float32, 0, L)
+    V = jax.random.normal(kv, (E, n, 3), jnp.float32) * 0.2
+    psi = jax.vmap(lambda k: random_s_superposition(k, n, S, jnp.complex64))(
+        jax.random.split(kp, E))
+    keys = jax.random.split(kk, E)
+    states = SimState(R=R, V=V, F=jnp.zeros_like(R), psi=psi,
+                      t_part=jnp.zeros((E, n), jnp.float32), key=keys,
+                      tick=jnp.zeros((E,), jnp.int32),
+                      t=jnp.zeros((E,), jnp.float32))
+
+    # reference: per-step fused_substeps_ensemble with a fresh batched
+    # force evaluation each step (as the pre-SoA ensemble loop did)
+    s_ref = states
+    for _ in range(steps):
+        F = yukawa_forces_n3l_pallas_batched(s_ref.R, L, ldeb, tile=tile,
+                                             interpret=True)
+        s_ref = sched.fused_substeps_ensemble(s_ref, F)
+
+    mask_row = jnp.zeros((1, npad), jnp.float32).at[0, :n].set(1.0)
+    soa_forces = lambda Rp: yukawa_forces_n3l_soa_batched(
+        Rp, mask_row, E, L, ldeb, tile=tile, interpret=True)
+    carry = sched.soa_ens_init(states, states.F)
+    for _ in range(steps):
+        carry = sched.soa_ens_md_step(carry, soa_forces)
+    s_soa = sched.soa_ens_restore(carry, states)
+
+    for name in ("R", "V", "t_part"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(s_ref, name)),
+            np.asarray(getattr(s_soa, name)), err_msg=name)
+    np.testing.assert_array_equal(np.asarray(s_ref.psi),
+                                  np.asarray(s_soa.psi))
+    np.testing.assert_array_equal(np.asarray(s_ref.key),
+                                  np.asarray(s_soa.key))
+    assert int(s_soa.tick[0]) == steps * ratio
+
+
 def test_soa_segment_loop_matches_md_steps():
     """The SoA-resident segment loop (scheduler.soa_*) is the same
     computation as repeated fused md_step calls — same force kernel, same

@@ -103,11 +103,17 @@ def main() -> int:
     import jax
     jax.config.update("jax_platforms", "cpu")
     jax.config.update("jax_enable_x64", True)
-    from mdqtplasmasims_tpu.core.qt import state_populations
-    from mdqtplasmasims_tpu.experiments.laser_cooling import (CoolingConfig,
-                                                              run)
+    from mdqtplasmasims_tpu.experiments.laser_cooling import (
+        CoolingConfig, P_MANIFOLD, D_MANIFOLD, S_MANIFOLD, run)
     fw_rows, fw_spd = [], []
     for j in range(1, JOBS + 1):
+        cache = os.path.join(workdir, f"fw_job{j}.npz")
+        if os.path.exists(cache):
+            z = np.load(cache)
+            fw_rows.append(z["row"])
+            fw_spd.append(z["spd"])
+            print(f"   fw job{j}: cached", flush=True)
+            continue
         cfg = CoolingConfig(n0=N0, tmax=TMAX, sample_freq=SAMPLE_FREQ,
                             frac_of_sig=FRAC, use_pallas=False,
                             dtype="float64", job=j)
@@ -117,10 +123,16 @@ def main() -> int:
         row = np.stack([np.asarray(o["t"], np.float64),
                         ek[:, 0], ek[:, 1], ek[:, 2],
                         np.asarray(o["epot"], np.float64),
-                        np.asarray(o["vx_mean"], np.float64)], axis=-1)
-        fw_rows.append(row[:nmin])
-        pops = np.asarray(state_populations(final.psi), np.float64)
-        fw_spd.append(pops.mean(0))
+                        np.asarray(o["vx_mean"], np.float64)],
+                       axis=-1)[:nmin]
+        pop = np.abs(np.asarray(final.psi)) ** 2
+        spd = np.array([pop[:, list(S_MANIFOLD)].sum(-1).mean(),
+                        pop[:, list(P_MANIFOLD)].sum(-1).mean(),
+                        pop[:, list(D_MANIFOLD)].sum(-1).mean()])
+        np.savez(cache, row=row, spd=spd)
+        fw_rows.append(row)
+        fw_spd.append(spd)
+        print(f"   fw job{j}: done", flush=True)
     fw = np.mean(fw_rows, axis=0)
 
     # reference energies.dat: t ekx eky ekz epot audit vxmean
@@ -131,6 +143,23 @@ def main() -> int:
     rel = lambda a, b: np.abs(a - b) / np.maximum(np.abs(a), 1e-12)
     ek_med = float(np.median(rel(ek_ref, ek_fw)))
     ep_med = float(np.median(rel(ep_ref, ep_fw)))
+
+    # statistical criterion (same standard as cross_validate_frozen_
+    # pooled): per-sample z of the pooled means against the actual
+    # 8-job-per-side seed scatter — a raw relative-difference gate
+    # punishes the small-denominator DIH era instead of the agreement
+    def zcurve(per_job_ref, per_job_fw):
+        a = np.asarray(per_job_ref)
+        b = np.asarray(per_job_fw)
+        se = np.sqrt(a.var(0, ddof=1) / a.shape[0]
+                     + b.var(0, ddof=1) / b.shape[0])
+        return (a.mean(0) - b.mean(0)) / np.maximum(se, 1e-12)
+
+    z_ek = zcurve([e[:nmin, 1:4].sum(1) for e, _ in refs],
+                  [f[:, 1:4].sum(1) for f in fw_rows])
+    z_ep = zcurve([e[:nmin, 4] for e, _ in refs],
+                  [f[:, 4] for f in fw_rows])
+
     # the drift signature: compare late-time <vx> means (both should be
     # dragged the same way by the detuning sweep)
     lt = slice(max(0, nmin - nmin // 3), nmin)
@@ -138,14 +167,19 @@ def main() -> int:
     drift_fw = float(vx_fw[lt].mean())
     spd_diff = np.abs(ref_spd - np.mean(fw_spd, axis=0))
 
-    print(f"pooled Ekin_tot(t) median rel diff: {ek_med:.3f}")
-    print(f"pooled Epot(t)     median rel diff: {ep_med:.3f}")
+    print(f"pooled Ekin_tot(t): median rel diff {ek_med:.3f}, "
+          f"median |z| {np.median(np.abs(z_ek)):.2f}, "
+          f"max |z| {np.abs(z_ek).max():.2f}")
+    print(f"pooled Epot(t):     median rel diff {ep_med:.3f}, "
+          f"median |z| {np.median(np.abs(z_ep)):.2f}, "
+          f"max |z| {np.abs(z_ep).max():.2f}")
     print(f"late <vx> drift: ref {drift_ref:+.4f} vs fw {drift_fw:+.4f}")
     print(f"final S/P/D: ref {np.round(ref_spd, 3)} vs "
           f"fw {np.round(np.mean(fw_spd, axis=0), 3)} "
           f"(max |diff| {spd_diff.max():.3f})")
 
-    ok = (ek_med < 0.06 and ep_med < 0.06 and spd_diff.max() < 0.05
+    ok = (np.abs(z_ek).max() < 3 and np.abs(z_ep).max() < 3
+          and spd_diff.max() < 0.05
           and (abs(drift_ref) < 1e-3 or
                abs(drift_fw - drift_ref) < 0.5 * abs(drift_ref)
                or abs(drift_fw - drift_ref) < 0.02))
