@@ -23,7 +23,17 @@ import argparse
 import dataclasses
 import sys
 import time
+import types
 import typing
+
+
+def _parse_bool(s: str) -> bool:
+    v = s.lower()
+    if v in ("1", "true", "yes", "on"):
+        return True
+    if v in ("0", "false", "no", "off"):
+        return False
+    raise argparse.ArgumentTypeError(f"expected a boolean, got {s!r}")
 
 
 def _add_dataclass_args(parser: argparse.ArgumentParser, cls) -> None:
@@ -32,13 +42,12 @@ def _add_dataclass_args(parser: argparse.ArgumentParser, cls) -> None:
         name = "--" + f.name.replace("_", "-")
         t = hints.get(f.name, str)
         origin = typing.get_origin(t)
-        if origin is typing.Union:  # Optional[...]
+        if origin in (typing.Union, types.UnionType):   # Optional / X | None
             args = [a for a in typing.get_args(t) if a is not type(None)]
             t = args[0] if args else str
         default = f.default if f.default is not dataclasses.MISSING else None
         if t is bool:
-            parser.add_argument(name, type=lambda s: s.lower() in
-                                ("1", "true", "yes"), default=default,
+            parser.add_argument(name, type=_parse_bool, default=default,
                                 metavar="BOOL")
         elif t is tuple or origin is tuple:
             parser.add_argument(name, type=lambda s: tuple(
@@ -101,9 +110,11 @@ def main(argv=None) -> int:
         cfg = _build_cfg(cls, ns)
         if getattr(ns, "jobs", 0) > 1:
             # sequential in-process array (all jitted phases canonicalize
-            # job away, so the compiled programs are reused across jobs)
+            # job away, so the compiled programs are reused across jobs);
+            # --resume applies per job where the family supports it
+            kw = {"resume": True} if getattr(ns, "resume", False) else {}
             for j in range(1, ns.jobs + 1):
-                runner(dataclasses.replace(cfg, job=j))
+                runner(dataclasses.replace(cfg, job=j), **kw)
                 print(f"[{ns.cmd}] job {j}/{ns.jobs} at "
                       f"{time.perf_counter() - t0:.1f}s")
         elif getattr(ns, "resume", False):

@@ -23,6 +23,7 @@ def format_rows(arr: np.ndarray) -> str:
     arr = np.asarray(arr)
     if _native is not None:
         return _native.format_rows(np.ascontiguousarray(arr, dtype=np.float64))
+    arr = np.atleast_1d(arr)
     if arr.ndim == 1:
         arr = arr[:, None]
     return "".join("\t".join("%g" % v for v in row) + "\n" for row in arr)
@@ -45,7 +46,9 @@ def read_rows(path: str) -> np.ndarray:
             text = f.read()
         first = text.split("\n", 1)[0]
         ncol = len(first.split())
-        flat = np.frombuffer(bytes(_native.parse_floats(text)), np.float64)
+        # parse_floats returns a bytearray (mutable), so frombuffer gives
+        # a writable array with no extra copy of the float payload
+        flat = np.frombuffer(_native.parse_floats(text), np.float64)
         if ncol and flat.size % ncol == 0:
             return flat.reshape(-1, ncol)
     return np.loadtxt(path, ndmin=2)
