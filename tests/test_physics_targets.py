@@ -143,6 +143,17 @@ class TestFullScaleSoak:
         assert 0.10 < c["pop_p"] < 0.30
         assert 0.10 < c["pop_d"] < 0.35
 
+    def test_cooling_renormalize(self, soak):
+        """renormalize=True (SpeedUp.cpp:706-712's explicit norm division)
+        at full production length: norms pinned to 1 at f32 epsilon and
+        the cooling physics unchanged from the default path."""
+        if "cooling_renorm" not in soak:
+            pytest.skip("renormalize soak not archived yet")
+        r, c = soak["cooling_renorm"], soak["cooling"]
+        assert r["final_norm_max_dev"] < 1e-5
+        assert abs(r["dih_peak_ekin_x"] - c["dih_peak_ekin_x"]) < 0.02
+        assert abs(r["cooling_ratio"] - c["cooling_ratio"]) < 0.06
+
     def test_frozen_tagging(self, soak):
         f = soak["frozen"]
         assert f["n0"] == 3500 and f["tstart"] == 15.0
