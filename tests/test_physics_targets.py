@@ -154,6 +154,20 @@ class TestFullScaleSoak:
         assert abs(r["dih_peak_ekin_x"] - c["dih_peak_ekin_x"]) < 0.02
         assert abs(r["cooling_ratio"] - c["cooling_ratio"]) < 0.06
 
+    def test_cooling_beyond_reference_scale(self, soak):
+        """N=14000 (4x the reference's practical max; its own sizing rule
+        t <= 50/(N/3000)^2 per 8 h would need ~6 weeks) completes a full
+        tmax=30 run in minutes with the same physics as N=3500 —
+        finite-size effects on DIH and steady-state populations are
+        small at these N."""
+        if "cooling_n14000" not in soak:
+            pytest.skip("large-N soak not archived yet")
+        b, c = soak["cooling_n14000"], soak["cooling"]
+        assert b["wall_s"] < 900
+        assert abs(b["dih_peak_ekin_x"] - c["dih_peak_ekin_x"]) < 0.02
+        assert abs(b["cooling_ratio"] - c["cooling_ratio"]) < 0.06
+        assert abs(b["pop_s"] - c["pop_s"]) < 0.03
+
     def test_frozen_tagging(self, soak):
         f = soak["frozen"]
         assert f["n0"] == 3500 and f["tstart"] == 15.0
