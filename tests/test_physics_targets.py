@@ -179,6 +179,21 @@ class TestFullScaleSoak:
         # tau=0 VAF row = <vx^2> at the DIH plateau
         assert 0.20 < f["vaf_tau0"] < 0.45
 
+    def test_variant_consistency(self, soak):
+        """The same pump physics through different pipelines must agree:
+        the 408 quad-pump tag fraction is pipeline-independent (frozen
+        start vs MC-equilibrated: 0.037 both ways), as is the 422
+        linear-pump fraction (0.45-0.46 vs the frozen 422's 0.447)."""
+        if "frozen_408quad" not in soak or "mc_tag_422" not in soak:
+            pytest.skip("variant soaks not archived yet")
+        assert abs(soak["frozen_408quad"]["tag_fraction"]
+                   - soak["mc_tag"]["tag_fraction"]) < 0.01
+        assert abs(soak["mc_tag_422"]["tag_fraction"]
+                   - soak["frozen"]["tag_fraction"]) < 0.06
+        # quad-pump velocity selectivity shows up in the frozen pipeline
+        # too: tagged <vx^2> well above the ~0.3 thermal value
+        assert soak["frozen_408quad"]["tagged_vx2_at_tag"] > 0.6
+
     def test_mc_tagging(self, soak):
         m = soak["mc_tag"]
         # pooled compiled-reference tag fraction 0.0394 (RESULTS.md)

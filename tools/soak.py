@@ -114,6 +114,42 @@ def soak_frozen() -> None:
     })
 
 
+def soak_frozen_408quad() -> None:
+    from mdqtplasmasims_tpu.experiments.frozen_tagging import (
+        FrozenTagConfig, run)
+    cfg = FrozenTagConfig(variant="408quad", n0=3500, tstart=15.0,
+                          tmax=25.0,
+                          save_directory=os.path.join(ART, "frozen408q"))
+    t0 = time.perf_counter()
+    final, res = run(cfg)
+    wall = time.perf_counter() - t0
+    spin_up = np.asarray(res["spin_up"], bool)
+    mom_tag = np.asarray(res["out_tag"]["moments"], np.float64)
+    _update_summary("frozen_408quad", {
+        "n0": cfg.n0, "wall_s": round(wall, 1),
+        "tag_fraction": float(spin_up.mean()),
+        "tagged_vx2_at_tag": float(mom_tag[1]),
+        "long_kin_tau0": float(res["out_tag"]["long_kin"]),
+    })
+
+
+def soak_mc_tag_422() -> None:
+    from mdqtplasmasims_tpu.experiments.mc_qt_tagging import (MCTagConfig,
+                                                              run)
+    cfg = MCTagConfig(variant="422linear", n=4096,
+                      save_directory=os.path.join(ART, "mc_tag422"))
+    t0 = time.perf_counter()
+    res = run(cfg)
+    wall = time.perf_counter() - t0
+    tags = np.asarray(res["tags"], bool)
+    temps = np.asarray(res["temps"], np.float64)
+    _update_summary("mc_tag_422", {
+        "n": cfg.n, "wall_s": round(wall, 1),
+        "tag_fraction": float(tags.mean()),
+        "mean_record_temp": float(temps.mean()),
+    })
+
+
 def soak_mc_tag() -> None:
     from mdqtplasmasims_tpu.experiments.mc_qt_tagging import (MCTagConfig,
                                                               run)
@@ -183,11 +219,18 @@ FAMILIES = {
     "mc_tag": soak_mc_tag,
     "transport": soak_transport,
     "three_state": soak_three_state,
+    # variant coverage beyond the one-per-family defaults
+    "frozen_408quad": soak_frozen_408quad,
+    "mc_tag_422": soak_mc_tag_422,
 }
 
 
+DEFAULT_FAMILIES = ("cooling", "frozen", "mc_tag", "transport",
+                    "three_state")
+
+
 def main() -> None:
-    names = sys.argv[1:] or list(FAMILIES)
+    names = sys.argv[1:] or list(DEFAULT_FAMILIES)
     for name in names:
         print(f"[soak] running {name} ...", flush=True)
         t0 = time.perf_counter()
