@@ -113,3 +113,7 @@ if __name__ == "__main__":
         main()
     except Exception as e:  # noqa: BLE001
         _emit_failure(f"{type(e).__name__}: {e}"[:200])
+    finally:
+        # disarm: a relay stall during interpreter teardown must not fire
+        # the alarm and print a second, contradictory JSON line
+        signal.alarm(0)

@@ -7,8 +7,12 @@ TPU-only tests are marked ``tpu`` and skipped here.
 
 import os
 
-os.environ.setdefault("XLA_FLAGS",
-                      "--xla_force_host_platform_device_count=8")
+_FLAG = "--xla_force_host_platform_device_count=8"
+if _FLAG not in os.environ.get("XLA_FLAGS", ""):
+    # append rather than setdefault: a pre-set XLA_FLAGS (container/CI)
+    # must not silently disable the 8-virtual-device sharding tests
+    os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "") + " "
+                               + _FLAG).strip()
 
 import jax  # noqa: E402
 

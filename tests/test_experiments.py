@@ -183,7 +183,7 @@ class TestTransport:
                                 gr_every_record=20, instant_aniso_steps=20,
                                 reequil_steps=10, aniso_relax_steps=20,
                                 aniso_time_us=1.0)
-        res = run(cfg) if False else run_transport(cfg)
+        res = run_transport(cfg)
         assert res["vaf"].shape == (40,)
         # VAF(0) = <v^2> ~ 3/gamma within thermal fluctuations
         assert 0.3 < res["vaf"][0] < 3.0

@@ -184,8 +184,9 @@ class TestFullScaleSoak:
         the 408 quad-pump tag fraction is pipeline-independent (frozen
         start vs MC-equilibrated: 0.037 both ways), as is the 422
         linear-pump fraction (0.45-0.46 vs the frozen 422's 0.447)."""
-        if "frozen_408quad" not in soak or "mc_tag_422" not in soak:
-            pytest.skip("variant soaks not archived yet")
+        for k in ("frozen_408quad", "mc_tag_422", "mc_tag", "frozen"):
+            if k not in soak:
+                pytest.skip(f"{k} soak not archived yet")
         assert abs(soak["frozen_408quad"]["tag_fraction"]
                    - soak["mc_tag"]["tag_fraction"]) < 0.01
         assert abs(soak["mc_tag_422"]["tag_fraction"]

@@ -108,12 +108,16 @@ def main() -> int:
     fw_rows, fw_spd = [], []
     for j in range(1, JOBS + 1):
         cache = os.path.join(workdir, f"fw_job{j}.npz")
+        stamp = np.array([N0, TMAX, SAMPLE_FREQ, FRAC, nmin])
         if os.path.exists(cache):
             z = np.load(cache)
-            fw_rows.append(z["row"])
-            fw_spd.append(z["spd"])
-            print(f"   fw job{j}: cached", flush=True)
-            continue
+            if "stamp" in z.files and np.array_equal(z["stamp"], stamp):
+                fw_rows.append(z["row"])
+                fw_spd.append(z["spd"])
+                print(f"   fw job{j}: cached", flush=True)
+                continue
+            print(f"   fw job{j}: stale cache (config changed), rerun",
+                  flush=True)
         cfg = CoolingConfig(n0=N0, tmax=TMAX, sample_freq=SAMPLE_FREQ,
                             frac_of_sig=FRAC, use_pallas=False,
                             dtype="float64", job=j)
@@ -129,7 +133,7 @@ def main() -> int:
         spd = np.array([pop[:, list(S_MANIFOLD)].sum(-1).mean(),
                         pop[:, list(P_MANIFOLD)].sum(-1).mean(),
                         pop[:, list(D_MANIFOLD)].sum(-1).mean()])
-        np.savez(cache, row=row, spd=spd)
+        np.savez(cache, row=row, spd=spd, stamp=stamp)
         fw_rows.append(row)
         fw_spd.append(spd)
         print(f"   fw job{j}: done", flush=True)

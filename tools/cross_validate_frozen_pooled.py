@@ -86,9 +86,15 @@ def fw_job_stats(variant: str, job: int) -> dict:
                           dtype="float64", job=job)
     final, res = run(cfg)
     tag, outs = res["out_tag"], res["outs"]
+    # row 0 of the reference's taggedMoments.dat is the tag instant for
+    # the 408 variants (their main calls output() at t>=tendV0) but the
+    # FIRST POST-TAG SAMPLE for 422linear (its main only emits the VAF
+    # tau=0 row there) — compare like with like
+    m_first = (tag["moments"] if variant != "422linear"
+               else outs["moments"][0])
     return dict(frac=float(res["spin_up"].mean()),
-                m1_tag=float(tag["moments"][0]),
-                m2_tag=float(tag["moments"][1]),
+                m1_tag=float(m_first[0]),
+                m2_tag=float(m_first[1]),
                 m1_end=float(outs["moments"][-1][0]),
                 m2_end=float(outs["moments"][-1][1]),
                 vaf0=float(tag["vaf"]))
@@ -104,6 +110,17 @@ def run_variant(variant: str, workdir: str) -> bool:
     print(f"== {variant}: compiling + running {JOBS} reference jobs")
     binary = patch_and_compile(variant, workdir)
     for j in range(1, JOBS + 1):
+        done = glob.glob(os.path.join(workdir, f"refdata_{variant}", "*",
+                                      f"job{j}", "taggedMoments.dat"))
+        if done:
+            # completed-job reuse; the binary APPENDS to its .dat
+            # streams, so a partial dir must be removed before rerun
+            n_rows = len(np.loadtxt(done[0]).reshape(-1, 5))
+            expected = int(round(TMAX / 0.002)) // SAMPLE_FREQ
+            if n_rows >= expected:
+                print(f"   job{j}: already complete, skipping", flush=True)
+                continue
+            shutil.rmtree(os.path.dirname(done[0]))
         subprocess.run([binary, str(j)], cwd=workdir, check=True,
                        timeout=3600)
     fam = glob.glob(os.path.join(workdir, f"refdata_{variant}", "*"))

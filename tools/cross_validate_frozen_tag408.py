@@ -58,7 +58,10 @@ def main(ref_family_dir: str) -> int:
                               use_pallas=False, dtype="float64")
         final, res = run(cfg)
         up = res["spin_up"]
-        m = res["outs"]["moments"][0]
+        # the 408linear reference writes its taggedMoments row 0 AT the
+        # tag instant (output() inside the t>=tendV0 block), so compare
+        # the framework's tag-instant moments, not the next sample
+        m = res["out_tag"]["moments"]
         mine.append(dict(vx=float(m[0]), vx2=float(m[1]),
                          n_up=int(up.sum()), frac=float(up.mean())))
 
