@@ -82,22 +82,26 @@ def _make_kernel(spec: FusedTickSpec):
     L = spec.L
     ratio = spec.ratio
 
-    def kernel(first_ref, tick0_ref, seed_ref, vecs_ref, mats_ref, R_ref,
-               V_ref, F_ref, tp_ref, pre_ref, pim_ref, *rest):
+    def kernel(first_ref, tick0_ref, ticki_ref, seed_ref, vecs_ref, mats_ref,
+               R_ref, V_ref, F_ref, tp_ref, pre_ref, pim_ref, *rest):
         if spec.internal_rng:
             (Ro_ref, Vo_ref, tpo_ref, preo_ref, pimo_ref) = rest
             rolls_ref = None
             # one independent hardware-PRNG stream per (md step, ion
             # tile): prng_seed mixes both words (Mosaic caps at 2), so
-            # the stream identity is ~62 bits — word 2 (tick*ntiles +
-            # tile) is unique by construction within a run, killing the
-            # intra-run birthday collisions a single 31-bit seed has
-            # (~5 expected replayed tiles per 1e5-step run), and word 1
-            # (a fresh 31-bit draw per MD step) decorrelates runs/jobs
+            # the stream identity is ~62 bits.  Word 2 is
+            # tile * 2^20 + (tick mod 2^20) from the *int32* tick input
+            # (the f32 tick0 would lose integer exactness past 2^24
+            # ticks): unique within any run shorter than 2^20 MD steps
+            # for up to 2^11 ion tiles, killing the intra-run birthday
+            # collisions a single 31-bit seed has (~5 expected replayed
+            # tiles per 1e5-step run).  Word 1 (a fresh 31-bit draw per
+            # MD step) decorrelates runs/jobs and also breaks any
+            # mod-2^20 tick aliasing on >2^20-step runs.
             pltpu.prng_seed(
                 seed_ref[0, 0],
-                tick0_ref[0, 0].astype(jnp.int32) * pl.num_programs(0)
-                + pl.program_id(0))
+                pl.program_id(0) * jnp.int32(1 << 20)
+                + jax.lax.rem(ticki_ref[0, 0], jnp.int32(1 << 20)))
         else:
             (rolls_ref, Ro_ref, Vo_ref, tpo_ref, preo_ref, pimo_ref) = rest
         T = R_ref.shape[1]
@@ -289,14 +293,18 @@ def _make_kernel(spec: FusedTickSpec):
 @functools.partial(jax.jit, static_argnames=("spec", "tile", "interpret"))
 def fused_md_substeps(spec: FusedTickSpec, first, R, V, F, tp, psi_re,
                       psi_im, rolls=None, seed=None, tick0=None,
-                      tile: int = 512, interpret: bool = False):
+                      tick0_i=None, tile: int = 512,
+                      interpret: bool = False):
     """One MD step's worth of quantum-substepped ticks as one kernel.
 
     Shapes: R/V/F [3, Np], tp [1, Np], psi planes [SP, Np], rolls
     [ratio*5, Np]; Np must be a multiple of ``tile``; ``first`` is a (1,1)
     f32 flag selecting the reference's 2nd-order first drift; ``tick0`` is
     the (1,1) f32 run tick counter, required when the spec enables the
-    expanding-frame detuning (exp_c1 != 0).
+    expanding-frame detuning (exp_c1 != 0); ``tick0_i`` is the same
+    counter as (1,1) int32, used for PRNG stream identity when
+    ``internal_rng`` (int32 keeps exactness where f32 would alias streams
+    past 2^24 ticks).
     """
     # the kernel unrolls complex arithmetic assuming purely real coupling
     # tables (true for all four reference schemes); fail loudly otherwise
@@ -338,7 +346,7 @@ def fused_md_substeps(spec: FusedTickSpec, first, R, V, F, tp, psi_re,
                                          memory_space=pltpu.VMEM)
     smem11 = pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM)
     in_specs = [
-        smem11, smem11, smem11,
+        smem11, smem11, smem11, smem11,
         pl.BlockSpec((SP, 8), lambda i: (0, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((4 * SP, SP), lambda i: (0, 0),
                      memory_space=pltpu.VMEM),
@@ -355,6 +363,8 @@ def fused_md_substeps(spec: FusedTickSpec, first, R, V, F, tp, psi_re,
                              "expanding-frame detuning is a function of "
                              "absolute run time)")
         tick0 = jnp.zeros((1, 1), jnp.float32)
+    if tick0_i is None:
+        tick0_i = tick0.astype(jnp.int32)
     out = pl.pallas_call(
         kern,
         grid=grid,
@@ -369,7 +379,7 @@ def fused_md_substeps(spec: FusedTickSpec, first, R, V, F, tp, psi_re,
             jax.ShapeDtypeStruct((SP, npad), jnp.float32),
         ),
         interpret=interpret,
-    )(*((first, tick0, seed, jnp.asarray(vecs), jnp.asarray(mats), R, V, F,
-         tp, psi_re, psi_im)
+    )(*((first, tick0, tick0_i, seed, jnp.asarray(vecs), jnp.asarray(mats),
+         R, V, F, tp, psi_re, psi_im)
         + (() if spec.internal_rng else (rolls,))))
     return out

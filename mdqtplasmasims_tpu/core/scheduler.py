@@ -37,6 +37,24 @@ from .qt import QTEngine
 _QT_TILE_CANDIDATES = (512, 896, 1024, 1792, 3584)
 
 
+def check_uniform_tick(tick) -> None:
+    """Guard the fold precondition: all folded ensemble members must share
+    one tick value (``soa_ens_md_step`` applies ``tick[0]``'s first-step
+    drift flag and expansion-frame time to the whole fold; a violating
+    caller would get silently mis-timed dynamics).  Enforced host-side
+    whenever the value is concrete; inside a trace the host-level entry
+    points (run_ensemble / resume_ensemble) have already checked it."""
+    if isinstance(tick, jax.core.Tracer):
+        return
+    import numpy as np
+    t = np.asarray(tick)
+    if t.size and (t != t.flat[0]).any():
+        raise ValueError(
+            "fused ensemble fold requires a uniform tick across members "
+            f"(got {np.unique(t)}); do not fold members resumed from "
+            "different checkpoints")
+
+
 def auto_qt_tile(n: int) -> int:
     """Fused-kernel ion tile: among the candidate widths with the least
     padding, prefer the largest one that still leaves >= 2 grid steps.
@@ -138,7 +156,8 @@ class CoolingScheduler:
         Rp, Vp, tpp, prep, pimp = fused_md_substeps(
             self.fused_spec, first, Rp, Vp, Fp, tpp, prep, pimp,
             rolls=rolls, seed=seed,
-            tick0=tick.astype(jnp.float32).reshape(1, 1), tile=self.tile,
+            tick0=tick.astype(jnp.float32).reshape(1, 1),
+            tick0_i=tick.astype(jnp.int32).reshape(1, 1), tile=self.tile,
             interpret=self.interpret)
         return (Rp, Vp, Fp, tpp, prep, pimp, key, tick + self.ratio)
 
@@ -170,6 +189,7 @@ class CoolingScheduler:
 
     def soa_ens_init(self, states: SimState, F=None):
         """[E,...] SimState batch -> folded planes + per-member keys."""
+        check_uniform_tick(states.tick)
         E, n, _ = states.R.shape
         npad = self._npad(n)
         SP = self.fused_spec.SP
@@ -191,9 +211,17 @@ class CoolingScheduler:
                 fold(psi_sm.real, SP), fold(psi_sm.imag, SP),
                 states.key, states.tick)
 
-    def soa_ens_md_step(self, carry, soa_forces_fn):
+    def soa_ens_md_step(self, carry, soa_forces_fn,
+                        per_member_rolls: bool = False):
         """One ensemble MD step in folded-plane layout; ``soa_forces_fn``
-        maps Rp [3, E*npad] -> F [3, E*npad] (job-batched kernel)."""
+        maps Rp [3, E*npad] -> F [3, E*npad] (job-batched kernel).
+
+        ``per_member_rolls`` draws each member's uniforms from that
+        member's own key (instead of one draw from the fold's first key),
+        making the trajectory of every member invariant to how the
+        ensemble is split across devices — the sharded-ensemble path uses
+        it so fused-sharded == fused-unsharded exactly.  Ignored when the
+        spec uses the in-kernel hardware PRNG."""
         from .qt_fused import fused_md_substeps
         Rp, Vp, _, tpp, prep, pimp, keys, tick = carry
         Fp = soa_forces_fn(Rp)
@@ -203,6 +231,14 @@ class CoolingScheduler:
             rolls = None
             seed = jax.random.randint(ks[0, 1], (1, 1), 0, 2 ** 31 - 1,
                                       jnp.int32)
+        elif per_member_rolls:
+            E = keys.shape[0]
+            npad = Rp.shape[1] // E
+            rolls = jax.vmap(lambda k: jax.random.uniform(
+                k, (self.ratio * 5, npad), jnp.float32))(ks[:, 1])
+            rolls = jnp.swapaxes(rolls, 0, 1).reshape(self.ratio * 5,
+                                                      E * npad)
+            seed = None
         else:
             rolls = jax.random.uniform(ks[0, 1],
                                        (self.ratio * 5, Rp.shape[1]),
@@ -212,7 +248,8 @@ class CoolingScheduler:
         tick0 = tick[0].astype(jnp.float32).reshape(1, 1)
         Rp, Vp, tpp, prep, pimp = fused_md_substeps(
             self.fused_spec, first, Rp, Vp, Fp, tpp, prep, pimp,
-            rolls=rolls, seed=seed, tick0=tick0, tile=self.tile,
+            rolls=rolls, seed=seed, tick0=tick0,
+            tick0_i=tick[0].astype(jnp.int32).reshape(1, 1), tile=self.tile,
             interpret=self.interpret)
         return (Rp, Vp, Fp, tpp, prep, pimp, new_keys, tick + self.ratio)
 

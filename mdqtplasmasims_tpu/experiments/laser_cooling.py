@@ -78,6 +78,10 @@ class CoolingConfig:
     dtype: str = "float32"
     use_pallas: Optional[bool] = None
     fused: bool = True            # one-kernel Pallas MD step on TPU
+    # run the production fused/Pallas kernels in Pallas *interpret* mode
+    # (pure XLA) — lets the multi-chip path and its tests exercise the
+    # exact production program on the CPU backend
+    fused_interpret: bool = False
     save_directory: Optional[str] = None   # base dir; None = no file output
     # interval diagnostics of the pre-SpeedUp code (active in
     # LaserCoolingPlusExpansionMDQT.cpp:1252-1362; commented out of the
@@ -152,21 +156,26 @@ def build_scheduler(cfg: CoolingConfig, mask=None) -> CoolingScheduler:
                                use_pallas=use_pallas)
     engine = build_engine(cfg)
     fused_spec = None
-    if (cfg.fused and use_pallas and cfg.dtype == "float32"
-            and mask is None):
+    if (cfg.fused and (use_pallas or cfg.fused_interpret)
+            and cfg.dtype == "float32" and mask is None):
         from ..core.qt_fused import FusedTickSpec
         c1, c2 = expansion_coeffs(cfg) if cfg.frac_of_sig else (0.0, 0.0)
         fused_spec = FusedTickSpec(
             scheme=engine.scheme, h=engine.h, qdt=cfg.qdt,
             plas_to_quant_vel=engine.plas_to_quant_vel,
             gamma_to_einstein=engine.gamma_to_einstein, ratio=cfg.ratio,
-            L=L, apply_force=True, internal_rng=True,
+            L=L, apply_force=True,
+            # interpret mode keeps the explicit-rolls path so trajectories
+            # are key-deterministic (the in-kernel hardware PRNG has no
+            # XLA equivalent)
+            internal_rng=not cfg.fused_interpret,
             exp_c1=c1, exp_c2=c2, renormalize=cfg.renormalize)
     return CoolingScheduler(
         engine=engine, forces_fn=forces_fn, L=L, qdt=cfg.qdt,
         ratio=cfg.ratio,
         exp_det_fn=expansion_detuning_fn(cfg) if cfg.frac_of_sig else None,
-        fused_spec=fused_spec, tile=auto_qt_tile(cfg.n0))
+        fused_spec=fused_spec, tile=auto_qt_tile(cfg.n0),
+        interpret=cfg.fused_interpret)
 
 
 def initial_state(cfg: CoolingConfig, seed: Optional[int] = None) -> SimState:
@@ -222,7 +231,7 @@ def run_compiled(cfg: CoolingConfig, state: SimState, n_segments: int):
         # tile=None -> largest width dividing npad (npad follows the QT
         # tile, e.g. 896 at n=600, which 512 does not divide)
         soa_forces = lambda Rp: yukawa_forces_n3l_soa(
-            Rp, mask_row, L, pu.debye_length)
+            Rp, mask_row, L, pu.debye_length, interpret=sched.interpret)
 
         def segment(state, _):
             carry = jax.lax.fori_loop(
@@ -277,7 +286,7 @@ def run_compiled_ensemble(cfg: CoolingConfig, states: SimState,
         mask_row = jnp.zeros((1, npad),
                              jnp.float32).at[0, :n_actual].set(1.0)
         soa_forces = lambda Rp: yukawa_forces_n3l_soa_batched(
-            Rp, mask_row, E, L, pu.debye_length)
+            Rp, mask_row, E, L, pu.debye_length, interpret=sched.interpret)
 
         def segment(states, _):
             carry = jax.lax.fori_loop(
@@ -303,6 +312,48 @@ def run_compiled_ensemble(cfg: CoolingConfig, states: SimState,
 
     states, outs = jax.lax.scan(segment, states, None, length=n_segments)
     # [n_segments, E, ...] -> [E, n_segments, ...] (per-job layout)
+    outs = jax.tree.map(lambda a: jnp.swapaxes(a, 0, 1), outs)
+    return states, outs
+
+
+@partial(jax.jit, static_argnames=("cfg", "n_segments", "mesh"))
+def run_compiled_sharded(cfg: CoolingConfig, mesh, states: SimState,
+                         n_segments: int):
+    """Multi-chip ensemble run on the *production* kernels: trajectories
+    are sharded over the mesh's ``ens`` axis (ions optionally over
+    ``ions``), and each device advances its local members through the
+    fused Pallas tick-block kernel + Pallas half-pair forces — the same
+    µs/tick program a single chip runs, SPMD over ICI
+    (parallel/ensemble.py fused_local_stepper).  Diagnostics are computed
+    on the sharded states under GSPMD (cross-shard reductions inserted
+    automatically).  ``cfg`` must enable the fused path (TPU, or
+    ``fused_interpret=True`` on the CPU mesh)."""
+    from ..parallel.ensemble import fused_local_stepper
+    from ..parallel.mesh import ION_AXIS, state_pspec
+    from jax import shard_map
+
+    pu = PlasmaUnits(cfg.density, cfg.ge)
+    L = PlasmaUnits.box_length(cfg.n0)
+    sched = build_scheduler(cfg)
+    if sched.fused_spec is None:
+        raise ValueError("run_compiled_sharded requires the fused path "
+                         "(TPU backend or cfg.fused_interpret=True)")
+    bins = folded_bins(cfg.np_dtype)
+    spec = state_pspec()
+    local = fused_local_stepper(sched, pu.debye_length,
+                                mesh.shape[ION_AXIS])
+    # check_vma=False: Pallas kernels inside shard_map lack varying-axes
+    # metadata (see parallel/ensemble.py make_sharded_fused_step)
+    seg = shard_map(lambda s: local(s, cfg.sample_freq), mesh=mesh,
+                    in_specs=(spec,), out_specs=spec, check_vma=False)
+
+    def segment(states, _):
+        states = seg(states)
+        outs = jax.vmap(lambda s: _sample_outputs(
+            s, cfg, L, pu.debye_length, bins))(states)
+        return states, outs
+
+    states, outs = jax.lax.scan(segment, states, None, length=n_segments)
     outs = jax.tree.map(lambda a: jnp.swapaxes(a, 0, 1), outs)
     return states, outs
 

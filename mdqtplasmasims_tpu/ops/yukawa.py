@@ -510,6 +510,80 @@ def yukawa_forces_n3l_soa_batched(Rp: jax.Array, mask_row: jax.Array,
     return jnp.swapaxes(F, 0, 1).reshape(3, e * npad)
 
 
+def _yukawa_kernel_rows_cols_batched(xl_ref, ys_ref, f_ref, *, L, ldeb,
+                                     rcut2):
+    """Force-only batched kernel on a (E, row_tiles, col_tiles) grid where
+    the row and column tile counts may differ — the cross-shard force path
+    (local ion-shard rows x all-gathered global columns)."""
+    j = pl.program_id(2)
+
+    @pl.when(j == 0)
+    def _():
+        f_ref[...] = jnp.zeros_like(f_ref)
+
+    fx, fy, fz = _pair_tile_rows(xl_ref[0], ys_ref[0], L, ldeb, rcut2,
+                                 with_pot=False)
+    f_ref[0, 0, :] += fx
+    f_ref[0, 1, :] += fy
+    f_ref[0, 2, :] += fz
+
+
+@functools.partial(jax.jit, static_argnames=("L", "ldeb", "tile",
+                                             "interpret"))
+def _yukawa_rows_cols_batched(Rl: jax.Array, Rs: jax.Array, *, L: float,
+                              ldeb: float, tile: int,
+                              interpret: bool = False) -> jax.Array:
+    e, _, npr = Rl.shape
+    npc = Rs.shape[1]
+    grid = (e, npr // tile, npc // tile)
+    kern = functools.partial(_yukawa_kernel_rows_cols_batched, L=L,
+                             ldeb=ldeb, rcut2=(L / 2.0) ** 2)
+    return pl.pallas_call(
+        kern,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 3, tile), lambda b, i, j: (b, 0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile, 8), lambda b, i, j: (b, j, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 3, tile), lambda b, i, j: (b, 0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((e, 3, npr), Rl.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary")),
+        interpret=interpret,
+    )(Rl, Rs)
+
+
+def yukawa_forces_soa_cols_batched(Rp: jax.Array, cols: jax.Array,
+                                   col_mask: jax.Array, e: int, L: float,
+                                   ldeb: float, tile: Optional[int] = None,
+                                   interpret: bool = False) -> jax.Array:
+    """Row forces from the folded lane layout against an explicit column
+    set: ``Rp [3, E*npad]`` local ion-shard rows (job blocks contiguous),
+    ``cols [E, ncols, 3]`` the source positions (e.g. the all-gathered
+    global ion set of each job), ``col_mask [ncols]`` marking real source
+    ions.  Pair forces are full-tile (both ordered pairs evaluated — the
+    reaction half lives on another shard), so this costs ~2x the N3L
+    kernel per pair but parallelizes the row axis perfectly across shards.
+    Padded *row* lanes may accumulate garbage; they are dropped by the
+    SoA unfold and never feed back.  Returns ``F [3, E*npad]``."""
+    npad = Rp.shape[1] // e
+    ncols = cols.shape[1]
+    if tile is None:
+        tile = soa_force_tile(npad)
+    if npad % tile or ncols % tile:
+        raise ValueError(f"force tile {tile} must divide npad {npad} and "
+                         f"ncols {ncols}")
+    Rl = jnp.swapaxes(Rp.reshape(3, e, npad), 0, 1)        # [E, 3, npad]
+    Rs = jnp.zeros((e, ncols, 8), Rp.dtype).at[:, :, :3].set(cols)
+    Rs = Rs.at[:, :, 3].set(col_mask[None, :])
+    F = _yukawa_rows_cols_batched(Rl, Rs, L=float(L), ldeb=float(ldeb),
+                                  tile=tile, interpret=interpret)
+    return jnp.swapaxes(F, 0, 1).reshape(3, e * npad)
+
+
 def yukawa_forces_n3l_pallas_batched(R: jax.Array, L: float, ldeb: float,
                                      tile: int = 512,
                                      interpret: bool = False) -> jax.Array:

@@ -102,6 +102,78 @@ def make_sharded_md_step(scheduler_factory: Callable[[Callable], "CoolingSchedul
     return jax.jit(step)
 
 
+def fused_local_stepper(sched: "CoolingScheduler", ldeb: float,
+                        n_ion_shards: int):
+    """Local (per-device) fused production stepper for shard_map.
+
+    Returns ``local_run(states, n_steps)`` advancing a local ensemble
+    block [E_loc, N_loc, ...] by ``n_steps`` multirate MD steps entirely
+    on the production kernels: members fold into the fused Pallas
+    tick-block kernel's ion axis (core/qt_fused.py) and forces run the
+    Pallas half-pair N3L kernel when each member's ions are device-local
+    (``n_ion_shards == 1``, the production ensemble layout), or the
+    full-tile rows x cols kernel against an ``all_gather`` of the
+    member's global positions when the ion axis is sharded (large-N
+    layout; the reaction half of each pair lives on another shard).
+    Pallas interpret mode (``sched.interpret``) makes the same program
+    run on the CPU mesh for tests and the driver dry run.
+
+    RNG: per-member rolls (or in-kernel PRNG streams) come from each
+    member's own key, so trajectories are invariant to how the ensemble
+    axis is laid out across devices."""
+    from ..ops.yukawa import (yukawa_forces_n3l_soa_batched,
+                              yukawa_forces_soa_cols_batched)
+
+    def local_run(states: SimState, n_steps: int) -> SimState:
+        E_loc, n_loc = states.R.shape[0], states.R.shape[1]
+        npad = sched._npad(n_loc)
+        mask_row = jnp.zeros((1, npad), jnp.float32).at[0, :n_loc].set(1.0)
+        if n_ion_shards == 1:
+            soa_forces = lambda Rp: yukawa_forces_n3l_soa_batched(
+                Rp, mask_row, E_loc, sched.L, ldeb,
+                interpret=sched.interpret)
+        else:
+            col_mask = jnp.tile(mask_row[0], n_ion_shards)
+
+            def soa_forces(Rp):
+                R3 = jnp.swapaxes(Rp.reshape(3, E_loc, npad), 0, 1)
+                cols = jax.lax.all_gather(jnp.swapaxes(R3, 1, 2),
+                                          ION_AXIS, axis=1, tiled=True)
+                return yukawa_forces_soa_cols_batched(
+                    Rp, cols, col_mask, E_loc, sched.L, ldeb,
+                    interpret=sched.interpret)
+
+        local = states._replace(key=states.key[:, 0])
+        carry = sched.soa_ens_init(local, local.F)
+        carry = jax.lax.fori_loop(
+            0, n_steps,
+            lambda i, c: sched.soa_ens_md_step(c, soa_forces,
+                                               per_member_rolls=True),
+            carry)
+        out = sched.soa_ens_restore(carry, local)
+        return out._replace(key=out.key[:, None])
+    return local_run
+
+
+def make_sharded_fused_step(sched: "CoolingScheduler", ldeb: float,
+                            mesh: Mesh, n_steps: int = 1):
+    """Jitted sharded [E, N, ...] SimState -> SimState over ``n_steps``
+    MD steps on the fused production path (see fused_local_stepper).
+    ``sched`` must carry a ``fused_spec``."""
+    if sched.fused_spec is None:
+        raise ValueError("make_sharded_fused_step needs a scheduler with "
+                         "a fused_spec (build with use_pallas=True or "
+                         "fused_interpret=True)")
+    spec = state_pspec()
+    local = fused_local_stepper(sched, ldeb, mesh.shape[ION_AXIS])
+    # check_vma=False: pallas_call does not yet annotate its outputs with
+    # varying-mesh-axes metadata, so the vma checker rejects any Pallas
+    # kernel inside shard_map
+    step = shard_map(lambda s: local(s, n_steps), mesh=mesh,
+                     in_specs=(spec,), out_specs=spec, check_vma=False)
+    return jax.jit(step)
+
+
 def shard_keys(base_key: jax.Array, n_ens: int, n_ion_shards: int) -> jax.Array:
     """[E, I] typed keys: independent stream per (job, ion shard)."""
     ens_keys = jax.random.split(base_key, n_ens)

@@ -1,0 +1,189 @@
+"""Multi-chip sharding of the *production* (fused Pallas) kernels.
+
+Round-2 verdict headline: the sharded path must run the same fused
+tick-block kernel + Pallas pair-force kernels a single chip runs, not the
+slow XLA fallbacks.  These tests run that exact program on the virtual
+8-device CPU mesh via Pallas interpret mode (``fused_interpret=True``)
+and pin down:
+
+- layout invariance: a folded fused ensemble step gives bit-identical
+  trajectories however the ensemble axis is split across devices
+  (per-member RNG streams, scheduler.py soa_ens_md_step
+  per_member_rolls);
+- the cross-shard rows x cols force kernel == the N3L half-pair kernel;
+- the ion-sharded fused step produces reference forces in situ;
+- run_compiled_sharded end-to-end equality across mesh layouts,
+  diagnostics included.
+
+Reference basis: ensembles of 10-99 independent jobs are the reference's
+production mode (exampleSlurmFile.slurm:3, README.md:63).
+"""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mdqtplasmasims_tpu.core.init import frozen_gas_init
+from mdqtplasmasims_tpu.experiments.laser_cooling import (
+    CoolingConfig, build_scheduler, run_compiled_sharded)
+from mdqtplasmasims_tpu.parallel.ensemble import (
+    batched_initial_states, make_sharded_fused_step, shard_keys)
+from mdqtplasmasims_tpu.parallel.mesh import make_mesh
+from mdqtplasmasims_tpu.state import make_state
+from mdqtplasmasims_tpu.units import PlasmaUnits
+
+needs_devices = pytest.mark.skipif(len(jax.devices()) < 8,
+                                   reason="needs 8 virtual devices")
+
+
+def _fused_cfg(**kw):
+    kw.setdefault("n0", 48)
+    kw.setdefault("use_pallas", False)     # CPU backend ...
+    kw.setdefault("fused_interpret", True)  # ... but the fused program
+    return CoolingConfig(**kw)
+
+
+def _small_sched(cfg):
+    """Production scheduler with a test-sized QT tile (128 instead of the
+    hardware-tuned >=512) so interpret mode stays fast."""
+    sched = build_scheduler(cfg)
+    assert sched.fused_spec is not None
+    return dataclasses.replace(sched, tile=128)
+
+
+def _members(cfg, n_ens, n_ions, seed=0):
+    def init_one(key):
+        kinit, krun = jax.random.split(key)
+        R, V, psi, _ = frozen_gas_init(kinit, cfg.n0, n_states=12,
+                                       exact_n=True)
+        return make_state(R, V, psi, krun)
+    keys = shard_keys(jax.random.PRNGKey(seed), n_ens, n_ions)
+    states = batched_initial_states(init_one, keys[:, 0])
+    return states._replace(key=keys)
+
+
+def _fold_rp(R):
+    """[E, npad, 3] positions -> folded [3, E*npad] lane layout."""
+    e, npad, _ = R.shape
+    return jnp.swapaxes(jnp.swapaxes(R, 1, 2), 0, 1).reshape(3, e * npad)
+
+
+@needs_devices
+class TestFusedSharded:
+    def test_layout_invariance(self):
+        """4 fused ensemble members advanced 3 MD steps must be
+        bit-identical whether the ens axis spans 4, 2, or 1 device(s):
+        per-member RNG + the batched kernels make each member's
+        trajectory independent of its fold position and device."""
+        cfg = _fused_cfg()
+        pu = PlasmaUnits(cfg.density, cfg.ge)
+        sched = _small_sched(cfg)
+        n_ens = 4
+
+        outs = []
+        for n_dev in (4, 2, 1):
+            mesh = make_mesh(n_dev, 1)
+            step = make_sharded_fused_step(sched, pu.debye_length, mesh,
+                                           n_steps=3)
+            states = _members(cfg, n_ens, 1, seed=7)
+            outs.append(jax.device_get(step(states)))
+
+        for other in outs[1:]:
+            for name in ("R", "V", "F", "t_part", "psi", "tick"):
+                np.testing.assert_array_equal(
+                    np.asarray(getattr(outs[0], name)),
+                    np.asarray(getattr(other, name)), err_msg=name)
+        # and the members actually moved / evolved
+        start = _members(cfg, n_ens, 1, seed=7)
+        assert not np.allclose(np.asarray(outs[0].R), np.asarray(start.R))
+
+    def test_cols_kernel_matches_n3l(self):
+        """Full-tile rows x cols force kernel (cross-shard path) == the
+        half-pair N3L kernel when the column set is the full ion set."""
+        from mdqtplasmasims_tpu.ops.yukawa import (
+            yukawa_forces_n3l_soa_batched, yukawa_forces_soa_cols_batched)
+
+        e, npad, n = 2, 128, 100
+        L = PlasmaUnits.box_length(n)
+        ldeb = PlasmaUnits(2.0, 0.1).debye_length
+        R = jax.random.uniform(jax.random.PRNGKey(1), (e, npad, 3),
+                               jnp.float64, 0, L)
+        mask = jnp.zeros((npad,), jnp.float64).at[:n].set(1.0)
+        R = R * mask[None, :, None]   # padded lanes at origin, masked out
+        Rp = _fold_rp(R)
+        mask_row = mask[None, :]
+
+        F_n3l = yukawa_forces_n3l_soa_batched(Rp, mask_row, e, L, ldeb,
+                                              tile=128, interpret=True)
+        F_cols = yukawa_forces_soa_cols_batched(Rp, R, mask, e, L, ldeb,
+                                                tile=128, interpret=True)
+        np.testing.assert_allclose(
+            np.asarray(F_cols).reshape(3, e, npad)[:, :, :n],
+            np.asarray(F_n3l).reshape(3, e, npad)[:, :, :n],
+            rtol=1e-11, atol=1e-12)
+
+    def test_ion_sharded_forces_in_situ(self):
+        """On an (ens=2, ions=2) mesh the fused step computes each
+        member's start-of-step forces with the gathered rows x cols
+        kernel; they must match the unsharded reference kernel."""
+        from mdqtplasmasims_tpu.ops.yukawa import yukawa_forces_potential
+
+        cfg = _fused_cfg(n0=64)
+        pu = PlasmaUnits(cfg.density, cfg.ge)
+        sched = _small_sched(cfg)
+        mesh = make_mesh(2, 2)
+        step = make_sharded_fused_step(sched, pu.debye_length, mesh,
+                                       n_steps=1)
+        states = _members(cfg, 2, 2, seed=3)
+        out = jax.device_get(step(states))
+        for i in range(2):
+            F_ref, _ = yukawa_forces_potential(
+                jnp.asarray(states.R[i], jnp.float32), sched.L,
+                pu.debye_length)
+            np.testing.assert_allclose(np.asarray(out.F[i]),
+                                       np.asarray(F_ref),
+                                       rtol=2e-4, atol=1e-5)
+        assert int(out.tick[0]) == cfg.ratio
+
+    def test_run_compiled_sharded_layout_invariant(self):
+        """End-to-end production runner (segments + diagnostics) equal
+        across mesh layouts — the multi-chip path IS the production
+        program, just laid out over more devices."""
+        cfg = _fused_cfg(sample_freq=3)
+        n_ens = 2
+
+        results = []
+        for n_dev in (2, 1):
+            mesh = make_mesh(n_dev, 1)
+            states = _members(cfg, n_ens, 1, seed=11)
+            final, outs = run_compiled_sharded(cfg, mesh, states,
+                                               n_segments=2)
+            results.append((jax.device_get(final), jax.device_get(outs)))
+
+        (f0, o0), (f1, o1) = results
+        for name in ("R", "V", "psi", "t_part"):
+            np.testing.assert_array_equal(np.asarray(getattr(f0, name)),
+                                          np.asarray(getattr(f1, name)),
+                                          err_msg=name)
+        for k in o0:
+            np.testing.assert_array_equal(np.asarray(o0[k]),
+                                          np.asarray(o1[k]), err_msg=k)
+        # diagnostics sane: energies positive, populations normalized
+        assert (np.asarray(o0["ekin"]) >= 0).all()
+        np.testing.assert_allclose(np.asarray(o0["pops"]).sum(-1), 1.0,
+                                   atol=5e-4)  # f32 norm drift per tick
+
+    def test_tick_uniformity_guard(self):
+        """Folding members at different ticks must raise (scheduler.py
+        check_uniform_tick) instead of silently mis-timing dynamics."""
+        cfg = _fused_cfg()
+        sched = _small_sched(cfg)
+        states = _members(cfg, 2, 1, seed=0)
+        states = states._replace(
+            key=states.key[:, 0],
+            tick=states.tick.at[1].set(states.tick[1] + cfg.ratio))
+        with pytest.raises(ValueError, match="uniform tick"):
+            sched.soa_ens_init(states)
