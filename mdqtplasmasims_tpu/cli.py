@@ -96,14 +96,19 @@ def main(argv=None) -> int:
     _add_dataclass_args(pe, laser_cooling.CoolingConfig)
     pe.add_argument("--jobs", type=int, default=8)
     pe.add_argument("--seed", type=int, default=0)
+    pe.add_argument("--resume", action="store_true",
+                    help="rebuild the fold from the newest checkpoint "
+                         "common to all job directories")
 
     ns = parser.parse_args(argv)
     t0 = time.perf_counter()
     if ns.cmd == "cooling-ensemble":
         cfg = _build_cfg(laser_cooling.CoolingConfig, ns)
-        final, outs = laser_cooling.run_ensemble(cfg, ns.jobs, ns.seed)
+        final, outs = laser_cooling.run_ensemble(cfg, ns.jobs, ns.seed,
+                                                 resume=ns.resume)
+        n_samp = 0 if outs is None else outs["t"].shape[1]
         print(f"[{ns.cmd}] {ns.jobs} trajectories, "
-              f"{outs['t'].shape[1]} samples each, "
+              f"{n_samp} samples each, "
               f"{time.perf_counter() - t0:.1f}s")
     else:
         cls, runner = families[ns.cmd]

@@ -388,7 +388,8 @@ def latest_checkpoint(directory: str) -> Optional[int]:
 
 
 def run(cfg: CoolingConfig, seed: Optional[int] = None,
-        state: Optional[SimState] = None, resume: bool = False):
+        state: Optional[SimState] = None, resume: bool = False,
+        vholder0=None):
     """Execute the experiment; write reference-schema .dat files when
     ``cfg.save_directory`` is set.  Returns (final_state, outputs dict).
 
@@ -405,7 +406,10 @@ def run(cfg: CoolingConfig, seed: Optional[int] = None,
         c0_last = latest_checkpoint(save_dir)
         if c0_last is not None:
             z = ckpt.load_native(save_dir, c0_last)
-            key = jax.random.PRNGKey(cfg.job * 7919 + c0_last)
+            # continue the checkpointed RNG stream when available; fall
+            # back to a deterministic reseed for pre-round-3 checkpoints
+            key = (_key_restore(z["key"]) if "key" in z
+                   else jax.random.PRNGKey(cfg.job * 7919 + c0_last))
             state = make_state(z["R"], z["V"], z["psi"], key,
                                dtype=cfg.np_dtype)
             tick = (c0_last + 1) * cfg.ratio
@@ -420,6 +424,12 @@ def run(cfg: CoolingConfig, seed: Optional[int] = None,
             # would put a jump at the splice
             if "epot0" in z:
                 epot0_resume = float(z["epot0"])
+            # VAF-interval v0 snapshots ride the checkpoint too, so
+            # intervals that started before the splice keep streaming
+            # (the reference re-reads VZERO into Vholder on restart,
+            # SpeedUp.cpp:901-909)
+            if vholder0 is None and "vholder" in z:
+                vholder0 = z["vholder"]
     if state is None:
         state = initial_state(cfg, seed)
     pu = PlasmaUnits(cfg.density, cfg.ge)
@@ -433,38 +443,60 @@ def run(cfg: CoolingConfig, seed: Optional[int] = None,
     cfg_run = canonical_run_cfg(cfg)
 
     outs_groups = []
-    sample_offset = done
     epot0_f: Optional[float] = None
+    vh_carry = vholder0
     while done < n_segments:
         g = min(group, n_segments - done)
         state, outs = run_compiled(cfg_run, state, g)
         jax.block_until_ready(state)
         if epot0_f is None:
             epot0_f = float(epot0)
-        outs_groups.append(safe_device_get(outs))
+        outs_np = safe_device_get(outs)
+        outs_groups.append(outs_np)
+        prev_done = done
         done += g
-        if save_dir is not None and done < n_segments:
-            c0 = done * cfg.sample_freq - 1
+        if save_dir is not None:
+            # stream this group's rows (the reference appends output()
+            # rows at every sample — a crash loses at most one group),
+            # then publish the native checkpoint; the .dat writes land
+            # first so a crash between the two re-appends one group on
+            # resume rather than leaving a gap
             st = safe_device_get(state)
             import os
             os.makedirs(save_dir, exist_ok=True)
-            ckpt.save_native(save_dir, c0, R=st.R, V=st.V, psi=st.psi,
-                             counter=done, extra={"epot0": epot0_f})
+            vh_carry = write_outputs(save_dir, cfg, outs_np, epot0_f, st,
+                                     n_md, sample_offset=prev_done,
+                                     vholder0=vh_carry,
+                                     terminal=(done == n_segments))
+            if done < n_segments:
+                c0 = done * cfg.sample_freq - 1
+                ckpt.save_native(
+                    save_dir, c0, R=st.R, V=st.V, psi=st.psi,
+                    counter=done,
+                    vholder=vh_carry if cfg.vaf_intervals else None,
+                    extra={"epot0": epot0_f})
 
     if not outs_groups:           # resume found nothing left to do
         final_np = safe_device_get(state)
         return final_np, dict(outs=None, epot0=float(epot0), final=final_np)
     outs = jax.tree.map(lambda *xs: np.concatenate(xs), *outs_groups)
     final_np = safe_device_get(state)
-    results = dict(outs=outs, epot0=epot0_f, final=final_np)
-
-    if save_dir is not None:
-        write_outputs(save_dir, cfg, outs, epot0_f, final_np, n_md,
-                      sample_offset=sample_offset)
-    return final_np, results
+    return final_np, dict(outs=outs, epot0=epot0_f, final=final_np)
 
 
-def run_ensemble(cfg: CoolingConfig, n_jobs: int, seed: int = 0):
+def _key_payload(key) -> np.ndarray:
+    """PRNG key -> checkpointable array (typed or legacy uint32)."""
+    if jnp.issubdtype(key.dtype, jax.dtypes.prng_key):
+        return np.asarray(jax.random.key_data(key))
+    return np.asarray(key)
+
+
+def _key_restore(arr) -> jax.Array:
+    return jnp.asarray(arr, jnp.uint32)
+
+
+def run_ensemble(cfg: CoolingConfig, n_jobs: int, seed: int = 0,
+                 resume: bool = False):
     """Batched ensemble of independent trajectories on one device — the
     TPU-native replacement for the reference's SLURM job array
     (exampleSlurmFile.slurm).  Returns per-job stacked outputs; with
@@ -474,33 +506,99 @@ def run_ensemble(cfg: CoolingConfig, n_jobs: int, seed: int = 0):
     The Pallas force kernel is batched over the job axis; the quantum
     substep block runs all jobs through one fused kernel launch per MD
     step (vmapped XLA substeps off-TPU).
-    """
+
+    With ``checkpoint_every_segments`` set, each job's directory gets a
+    native checkpoint (including its RNG key and VAF vholder) after every
+    group and its .dat rows stream group-by-group — the ensemble version
+    of the reference's per-job walltime chaining (README.md:51-53).
+    ``resume=True`` reconstructs the fold from the newest checkpoint
+    common to all job directories; members at inconsistent counters
+    raise (the fold requires one shared tick)."""
+    import os
     save_directory = cfg.save_directory
     n_md = int(round(cfg.tmax / cfg.timestep))
     n_segments = n_md // cfg.sample_freq
-    cfg = canonical_run_cfg(cfg)
-    keys = jax.random.split(jax.random.PRNGKey(seed), n_jobs)
-    states = jax.jit(jax.vmap(lambda k: _initial_state_from_key(cfg, k)))(keys)
+    group = cfg.checkpoint_every_segments or n_segments
+    cfg_run = canonical_run_cfg(cfg)
+    job_cfgs = [dataclasses.replace(cfg, job=j + 1) for j in range(n_jobs)]
+    job_dirs = ([_save_dir(c) for c in job_cfgs]
+                if save_directory is not None else None)
 
-    epot0 = jax.jit(jax.vmap(
-        lambda R: yukawa_potential(R, PlasmaUnits.box_length(cfg.n0),
-                                   PlasmaUnits(cfg.density, cfg.ge)
-                                   .debye_length)))(states.R)
+    done = 0
+    states = None
+    epot0_np = None
+    vholders = [None] * n_jobs
+    if resume and job_dirs is not None:
+        c0s = [latest_checkpoint(d) for d in job_dirs]
+        if all(c is not None for c in c0s):
+            c0 = min(c0s)           # newest checkpoint common to all jobs
+            zs = [ckpt.load_native(d, c0) for d in job_dirs]
+            counters = {int(z["counter"]) for z in zs}
+            if len(counters) != 1:
+                raise ValueError("ensemble members at inconsistent "
+                                 f"checkpoint counters {sorted(counters)}; "
+                                 "the fused fold requires one shared tick")
+            done = counters.pop()
+            tick = (c0 + 1) * cfg.ratio
 
-    final, outs = run_compiled_ensemble(cfg, states, n_segments)
-    jax.block_until_ready(final)
-    final_np = safe_device_get(final)
-    outs_np = safe_device_get(outs)
-    epot0_np = safe_device_get(epot0)
+            def member(z, j):
+                key = (_key_restore(z["key"]) if "key" in z
+                       else jax.random.PRNGKey((j + 1) * 7919 + c0))
+                st = make_state(z["R"], z["V"], z["psi"], key,
+                                dtype=cfg.np_dtype)
+                return st._replace(tick=jnp.asarray(tick, jnp.int32),
+                                   t=jnp.asarray(tick * cfg.qdt,
+                                                 cfg.np_dtype))
+            members = [member(z, j) for j, z in enumerate(zs)]
+            states = jax.tree.map(lambda *xs: jnp.stack(xs), *members)
+            if all("epot0" in z for z in zs):
+                epot0_np = np.asarray([float(z["epot0"]) for z in zs])
+            vholders = [z.get("vholder") for z in zs]
+    if states is None:
+        keys = jax.random.split(jax.random.PRNGKey(seed), n_jobs)
+        states = jax.jit(jax.vmap(
+            lambda k: _initial_state_from_key(cfg_run, k)))(keys)
+    if epot0_np is None:
+        epot0_np = safe_device_get(jax.jit(jax.vmap(
+            lambda R: yukawa_potential(R, PlasmaUnits.box_length(cfg.n0),
+                                       PlasmaUnits(cfg.density, cfg.ge)
+                                       .debye_length)))(states.R))
 
-    if save_directory is not None:
-        for j in range(n_jobs):
-            cfg_j = dataclasses.replace(cfg, job=j + 1,
-                                        save_directory=save_directory)
-            outs_j = jax.tree.map(lambda a: a[j], outs_np)
-            final_j = jax.tree.map(lambda a: a[j], final_np)
-            write_outputs(_save_dir(cfg_j), cfg_j, outs_j,
-                          float(epot0_np[j]), final_j, n_md)
+    outs_groups = []
+    while done < n_segments:
+        g = min(group, n_segments - done)
+        states, outs = run_compiled_ensemble(cfg_run, states, g)
+        jax.block_until_ready(states)
+        outs_np = safe_device_get(outs)
+        outs_groups.append(outs_np)
+        prev_done = done
+        done += g
+        if job_dirs is not None:
+            st = safe_device_get(states)
+            key_payload = _key_payload(states.key)
+            for j in range(n_jobs):
+                outs_j = jax.tree.map(lambda a: a[j], outs_np)
+                final_j = jax.tree.map(lambda a: a[j], st)
+                vholders[j] = write_outputs(
+                    job_dirs[j], job_cfgs[j], outs_j, float(epot0_np[j]),
+                    final_j, n_md, sample_offset=prev_done,
+                    vholder0=vholders[j], terminal=(done == n_segments))
+                if done < n_segments:
+                    c0 = done * cfg.sample_freq - 1
+                    os.makedirs(job_dirs[j], exist_ok=True)
+                    ckpt.save_native(
+                        job_dirs[j], c0, R=final_j.R, V=final_j.V,
+                        psi=final_j.psi, counter=done,
+                        vholder=(vholders[j] if cfg.vaf_intervals
+                                 else None),
+                        extra={"epot0": float(epot0_np[j]),
+                               "key": key_payload[j]})
+
+    final_np = safe_device_get(states)
+    if not outs_groups:           # resume found nothing left to do
+        return final_np, None
+    outs_np = jax.tree.map(lambda *xs: np.concatenate(xs, axis=1),
+                           *outs_groups)
     return final_np, outs_np
 
 
@@ -516,11 +614,41 @@ def _initial_state_from_key(cfg: CoolingConfig, key) -> SimState:
     return make_state(R, V, psi, k_run, dtype=cfg.np_dtype)
 
 
+def _interval_vholder(cfg: CoolingConfig, outs, n: int,
+                      vholder0=None) -> np.ndarray:
+    """[>=13, N, 3] VAF-interval velocity snapshots (the reference's
+    Vholder, SpeedUp.cpp:133): rows restored from a previous window
+    (``vholder0``, the readConditions VZERO restore at :901-909) plus
+    snapshots for intervals whose start falls inside this window's
+    samples."""
+    m = max(13, len(cfg.vaf_intervals))
+    vholder = np.zeros((m, n, 3))
+    if vholder0 is not None:
+        v0 = np.asarray(vholder0, np.float64)
+        vholder[:v0.shape[0]] = v0
+    if cfg.vaf_intervals and "V" in outs:
+        t_arr = np.asarray(outs["t"], np.float64)
+        for k, tstart in enumerate(cfg.vaf_intervals):
+            if tstart < t_arr[0] - 1e-9 or tstart > t_arr[-1] + 1e-9:
+                continue       # started earlier (restored row) or later
+            idx = int(np.argmin(np.abs(t_arr - tstart)))
+            vholder[k] = np.asarray(outs["V"][idx], np.float64)
+    return vholder
+
+
 def write_outputs(directory: str, cfg: CoolingConfig, outs, epot0: float,
-                  final, n_md: int, sample_offset: int = 0) -> None:
+                  final, n_md: int, sample_offset: int = 0,
+                  vholder0=None, terminal: bool = True) -> np.ndarray:
     """Emit energies.dat, vel_dist{X,Y,Z}_time*.dat,
-    statePopulationsVsVTime*.dat and the terminal checkpoint.
-    ``sample_offset`` shifts the per-sample file counters on resume."""
+    statePopulationsVsVTime*.dat and (when ``terminal``) the final
+    checkpoint.  ``sample_offset`` shifts the per-sample file counters on
+    resume; ``vholder0`` carries VAF-interval v0 snapshots restored from
+    the previous walltime window or checkpoint group (reference
+    readConditions, SpeedUp.cpp:901-909) so pre-splice intervals keep
+    streaming VAF rows.  Returns the updated vholder for the caller to
+    carry into the next group.  ``terminal=False`` writes only the sample
+    rows — the group-streaming mode of run()/run_ensemble, which the
+    reference matches by appending output() rows at every sample."""
     w = DatWriter(directory)
     bins = np.arange(2001) * 0.0025
     n_samples = outs["t"].shape[0]
@@ -551,20 +679,25 @@ def write_outputs(directory: str, cfg: CoolingConfig, outs, epot0: float,
     # with vstart=(tstart-0.02)/dt+9), so interval origins here sit on the
     # nearest output sample — within sampleFreq/2 MD steps of the
     # reference's.  On a resumed run, intervals that started before the
-    # resume point have no snapshot and are skipped (their pre-crash rows
-    # are already on disk).
+    # resume point stream on from the restored ``vholder0`` snapshot
+    # (reference: readConditions re-reads VZERO into Vholder,
+    # SpeedUp.cpp:901-909); without a restored snapshot they are skipped
+    # (their pre-crash rows are already on disk).
     n = final.R.shape[0]
-    vholder = np.zeros((max(13, len(cfg.vaf_intervals)), n, 3))
+    vholder = _interval_vholder(cfg, outs, n, vholder0)
     if cfg.vaf_intervals and "V" in outs:
         t_arr = np.asarray(outs["t"], np.float64)
         for k, tstart in enumerate(cfg.vaf_intervals):
-            if sample_offset and tstart < t_arr[0]:
+            if tstart < t_arr[0] - 1e-9:
+                # pre-splice interval: restored v0 or nothing to emit
+                if not np.any(vholder[k]):
+                    continue
+                idx = 0
+            elif tstart > t_arr[-1] + 1e-9:
                 continue
-            idx = int(np.argmin(np.abs(t_arr - tstart)))
-            if idx >= n_samples:
-                continue
-            v0 = np.asarray(outs["V"][idx], np.float64)
-            vholder[k] = v0
+            else:
+                idx = int(np.argmin(np.abs(t_arr - tstart)))
+            v0 = vholder[k]
             rows = []
             for j in range(idx, n_samples):
                 vj = np.asarray(outs["V"][j], np.float64)
@@ -589,6 +722,8 @@ def write_outputs(directory: str, cfg: CoolingConfig, outs, epot0: float,
                           J[2].real, J[2].imag], -1)], axis=1)
             w.append("J_interval0.dat", rows)
 
+    if not terminal:
+        return vholder
     c0 = n_md - 1
     ckpt.write_ions(directory, c0, n, sample_offset + n_samples)
     ckpt.write_conditions(directory, c0, np.asarray(final.R), np.asarray(final.V))
@@ -596,8 +731,25 @@ def write_outputs(directory: str, cfg: CoolingConfig, outs, epot0: float,
     # SpeedUp main never fills Vholder unless VAF intervals are enabled; it
     # still writes all 13 VZERO interval files (lines 752-763).
     ckpt.write_vzero(directory, c0, vholder[:13])
+    extra = {"epot0": epot0}
+    key = getattr(final, "key", None)
+    if key is not None:
+        extra["key"] = _key_payload(key)
     ckpt.save_native(directory, c0, R=final.R, V=final.V, psi=final.psi,
-                     counter=sample_offset + n_samples)
+                     counter=sample_offset + n_samples,
+                     vholder=vholder if cfg.vaf_intervals else None,
+                     extra=extra)
+    return vholder
+
+
+def resume_vholder(directory: str, c0: int,
+                   n_intervals: int = 13) -> np.ndarray:
+    """Reference-compatible Vholder restore: re-read the
+    VZERO_timestep{c0}_interval{k}.dat buffers written at the last
+    checkpoint (readConditions, SpeedUp.cpp:901-909) so streaming
+    interval VAF continues across walltime windows.  Pass the result as
+    ``run(..., vholder0=...)`` / ``write_outputs(..., vholder0=...)``."""
+    return ckpt.read_vzero(directory, c0, n_intervals)
 
 
 def resume_state(directory: str, c0: int, cfg: CoolingConfig) -> SimState:

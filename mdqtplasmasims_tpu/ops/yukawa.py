@@ -103,10 +103,13 @@ def yukawa_forces(R, L, ldeb, mask=None, chunk: int = 512) -> jax.Array:
 
 
 def yukawa_potential(R, L, ldeb, mask=None, chunk: int = 512) -> jax.Array:
-    """Potential energy per particle (scalar), reference Epotential()."""
+    """Potential energy per particle (scalar), reference Epotential().
+    ``mask`` marks which rows exist: it gates both the source set and the
+    row sums (padded lanes contribute nothing)."""
     _, pot = yukawa_forces_potential(R, L, ldeb, mask, chunk)
-    n_eff = jnp.sum(mask) if mask is not None else R.shape[0]
-    return 0.5 * jnp.sum(pot) / n_eff
+    if mask is None:
+        return 0.5 * jnp.sum(pot) / R.shape[0]
+    return 0.5 * jnp.sum(pot * mask) / jnp.sum(mask)
 
 
 # ----------------------------------------------------------------------
@@ -492,15 +495,18 @@ def yukawa_forces_n3l_soa_batched(Rp: jax.Array, mask_row: jax.Array,
                                   interpret: bool = False) -> jax.Array:
     """Job-batched half-pair forces straight from the *folded* lane
     layout: ``Rp [3, E*npad]`` (job blocks contiguous on the ion axis, as
-    carried by the ensemble SoA loop) and a per-job ``mask_row [1, npad]``
-    marking real ions.  Returns ``F [3, E*npad]``."""
+    carried by the ensemble SoA loop) and ``mask_row`` marking real ions —
+    ``[1, npad]`` shared across jobs, or ``[E, npad]`` per-job (the
+    Poissonian-N ensemble mode, where each member drew its own count as
+    in reference init, SpeedUp.cpp:289-348).  Returns ``F [3, E*npad]``."""
     npad = Rp.shape[1] // e
     if tile is None:
         tile = soa_force_tile(npad)
     if npad % tile != 0:
         raise ValueError(f"force tile {tile} does not divide npad {npad}")
     R3 = jnp.swapaxes(Rp.reshape(3, e, npad), 0, 1)       # [E, 3, npad]
-    m = jnp.broadcast_to(mask_row[None], (e, 1, npad))
+    m = (jnp.broadcast_to(mask_row[None], (e, 1, npad))
+         if mask_row.shape[0] == 1 else mask_row[:, None, :])
     Rl4 = jnp.concatenate([R3, m.astype(Rp.dtype)], axis=1)
     Rs = jnp.zeros((e, npad, 8), Rp.dtype)
     Rs = Rs.at[:, :, :3].set(jnp.swapaxes(R3, 1, 2))

@@ -324,3 +324,81 @@ def test_periodic_checkpoint_and_resume(tmp_path):
     # and the full energies.dat now covers the whole run
     e = np.loadtxt(os.path.join(d, "energies.dat"))
     assert e.shape[0] == n_total
+
+
+def test_ensemble_checkpoint_resume(tmp_path):
+    """Per-job walltime chaining for batched ensembles: every job
+    directory gets periodic native checkpoints (with its RNG key), .dat
+    rows stream group-by-group, and run_ensemble(resume=True) rebuilds
+    the fold from the newest common checkpoint (reference: README.md:
+    51-53 chains 8-h windows per array job)."""
+    import dataclasses
+    import glob
+    from mdqtplasmasims_tpu.experiments.laser_cooling import run_ensemble
+    cfg1 = CoolingConfig(n0=48, tmax=0.2, sample_freq=10,
+                         checkpoint_every_segments=1, use_pallas=False,
+                         dtype="float64", save_directory=str(tmp_path))
+    run_ensemble(cfg1, n_jobs=2, seed=5)
+    job_dirs = sorted(str(p.parent) for p in tmp_path.rglob("energies.dat"))
+    assert len(job_dirs) == 2
+    for d in job_dirs:
+        assert glob.glob(os.path.join(d, "checkpoint_*.npz")), d
+
+    cfg2 = dataclasses.replace(cfg1, tmax=0.4)
+    final2, outs2 = run_ensemble(cfg2, n_jobs=2, seed=5, resume=True)
+    n_total = int(round(cfg2.tmax / cfg2.timestep)) // cfg2.sample_freq
+    # only the remaining segments were computed in the resumed call
+    assert outs2["t"].shape == (2, n_total - 10)
+    for d in job_dirs:
+        e = np.loadtxt(os.path.join(d, "energies.dat"))
+        assert e.shape[0] == n_total, d
+        np.testing.assert_allclose(np.diff(e[:, 0]),
+                                   cfg2.sample_freq * cfg2.timestep,
+                                   rtol=1e-6)
+    # members stay independent through the splice (restored per-job keys)
+    assert not np.allclose(np.asarray(final2.R[0]),
+                           np.asarray(final2.R[1]))
+    assert float(final2.t[0]) == pytest.approx(cfg2.tmax, rel=1e-6)
+
+
+def test_vholder_restored_across_resume(tmp_path):
+    """VAF intervals that began before a walltime splice keep streaming
+    after resume from the restored v0 (the reference re-reads VZERO into
+    Vholder on restart, SpeedUp.cpp:901-909).  Before the fix, the
+    post-splice rows were missing and the final VZERO files were zeros."""
+    import dataclasses
+    cfg1 = CoolingConfig(n0=48, tmax=0.2, sample_freq=10,
+                         vaf_intervals=(0.1,),
+                         checkpoint_every_segments=2, use_pallas=False,
+                         dtype="float64", save_directory=str(tmp_path))
+    run_cooling(cfg1)
+    d = str(next(tmp_path.rglob("VAF_interval0.dat")).parent)
+    vaf1 = np.loadtxt(os.path.join(d, "VAF_interval0.dat")).reshape(-1, 2)
+    c0_leg1 = int(round(cfg1.tmax / cfg1.timestep)) - 1
+    vzero1 = np.loadtxt(os.path.join(
+        d, f"VZERO_timestep{c0_leg1:06d}_interval0.dat"))
+    assert np.any(vzero1), "leg-1 v0 snapshot missing"
+
+    cfg2 = dataclasses.replace(cfg1, tmax=0.4)
+    run_cooling(cfg2, resume=True)
+
+    vaf = np.loadtxt(os.path.join(d, "VAF_interval0.dat")).reshape(-1, 2)
+    n_total = int(round(cfg2.tmax / cfg2.timestep)) // cfg2.sample_freq
+    n_expected = n_total - int(np.argmin(np.abs(
+        np.arange(1, n_total + 1) * cfg2.sample_freq * cfg2.timestep - 0.1)))
+    assert vaf.shape[0] == n_expected, (vaf.shape, n_expected)
+    # leg-1 rows untouched, continuation seamless in time
+    np.testing.assert_array_equal(vaf[:vaf1.shape[0]], vaf1)
+    assert np.all(np.diff(vaf[:, 0]) > 0)
+    np.testing.assert_allclose(
+        np.diff(vaf[:, 0]), cfg2.sample_freq * cfg2.timestep, rtol=1e-6)
+    # the terminal VZERO carries the same v0 the interval started with
+    c0_final = int(round(cfg2.tmax / cfg2.timestep)) - 1
+    vzero2 = np.loadtxt(os.path.join(
+        d, f"VZERO_timestep{c0_final:06d}_interval0.dat"))
+    np.testing.assert_allclose(vzero2, vzero1, rtol=1e-5, atol=1e-12)
+    # post-splice rows really use the restored v0: recompute the first
+    # continuation row from the files
+    v_t = vaf[vaf1.shape[0], 0]
+    assert vaf[vaf1.shape[0], 1] != 0.0
+    assert abs(v_t - (vaf1[-1, 0] + cfg2.sample_freq * cfg2.timestep)) < 1e-9

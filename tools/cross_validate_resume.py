@@ -36,10 +36,11 @@ REF = "/root/reference/laserCoolingPlusExpansionMDQTSpeedUp.cpp"
 sys.path.insert(0, REPO)
 
 N0, TMAX1, TMAX2, SAMPLE_FREQ, TIMESTEP = 256, 1.0, 2.0, 10, 0.002
+TSTART_V0 = 0.5        # VAF interval 0 start (vaf directions)
 
 
 def patch_source(dst: str, *, new_run: int, c0: int, tmax: float,
-                 save_dir: str) -> None:
+                 save_dir: str, enable_vaf: bool = False) -> None:
     src = open(REF).read()
     subs = [
         (r"#define N0 3500", f"#define N0 {N0}"),
@@ -50,6 +51,24 @@ def patch_source(dst: str, *, new_run: int, c0: int, tmax: float,
         (r'char saveDirectory\[256\] = "dataLaserCool/";',
          f'char saveDirectory[256] = "{save_dir}/";'),
     ]
+    if enable_vaf:
+        # The SpeedUp main ships with the whole CCF+VAF block commented
+        # out (:1250-1362) but readConditions still restores Vholder from
+        # VZERO on every restart (:898-916).  Re-open the comment just
+        # before the VAF intervals so Zfunc/printVAF stream (the CCF part
+        # stays disabled), and move interval 0 into the short test run.
+        subs += [
+            (r"// Calculation of VAF", "*/\n\t\t// Calculation of VAF"),
+            (re.escape("}*/"), "}"),
+            (r"#define tstartV0 3\b", f"#define tstartV0 {TSTART_V0:g}"),
+            # the block predates the SpeedUp substepping: gate it to once
+            # per MD step exactly like the output() call (:1365), else it
+            # fires on every quantum substep
+            (r"if\(c0 >= vstart0  && c0 < \(vstart0 \+ "
+             r"lengthOfIntervalV\) && \(c0-vstart0\)%sampleFreq == 0\)",
+             "if(c0 >= vstart0  && c0 < (vstart0 + lengthOfIntervalV) && "
+             "(c0-vstart0)%sampleFreq == 0 && timeStepCounter==1)"),
+        ]
     for pat, rep in subs:
         src, n = re.subn(pat, rep, src)
         assert n == 1, pat
@@ -179,6 +198,96 @@ def direction_b(workdir: str) -> bool:
     return bool(ok)
 
 
+def vaf_continuity(path: str, n_rows1: int, label: str) -> bool:
+    """The interval-VAF stream must cross the splice like any other
+    sample step: both legs share the same v0 (restored from VZERO), so a
+    discontinuity means the restore failed."""
+    v = np.loadtxt(path).reshape(-1, 2)
+    jump = abs(v[n_rows1, 1] - v[n_rows1 - 1, 1])
+    steps = np.abs(np.diff(v[:, 1]))
+    typical = np.median(steps[max(0, n_rows1 - 10):n_rows1 + 10])
+    scale = float(np.abs(v[:, 1]).max())
+    dt_rows = np.diff(v[:, 0])
+    print(f"  {label}: VAF rows {v.shape[0]} ({n_rows1}+"
+          f"{v.shape[0] - n_rows1}), splice jump {jump:.3e}, typical "
+          f"step {typical:.3e}, scale {scale:.3e}")
+    ok = v.shape[0] > n_rows1 + 10
+    ok &= bool(np.all(dt_rows > 0))
+    # two-MD-step tolerance at the splice: the binary stamps VAF one
+    # quantum substep after the MD boundary (timeStepCounter==1, a
+    # (ratio-1)*qdt = 0.00192 offset from the framework's segment-
+    # boundary stamps) and its terminal checkpoint lands one MD step
+    # past tmax (c0=500 -> t=1.002), shifting the resumed grid by dt
+    ok &= bool(np.allclose(dt_rows, SAMPLE_FREQ * TIMESTEP,
+                           atol=2 * TIMESTEP))
+    ok &= jump < 5 * typical + 0.02 * scale
+    return ok
+
+
+def direction_a_vaf(workdir: str) -> bool:
+    """Framework leg 1 with a live VAF interval -> patched reference
+    binary (Zfunc re-enabled) restores Vholder from our VZERO files and
+    keeps streaming VAF_interval0.dat."""
+    print("direction A-vaf: framework VZERO -> reference Zfunc")
+    from mdqtplasmasims_tpu.experiments.laser_cooling import (CoolingConfig,
+                                                              run, _save_dir)
+    base = os.path.join(workdir, "dataAV")
+    cfg = CoolingConfig(n0=N0, tmax=TMAX1, sample_freq=SAMPLE_FREQ,
+                        use_pallas=False, dtype="float64",
+                        vaf_intervals=(TSTART_V0,), save_directory=base)
+    run(cfg)
+    job_dir = _save_dir(cfg)
+    c0 = int(round(TMAX1 / TIMESTEP)) - 1
+    vzero = np.loadtxt(os.path.join(
+        job_dir, f"VZERO_timestep{c0:06d}_interval0.dat"))
+    assert np.any(vzero), "framework leg wrote a zero VZERO snapshot"
+    n_rows1 = np.loadtxt(os.path.join(job_dir, "VAF_interval0.dat")) \
+        .reshape(-1, 2).shape[0]
+
+    patch_source(os.path.join(workdir, "refresumev.cpp"), new_run=0,
+                 c0=c0, tmax=TMAX2, save_dir="dataAV", enable_vaf=True)
+    binary = compile_ref(workdir, "refresumev")
+    subprocess.run([binary, "1"], cwd=workdir, check=True, timeout=1800)
+    return vaf_continuity(os.path.join(job_dir, "VAF_interval0.dat"),
+                          n_rows1, "A-vaf")
+
+
+def direction_b_vaf(workdir: str) -> bool:
+    """Patched reference binary (Zfunc re-enabled) writes real VZERO at
+    its checkpoint -> framework restores Vholder (resume_vholder) and
+    keeps streaming the same interval."""
+    print("direction B-vaf: reference VZERO -> framework vholder restore")
+    from mdqtplasmasims_tpu.experiments.laser_cooling import (
+        CoolingConfig, resume_state, resume_vholder, run, write_outputs)
+    patch_source(os.path.join(workdir, "reffreshv.cpp"), new_run=1, c0=0,
+                 tmax=TMAX1, save_dir="dataBV", enable_vaf=True)
+    binary = compile_ref(workdir, "reffreshv")
+    subprocess.run([binary, "1"], cwd=workdir, check=True, timeout=1800)
+
+    job_dirs = glob.glob(os.path.join(workdir, "dataBV", "*", "job1"))
+    assert len(job_dirs) == 1, job_dirs
+    job_dir = job_dirs[0]
+    ions = glob.glob(os.path.join(job_dir, "ions_timestep*.dat"))
+    c0 = max(int(re.search(r"(\d{6})", os.path.basename(f)).group(1))
+             for f in ions)
+    vh = resume_vholder(job_dir, c0)
+    assert np.any(vh[0]), "reference leg wrote a zero VZERO snapshot"
+    n_rows1 = np.loadtxt(os.path.join(job_dir, "VAF_interval0.dat")) \
+        .reshape(-1, 2).shape[0]
+    n_e1 = load_energies(os.path.join(job_dir, "energies.dat")).shape[0]
+
+    cfg = CoolingConfig(n0=N0, tmax=TMAX2 - TMAX1, sample_freq=SAMPLE_FREQ,
+                        use_pallas=False, dtype="float64",
+                        vaf_intervals=(TSTART_V0,))
+    state = resume_state(job_dir, c0, cfg)
+    final, res = run(cfg, state=state)
+    write_outputs(job_dir, cfg, res["outs"], res["epot0"], final,
+                  int(round(TMAX2 / TIMESTEP)), sample_offset=n_e1,
+                  vholder0=vh)
+    return vaf_continuity(os.path.join(job_dir, "VAF_interval0.dat"),
+                          n_rows1, "B-vaf")
+
+
 def main(workdir: str = "/tmp/xval_resume") -> int:
     import jax
     jax.config.update("jax_platforms", "cpu")
@@ -187,9 +296,12 @@ def main(workdir: str = "/tmp/xval_resume") -> int:
     os.makedirs(workdir, exist_ok=True)
     ok_a = direction_a(workdir)
     ok_b = direction_b(workdir)
-    print("RESUME INTEROP", "PASS" if (ok_a and ok_b) else "FAIL",
-          f"(A={ok_a}, B={ok_b})")
-    return 0 if (ok_a and ok_b) else 1
+    ok_av = direction_a_vaf(workdir)
+    ok_bv = direction_b_vaf(workdir)
+    ok = ok_a and ok_b and ok_av and ok_bv
+    print("RESUME INTEROP", "PASS" if ok else "FAIL",
+          f"(A={ok_a}, B={ok_b}, A-vaf={ok_av}, B-vaf={ok_bv})")
+    return 0 if ok else 1
 
 
 if __name__ == "__main__":
