@@ -40,7 +40,8 @@ from ..io.datfiles import DatWriter
 from ..io.dirs import cooling_dir
 from ..levels import sr12_cooling, with_recoil
 from ..ops.kde import folded_bins, gaussian_kde
-from ..ops.yukawa import best_forces_fn, yukawa_potential
+from ..ops.yukawa import (best_forces_fn, yukawa_forces_potential,
+                          yukawa_potential)
 from ..util import safe_device_get
 from ..state import SimState, make_state
 from ..units import (PlasmaUnits, QTUnits, VKICK_408_QUANTUM, K_RATIO_1033,
@@ -187,14 +188,19 @@ def initial_state(cfg: CoolingConfig, seed: Optional[int] = None) -> SimState:
     return make_state(R, V, psi, k_run, dtype=cfg.np_dtype)
 
 
-def _sample_outputs(state: SimState, cfg: CoolingConfig, L, ldeb, bins):
-    """On-device observables for one output sample (reference output())."""
-    ekx, eky, ekz, vx_mean = kinetic_energies(state.V, subtract_mean_vx=True)
-    epot = yukawa_potential(state.R, L, ldeb)
+def _sample_outputs(state: SimState, cfg: CoolingConfig, L, ldeb, bins,
+                    mask=None):
+    """On-device observables for one output sample (reference output()).
+    ``mask`` marks real ions when the member carries padded lanes (the
+    Poissonian-N ensemble fold); padded lanes are inert (R=0, V=0,
+    psi=0) and excluded from every reduction."""
+    ekx, eky, ekz, vx_mean = kinetic_energies(state.V, subtract_mean_vx=True,
+                                              mask=mask)
+    epot = yukawa_potential(state.R, L, ldeb, mask=mask)
     vx = state.V[:, 0] - vx_mean
-    pvel_x = gaussian_kde(vx, bins, folded=True)
-    pvel_y = gaussian_kde(state.V[:, 1], bins, folded=True)
-    pvel_z = gaussian_kde(state.V[:, 2], bins, folded=True)
+    pvel_x = gaussian_kde(vx, bins, folded=True, weights=mask)
+    pvel_y = gaussian_kde(state.V[:, 1], bins, folded=True, weights=mask)
+    pvel_z = gaussian_kde(state.V[:, 2], bins, folded=True, weights=mask)
     pops = state_populations(state.psi, [S_MANIFOLD, P_MANIFOLD, D_MANIFOLD])
     out = dict(
         t=state.t, ekin=jnp.stack([ekx, eky, ekz]), epot=epot,
@@ -253,11 +259,18 @@ def run_compiled(cfg: CoolingConfig, state: SimState, n_segments: int):
 
 @partial(jax.jit, static_argnames=("cfg", "n_segments"))
 def run_compiled_ensemble(cfg: CoolingConfig, states: SimState,
-                          n_segments: int):
+                          n_segments: int, mask=None):
     """Batched-ensemble run: the Pallas force kernel is batched over the
     job axis (one grid); on TPU the quantum-substepped leapfrog folds all
     jobs into the fused kernel's ion axis (per-ion independent), else the
-    XLA substep loop is vmapped."""
+    XLA substep loop is vmapped.
+
+    ``mask [E, N]`` marks each member's real ions when members carry
+    Poissonian ion counts (reference init draws a fresh N per array job,
+    SpeedUp.cpp:289-348): padded lanes start at R=V=psi=0 and stay
+    exactly there (the pair kernels mask both the row and source sides,
+    so their forces are zero, and zero wavefunctions neither jump nor
+    kick), and every diagnostic reduction excludes them."""
     from ..ops.yukawa import yukawa_forces_n3l_pallas_batched
     pu = PlasmaUnits(cfg.density, cfg.ge)
     L = PlasmaUnits.box_length(cfg.n0)
@@ -269,10 +282,36 @@ def run_compiled_ensemble(cfg: CoolingConfig, states: SimState,
         use_pallas = jax.default_backend() not in ("cpu",)
     if not use_pallas:
         def batched_forces(R):
-            return jax.vmap(lambda r: sched.forces_fn(r)[0])(R)
+            if mask is None:
+                return jax.vmap(lambda r: sched.forces_fn(r)[0])(R)
+            return jax.vmap(lambda r, m: yukawa_forces_potential(
+                r, L, pu.debye_length, mask=m)[0] * m[:, None])(
+                    R, mask.astype(R.dtype))
     else:
         def batched_forces(R):
-            return yukawa_forces_n3l_pallas_batched(R, L, pu.debye_length)
+            if mask is None:
+                return yukawa_forces_n3l_pallas_batched(R, L,
+                                                        pu.debye_length)
+            from ..ops.yukawa import yukawa_forces_n3l_soa_batched
+            E, n = R.shape[0], R.shape[1]
+            npad = sched._npad(n)
+            mr = jnp.zeros((E, npad), jnp.float32).at[:, :n].set(
+                mask.astype(jnp.float32))
+            Rp = jnp.zeros((E, 3, npad), R.dtype).at[:, :, :n].set(
+                jnp.swapaxes(R, 1, 2))
+            Rp = jnp.swapaxes(Rp, 0, 1).reshape(3, E * npad)
+            F = yukawa_forces_n3l_soa_batched(Rp, mr, E, L,
+                                              pu.debye_length)
+            F = jnp.swapaxes(F.reshape(3, E, npad), 0, 1)
+            return jnp.swapaxes(F[:, :, :n], 1, 2)
+
+    def sample(states):
+        if mask is None:
+            return jax.vmap(lambda s: _sample_outputs(
+                s, cfg, L, pu.debye_length, bins))(states)
+        return jax.vmap(lambda s, m: _sample_outputs(
+            s, cfg, L, pu.debye_length, bins,
+            mask=m.astype(cfg.np_dtype)))(states, mask)
 
     if sched.fused_spec is not None:
         # fold the job axis into the fused kernel's ion axis (one kernel
@@ -283,10 +322,15 @@ def run_compiled_ensemble(cfg: CoolingConfig, states: SimState,
         from ..ops.yukawa import yukawa_forces_n3l_soa_batched
         E, n_actual = states.R.shape[0], states.R.shape[1]
         npad = sched._npad(n_actual)
-        mask_row = jnp.zeros((1, npad),
-                             jnp.float32).at[0, :n_actual].set(1.0)
+        if mask is None:
+            mask_rows = jnp.zeros((1, npad),
+                                  jnp.float32).at[0, :n_actual].set(1.0)
+        else:
+            mask_rows = jnp.zeros((E, npad), jnp.float32).at[
+                :, :n_actual].set(mask.astype(jnp.float32))
         soa_forces = lambda Rp: yukawa_forces_n3l_soa_batched(
-            Rp, mask_row, E, L, pu.debye_length, interpret=sched.interpret)
+            Rp, mask_rows, E, L, pu.debye_length,
+            interpret=sched.interpret)
 
         def segment(states, _):
             carry = jax.lax.fori_loop(
@@ -294,9 +338,7 @@ def run_compiled_ensemble(cfg: CoolingConfig, states: SimState,
                 lambda i, c: sched.soa_ens_md_step(c, soa_forces),
                 sched.soa_ens_init(states, states.F))
             states = sched.soa_ens_restore(carry, states)
-            outs = jax.vmap(lambda s: _sample_outputs(
-                s, cfg, L, pu.debye_length, bins))(states)
-            return states, outs
+            return states, sample(states)
     else:
         def md_step(states):
             F = batched_forces(states.R)
@@ -305,10 +347,7 @@ def run_compiled_ensemble(cfg: CoolingConfig, states: SimState,
         def segment(states, _):
             states = jax.lax.fori_loop(0, cfg.sample_freq,
                                        lambda i, s: md_step(s), states)
-            outs = jax.vmap(
-                lambda s: _sample_outputs(s, cfg, L, pu.debye_length,
-                                          bins))(states)
-            return states, outs
+            return states, sample(states)
 
     states, outs = jax.lax.scan(segment, states, None, length=n_segments)
     # [n_segments, E, ...] -> [E, n_segments, ...] (per-job layout)
@@ -526,6 +565,8 @@ def run_ensemble(cfg: CoolingConfig, n_jobs: int, seed: int = 0,
 
     done = 0
     states = None
+    mask = None                 # [E, n_arr] when members carry Poisson N
+    n_js = None                 # per-member real ion counts
     epot0_np = None
     vholders = [None] * n_jobs
     if resume and job_dirs is not None:
@@ -540,34 +581,59 @@ def run_ensemble(cfg: CoolingConfig, n_jobs: int, seed: int = 0,
                                  "the fused fold requires one shared tick")
             done = counters.pop()
             tick = (c0 + 1) * cfg.ratio
+            n_js = [int(z["R"].shape[0]) for z in zs]
+            n_arr = max(n_js)
 
             def member(z, j):
                 key = (_key_restore(z["key"]) if "key" in z
                        else jax.random.PRNGKey((j + 1) * 7919 + c0))
-                st = make_state(z["R"], z["V"], z["psi"], key,
-                                dtype=cfg.np_dtype)
+
+                def pad(a):
+                    out = np.zeros((n_arr,) + a.shape[1:], a.dtype)
+                    out[:a.shape[0]] = a
+                    return out
+                st = make_state(pad(z["R"]), pad(z["V"]), pad(z["psi"]),
+                                key, dtype=cfg.np_dtype)
                 return st._replace(tick=jnp.asarray(tick, jnp.int32),
                                    t=jnp.asarray(tick * cfg.qdt,
                                                  cfg.np_dtype))
             members = [member(z, j) for j, z in enumerate(zs)]
             states = jax.tree.map(lambda *xs: jnp.stack(xs), *members)
+            if len(set(n_js)) > 1:
+                m = np.zeros((n_jobs, n_arr), np.float32)
+                for j, nj in enumerate(n_js):
+                    m[j, :nj] = 1.0
+                mask = jnp.asarray(m)
+            else:
+                n_js = None
             if all("epot0" in z for z in zs):
                 epot0_np = np.asarray([float(z["epot0"]) for z in zs])
             vholders = [z.get("vholder") for z in zs]
     if states is None:
-        keys = jax.random.split(jax.random.PRNGKey(seed), n_jobs)
-        states = jax.jit(jax.vmap(
-            lambda k: _initial_state_from_key(cfg_run, k)))(keys)
+        if cfg.exact_n:
+            keys = jax.random.split(jax.random.PRNGKey(seed), n_jobs)
+            states = jax.jit(jax.vmap(
+                lambda k: _initial_state_from_key(cfg_run, k)))(keys)
+        else:
+            states, mask, n_js = _poisson_member_states(cfg_run, n_jobs,
+                                                        seed)
+    pu = PlasmaUnits(cfg.density, cfg.ge)
+    L = PlasmaUnits.box_length(cfg.n0)
     if epot0_np is None:
-        epot0_np = safe_device_get(jax.jit(jax.vmap(
-            lambda R: yukawa_potential(R, PlasmaUnits.box_length(cfg.n0),
-                                       PlasmaUnits(cfg.density, cfg.ge)
-                                       .debye_length)))(states.R))
+        if mask is None:
+            epot0_np = safe_device_get(jax.jit(jax.vmap(
+                lambda R: yukawa_potential(R, L, pu.debye_length)))(
+                    states.R))
+        else:
+            epot0_np = safe_device_get(jax.jit(jax.vmap(
+                lambda R, m: yukawa_potential(R, L, pu.debye_length,
+                                              mask=m)))(
+                    states.R, mask.astype(cfg.np_dtype)))
 
     outs_groups = []
     while done < n_segments:
         g = min(group, n_segments - done)
-        states, outs = run_compiled_ensemble(cfg_run, states, g)
+        states, outs = run_compiled_ensemble(cfg_run, states, g, mask=mask)
         jax.block_until_ready(states)
         outs_np = safe_device_get(outs)
         outs_groups.append(outs_np)
@@ -577,18 +643,22 @@ def run_ensemble(cfg: CoolingConfig, n_jobs: int, seed: int = 0,
             st = safe_device_get(states)
             key_payload = _key_payload(states.key)
             for j in range(n_jobs):
+                n_j = n_js[j] if n_js is not None else None
                 outs_j = jax.tree.map(lambda a: a[j], outs_np)
                 final_j = jax.tree.map(lambda a: a[j], st)
                 vholders[j] = write_outputs(
                     job_dirs[j], job_cfgs[j], outs_j, float(epot0_np[j]),
                     final_j, n_md, sample_offset=prev_done,
-                    vholder0=vholders[j], terminal=(done == n_segments))
+                    vholder0=vholders[j], terminal=(done == n_segments),
+                    n_actual=n_j)
                 if done < n_segments:
                     c0 = done * cfg.sample_freq - 1
                     os.makedirs(job_dirs[j], exist_ok=True)
+                    nw = n_j if n_j is not None else final_j.R.shape[0]
                     ckpt.save_native(
-                        job_dirs[j], c0, R=final_j.R, V=final_j.V,
-                        psi=final_j.psi, counter=done,
+                        job_dirs[j], c0, R=final_j.R[:nw],
+                        V=final_j.V[:nw], psi=final_j.psi[:nw],
+                        counter=done,
                         vholder=(vholders[j] if cfg.vaf_intervals
                                  else None),
                         extra={"epot0": float(epot0_np[j]),
@@ -602,16 +672,46 @@ def run_ensemble(cfg: CoolingConfig, n_jobs: int, seed: int = 0,
     return final_np, outs_np
 
 
-def _initial_state_from_key(cfg: CoolingConfig, key) -> SimState:
+def _initial_state_from_key(cfg: CoolingConfig, key,
+                            n: Optional[int] = None) -> SimState:
     from ..core.qt import random_s_superposition
     from ..core.init import frozen_gas_positions
     k_pos, k_psi, k_run = jax.random.split(key, 3)
+    n = cfg.n0 if n is None else n
     L = PlasmaUnits.box_length(cfg.n0)
-    R = frozen_gas_positions(k_pos, cfg.n0, L, cfg.np_dtype)
-    V = jnp.zeros((cfg.n0, 3), cfg.np_dtype)
+    R = frozen_gas_positions(k_pos, n, L, cfg.np_dtype)
+    V = jnp.zeros((n, 3), cfg.np_dtype)
     cdtype = jnp.complex64 if cfg.dtype == "float32" else jnp.complex128
-    psi = random_s_superposition(k_psi, cfg.n0, 12, cdtype)
+    psi = random_s_superposition(k_psi, n, 12, cdtype)
     return make_state(R, V, psi, k_run, dtype=cfg.np_dtype)
+
+
+def _poisson_member_states(cfg: CoolingConfig, n_jobs: int, seed: int):
+    """Fixed-shape ensemble fold with per-member Poissonian ion counts —
+    the reference's init draws a fresh N for every array job by
+    scattering 729*N0 candidates over a 9L box and keeping the ones in
+    the cell (SpeedUp.cpp:289-348).  Members are padded to the largest
+    draw; padded lanes start at R=V=psi=0 and stay exactly inert (see
+    run_compiled_ensemble).  Returns (states [E, n_arr, ...],
+    mask [E, n_arr], counts)."""
+    from ..core.init import sample_cell_count
+    rng = np.random.default_rng(seed)
+    n_js = [sample_cell_count(rng, cfg.n0) for _ in range(n_jobs)]
+    n_arr = max(n_js)
+    m = np.zeros((n_jobs, n_arr), np.float32)
+    for j, nj in enumerate(n_js):
+        m[j, :nj] = 1.0
+    mask = jnp.asarray(m)
+    keys = jax.random.split(jax.random.PRNGKey(seed), n_jobs)
+
+    @jax.jit
+    def build(keys, mask):
+        def one(key, mk):
+            st = _initial_state_from_key(cfg, key, n=n_arr)
+            mc = mk.astype(st.R.dtype)[:, None]
+            return st._replace(R=st.R * mc, V=st.V * mc, psi=st.psi * mc)
+        return jax.vmap(one)(keys, mask)
+    return build(keys, mask), mask, n_js
 
 
 def _interval_vholder(cfg: CoolingConfig, outs, n: int,
@@ -632,13 +732,14 @@ def _interval_vholder(cfg: CoolingConfig, outs, n: int,
             if tstart < t_arr[0] - 1e-9 or tstart > t_arr[-1] + 1e-9:
                 continue       # started earlier (restored row) or later
             idx = int(np.argmin(np.abs(t_arr - tstart)))
-            vholder[k] = np.asarray(outs["V"][idx], np.float64)
+            vholder[k] = np.asarray(outs["V"][idx], np.float64)[:n]
     return vholder
 
 
 def write_outputs(directory: str, cfg: CoolingConfig, outs, epot0: float,
                   final, n_md: int, sample_offset: int = 0,
-                  vholder0=None, terminal: bool = True) -> np.ndarray:
+                  vholder0=None, terminal: bool = True,
+                  n_actual: Optional[int] = None) -> np.ndarray:
     """Emit energies.dat, vel_dist{X,Y,Z}_time*.dat,
     statePopulationsVsVTime*.dat and (when ``terminal``) the final
     checkpoint.  ``sample_offset`` shifts the per-sample file counters on
@@ -652,6 +753,11 @@ def write_outputs(directory: str, cfg: CoolingConfig, outs, epot0: float,
     w = DatWriter(directory)
     bins = np.arange(2001) * 0.0025
     n_samples = outs["t"].shape[0]
+    # ``n_actual`` slices off padded lanes when the member carries a
+    # Poissonian ion count inside a fixed-shape ensemble fold — emitted
+    # files and checkpoints are sized to the member's real N, exactly as
+    # the reference's per-job arrays are
+    n = n_actual if n_actual is not None else final.R.shape[0]
     energies = np.zeros((n_samples, 7))
     for k in range(n_samples):
         kk = k + sample_offset
@@ -667,8 +773,8 @@ def write_outputs(directory: str, cfg: CoolingConfig, outs, epot0: float,
         w.write(f"vel_distY_time{kk:06d}.dat", np.stack([bins, pv[1]], axis=-1))
         w.write(f"vel_distZ_time{kk:06d}.dat", np.stack([bins, pv[2]], axis=-1))
         w.write(f"statePopulationsVsVTime{kk:06d}.dat",
-                np.concatenate([outs["vx_ions"][k][:, None],
-                                outs["pops"][k]], axis=-1))
+                np.concatenate([outs["vx_ions"][k][:n, None],
+                                outs["pops"][k][:n]], axis=-1))
     w.append("energies.dat", energies)
 
     # Interval VAF + LCCF of the pre-SpeedUp code, evaluated from the
@@ -683,7 +789,6 @@ def write_outputs(directory: str, cfg: CoolingConfig, outs, epot0: float,
     # (reference: readConditions re-reads VZERO into Vholder,
     # SpeedUp.cpp:901-909); without a restored snapshot they are skipped
     # (their pre-crash rows are already on disk).
-    n = final.R.shape[0]
     vholder = _interval_vholder(cfg, outs, n, vholder0)
     if cfg.vaf_intervals and "V" in outs:
         t_arr = np.asarray(outs["t"], np.float64)
@@ -700,7 +805,7 @@ def write_outputs(directory: str, cfg: CoolingConfig, outs, epot0: float,
             v0 = vholder[k]
             rows = []
             for j in range(idx, n_samples):
-                vj = np.asarray(outs["V"][j], np.float64)
+                vj = np.asarray(outs["V"][j], np.float64)[:n]
                 rows.append((t_arr[j], float(np.mean(np.sum(v0 * vj, -1)))))
             w.append(f"VAF_interval{k}.dat", np.asarray(rows))
     if cfg.record_lccf and "R" in outs:
@@ -712,8 +817,8 @@ def write_outputs(directory: str, cfg: CoolingConfig, outs, epot0: float,
                                   np.arange(12), indexing="ij"),
                       -1).reshape(-1, 3)
         for j in range(n_samples):
-            J = np.asarray(current_fourier(_jnp.asarray(outs["R"][j]),
-                                           _jnp.asarray(outs["V"][j]),
+            J = np.asarray(current_fourier(_jnp.asarray(outs["R"][j][:n]),
+                                           _jnp.asarray(outs["V"][j][:n]),
                                            _jnp.asarray(kv)))
             rows = np.concatenate([
                 np.full((kv.shape[0], 1),
@@ -726,8 +831,9 @@ def write_outputs(directory: str, cfg: CoolingConfig, outs, epot0: float,
         return vholder
     c0 = n_md - 1
     ckpt.write_ions(directory, c0, n, sample_offset + n_samples)
-    ckpt.write_conditions(directory, c0, np.asarray(final.R), np.asarray(final.V))
-    ckpt.write_wvfns(directory, c0, np.asarray(final.psi))
+    ckpt.write_conditions(directory, c0, np.asarray(final.R)[:n],
+                          np.asarray(final.V)[:n])
+    ckpt.write_wvfns(directory, c0, np.asarray(final.psi)[:n])
     # SpeedUp main never fills Vholder unless VAF intervals are enabled; it
     # still writes all 13 VZERO interval files (lines 752-763).
     ckpt.write_vzero(directory, c0, vholder[:13])
@@ -735,7 +841,9 @@ def write_outputs(directory: str, cfg: CoolingConfig, outs, epot0: float,
     key = getattr(final, "key", None)
     if key is not None:
         extra["key"] = _key_payload(key)
-    ckpt.save_native(directory, c0, R=final.R, V=final.V, psi=final.psi,
+    ckpt.save_native(directory, c0, R=np.asarray(final.R)[:n],
+                     V=np.asarray(final.V)[:n],
+                     psi=np.asarray(final.psi)[:n],
                      counter=sample_offset + n_samples,
                      vholder=vholder if cfg.vaf_intervals else None,
                      extra=extra)

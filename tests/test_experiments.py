@@ -326,6 +326,91 @@ def test_periodic_checkpoint_and_resume(tmp_path):
     assert e.shape[0] == n_total
 
 
+class TestPoissonEnsemble:
+    """Per-member Poissonian ion counts inside one fixed-shape fold
+    (reference init draws a fresh N per array job, SpeedUp.cpp:289-348;
+    previously ensembles pinned N=N0 — PARITY delta #6, now closed)."""
+
+    def test_masked_member_matches_exact_shape(self):
+        """A member with n=56 real ions inside a padded [1,64] fold must
+        reproduce the exact-shape n=56 run bit-for-bit, and the padded
+        lanes must stay exactly at R=V=psi=0 (inert)."""
+        from mdqtplasmasims_tpu.experiments.laser_cooling import (
+            _initial_state_from_key, run_compiled_ensemble)
+        cfg = CoolingConfig(n0=64, use_pallas=False, fused_interpret=True,
+                            sample_freq=3)
+        key = jax.random.PRNGKey(3)
+        st = _initial_state_from_key(cfg, key, n=56)
+
+        def pad_to(a, n):
+            out = jnp.zeros((n,) + a.shape[1:], a.dtype)
+            return out.at[:a.shape[0]].set(a)
+        st_pad = st._replace(R=pad_to(st.R, 64), V=pad_to(st.V, 64),
+                             F=pad_to(st.F, 64), psi=pad_to(st.psi, 64),
+                             t_part=pad_to(st.t_part, 64))
+        stack = lambda s: jax.tree.map(lambda a: a[None], s)
+        mask = jnp.zeros((1, 64), jnp.float32).at[0, :56].set(1.0)
+
+        fe, oe = run_compiled_ensemble(cfg, stack(st), 2)
+        fp, op = run_compiled_ensemble(cfg, stack(st_pad), 2, mask=mask)
+        for name in ("R", "V", "psi", "t_part"):
+            a = np.asarray(getattr(fe, name)[0])
+            b = np.asarray(getattr(fp, name)[0])
+            np.testing.assert_array_equal(a, b[:56], err_msg=name)
+            if name != "t_part":   # t_part ticks forward on every lane
+                assert not np.any(b[56:]), f"padded lanes of {name} moved"
+        for k in ("ekin", "epot", "vx_mean", "pvel"):
+            np.testing.assert_allclose(np.asarray(oe[k]), np.asarray(op[k]),
+                                       rtol=1e-6, atol=1e-7, err_msg=k)
+
+    def test_counts_poissonian(self):
+        from mdqtplasmasims_tpu.experiments.laser_cooling import (
+            _poisson_member_states)
+        cfg = CoolingConfig(n0=400, use_pallas=False)
+        states, mask, n_js = _poisson_member_states(cfg, 16, seed=2)
+        n_js = np.asarray(n_js)
+        assert states.R.shape == (16, n_js.max(), 3)
+        np.testing.assert_array_equal(np.asarray(mask).sum(1), n_js)
+        # Binomial(729*400, 1/729): mean 400, sd ~20 — draws spread
+        assert n_js.std() > 5 and abs(n_js.mean() - 400) < 25
+        assert len(set(n_js.tolist())) > 4
+
+    def test_run_ensemble_poisson_end_to_end(self, tmp_path):
+        """exact_n=False ensembles run, write per-job files sized to each
+        member's real N, and chain through checkpoint/resume."""
+        import dataclasses
+        from mdqtplasmasims_tpu.experiments.laser_cooling import (
+            run_ensemble)
+        cfg1 = CoolingConfig(n0=48, tmax=0.2, sample_freq=10,
+                             exact_n=False, checkpoint_every_segments=1,
+                             use_pallas=False, dtype="float64",
+                             save_directory=str(tmp_path))
+        final1, outs1 = run_ensemble(cfg1, n_jobs=3, seed=9)
+        job_dirs = sorted(str(p.parent)
+                          for p in tmp_path.rglob("energies.dat"))
+        assert len(job_dirs) == 3
+        n_seen = []
+        for d in job_dirs:
+            e = np.loadtxt(os.path.join(d, "energies.dat"))
+            assert np.isfinite(e).all()
+            c0 = int(round(cfg1.tmax / cfg1.timestep)) - 1
+            cond = np.loadtxt(
+                os.path.join(d, f"conditions_timestep{c0:06d}.dat"))
+            n_seen.append(cond.shape[0])
+        assert len(set(n_seen)) > 1, f"members all drew N={n_seen[0]}"
+
+        cfg2 = dataclasses.replace(cfg1, tmax=0.4)
+        final2, outs2 = run_ensemble(cfg2, n_jobs=3, seed=9, resume=True)
+        n_total = int(round(cfg2.tmax / cfg2.timestep)) // cfg2.sample_freq
+        for d, nj in zip(job_dirs, n_seen):
+            e = np.loadtxt(os.path.join(d, "energies.dat"))
+            assert e.shape[0] == n_total, d
+            c0f = int(round(cfg2.tmax / cfg2.timestep)) - 1
+            cond = np.loadtxt(
+                os.path.join(d, f"conditions_timestep{c0f:06d}.dat"))
+            assert cond.shape[0] == nj  # member keeps its drawn N
+
+
 def test_ensemble_checkpoint_resume(tmp_path):
     """Per-job walltime chaining for batched ensembles: every job
     directory gets periodic native checkpoints (with its RNG key), .dat
