@@ -65,3 +65,58 @@ def ensemble_temperature_curve(param_dir: str) -> np.ndarray:
     e = ensemble_energies(param_dir)
     t_total = (2.0 / 3.0) * (e["ekin_x"] + e["ekin_y"] + e["ekin_z"])
     return np.stack([e["t"], t_total], axis=-1)
+
+
+# ------------------------------------------------------- pooled statistics
+# Shared by the tools/cross_validate_* harnesses (and usable for any
+# job-pool comparison): the reference's production runs are ensembles of
+# independent SLURM jobs, so statistical parity claims are made on pooled
+# per-job observables with two-sample z-scores.
+
+def two_sample_z(a, b) -> float:
+    """Two-sample z-statistic for the difference of means of two
+    equal-purpose job pools (per-job observables; unequal sizes fine).
+    Scalar inputs of shape [k]; ~N(0,1) under the null for k >= ~8."""
+    a = np.asarray(a, np.float64)
+    b = np.asarray(b, np.float64)
+    se = np.sqrt(a.var(ddof=1) / len(a) + b.var(ddof=1) / len(b))
+    return float((a.mean() - b.mean()) / max(se, 1e-12))
+
+
+def two_sample_z_columns(a, b) -> np.ndarray:
+    """Column-wise two-sample z for [k, m] pools (e.g. a per-time-bin
+    observable across jobs)."""
+    a = np.asarray(a, np.float64)
+    b = np.asarray(b, np.float64)
+    se = np.sqrt(a.var(0, ddof=1) / a.shape[0]
+                 + b.var(0, ddof=1) / b.shape[0])
+    return (a.mean(0) - b.mean(0)) / np.maximum(se, 1e-12)
+
+
+def weighted_pooled_mean(values, weights) -> float:
+    """Pool per-job means with per-job weights (e.g. tagged-ion moments
+    weighted by each job's tagged count, so jobs that tagged more ions
+    count proportionally — the estimator of the all-ions-pooled mean)."""
+    v = np.asarray(values, np.float64)
+    w = np.asarray(weights, np.float64)
+    return float((w * v).sum() / w.sum())
+
+
+def compare_job_pools(refs: Sequence[dict], fws: Sequence[dict],
+                      keys: Sequence[str], z_max: float = 3.0,
+                      indent: str = "  ") -> bool:
+    """Print the per-observable pooled comparison table the validation
+    harnesses share and return whether every |z| < ``z_max``.  ``refs``/
+    ``fws`` are per-job observable dicts."""
+    ok = True
+    print(f"{indent}{'observable':10s} {'ref (mean+-sd)':>22s} "
+          f"{'framework':>22s} {'z':>6s}")
+    for key in keys:
+        a = np.array([r[key] for r in refs], np.float64)
+        b = np.array([f[key] for f in fws], np.float64)
+        z = two_sample_z(a, b)
+        print(f"{indent}{key:10s} {a.mean():+11.4f} +- "
+              f"{a.std(ddof=1):6.4f} {b.mean():+11.4f} +- "
+              f"{b.std(ddof=1):6.4f} {z:+6.2f}")
+        ok &= abs(z) < z_max
+    return bool(ok)

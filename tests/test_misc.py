@@ -109,3 +109,44 @@ class TestProfiling:
     def test_throughput(self):
         m = throughput(3500, 25000, 2.0)
         assert m["ion_qt_updates_per_sec"] == pytest.approx(3500 * 12500)
+
+
+class TestPooledStatistics:
+    """analysis.py pooled-statistics helpers shared by the
+    cross-validation harnesses (VERDICT r2 weak #6)."""
+
+    def test_two_sample_z(self):
+        from mdqtplasmasims_tpu.analysis import two_sample_z
+        a = np.array([1.0, 2.0, 3.0, 4.0])
+        b = np.array([1.5, 2.5, 3.5, 4.5])
+        # means differ by 0.5; se = sqrt(var/4 + var/4), var = 5/3
+        se = np.sqrt(2 * (5.0 / 3.0) / 4)
+        assert two_sample_z(a, b) == pytest.approx(-0.5 / se)
+        assert two_sample_z(a, a) == 0.0
+
+    def test_two_sample_z_columns(self):
+        from mdqtplasmasims_tpu.analysis import (two_sample_z,
+                                                 two_sample_z_columns)
+        rng = np.random.default_rng(0)
+        a = rng.normal(size=(8, 5))
+        b = rng.normal(size=(8, 5)) + 0.1
+        z = two_sample_z_columns(a, b)
+        assert z.shape == (5,)
+        for c in range(5):
+            assert z[c] == pytest.approx(two_sample_z(a[:, c], b[:, c]))
+
+    def test_weighted_pooled_mean(self):
+        from mdqtplasmasims_tpu.analysis import weighted_pooled_mean
+        # two jobs: 10 tags with mean 2.0, 30 tags with mean 4.0
+        assert weighted_pooled_mean([2.0, 4.0], [10, 30]) == \
+            pytest.approx(3.5)
+
+    def test_compare_job_pools(self, capsys):
+        from mdqtplasmasims_tpu.analysis import compare_job_pools
+        rng = np.random.default_rng(1)
+        refs = [dict(x=float(v)) for v in rng.normal(size=8)]
+        same = [dict(x=float(v)) for v in rng.normal(size=8)]
+        far = [dict(x=float(v)) for v in rng.normal(loc=50.0, size=8)]
+        assert compare_job_pools(refs, same, ("x",))
+        assert not compare_job_pools(refs, far, ("x",))
+        assert "observable" in capsys.readouterr().out

@@ -152,12 +152,7 @@ def main() -> int:
     # pooled): per-sample z of the pooled means against the actual
     # 8-job-per-side seed scatter — a raw relative-difference gate
     # punishes the small-denominator DIH era instead of the agreement
-    def zcurve(per_job_ref, per_job_fw):
-        a = np.asarray(per_job_ref)
-        b = np.asarray(per_job_fw)
-        se = np.sqrt(a.var(0, ddof=1) / a.shape[0]
-                     + b.var(0, ddof=1) / b.shape[0])
-        return (a.mean(0) - b.mean(0)) / np.maximum(se, 1e-12)
+    from mdqtplasmasims_tpu.analysis import two_sample_z_columns as zcurve
 
     z_ek = zcurve([e[:nmin, 1:4].sum(1) for e, _ in refs],
                   [f[:, 1:4].sum(1) for f in fw_rows])

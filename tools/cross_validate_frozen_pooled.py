@@ -101,9 +101,8 @@ def fw_job_stats(variant: str, job: int) -> dict:
 
 
 def zscore(a: np.ndarray, b: np.ndarray) -> float:
-    k = len(a)
-    se = np.sqrt(a.var(ddof=1) / k + b.var(ddof=1) / k)
-    return float((a.mean() - b.mean()) / max(se, 1e-12))
+    from mdqtplasmasims_tpu.analysis import two_sample_z
+    return two_sample_z(a, b)
 
 
 def run_variant(variant: str, workdir: str) -> bool:
@@ -131,16 +130,10 @@ def run_variant(variant: str, workdir: str) -> bool:
     print(f"== {variant}: running {JOBS} framework jobs")
     fws = [fw_job_stats(variant, j) for j in range(1, JOBS + 1)]
 
-    ok = True
-    print(f"  {'observable':10s} {'ref (mean+-sd)':>22s} "
-          f"{'framework':>22s} {'z':>6s}")
-    for key in ("frac", "m1_tag", "m2_tag", "m1_end", "m2_end", "vaf0"):
-        a = np.array([r[key] for r in refs])
-        b = np.array([f[key] for f in fws])
-        z = zscore(a, b)
-        print(f"  {key:10s} {a.mean():+11.4f} +- {a.std(ddof=1):6.4f} "
-              f"{b.mean():+11.4f} +- {b.std(ddof=1):6.4f} {z:+6.2f}")
-        ok &= abs(z) < 3.0
+    from mdqtplasmasims_tpu.analysis import compare_job_pools
+    ok = compare_job_pools(refs, fws, ("frac", "m1_tag", "m2_tag",
+                                       "m1_end", "m2_end", "vaf0"),
+                           z_max=3.0)
     fa = np.array([r["frac"] for r in refs]).mean()
     fb = np.array([f["frac"] for f in fws]).mean()
     ok &= abs(fa - fb) / max(fa, 1e-9) < 0.20

@@ -50,7 +50,7 @@ def ref_job(job_dir):
                 temp=float(np.mean(temp)), vaf=vaf[:, 1] / vaf[0, 1])
 
 
-def main(ref_family_dir: str) -> int:
+def main(ref_family_dir: str, variant: str = "408quad") -> int:
     import jax
     jax.config.update("jax_platforms", "cpu")
     from mdqtplasmasims_tpu.experiments.mc_qt_tagging import (
@@ -61,7 +61,7 @@ def main(ref_family_dir: str) -> int:
 
     mine = []
     for seed in range(1, len(refs) + 1):
-        cfg = MCTagConfig(variant="408quad", n=216, mc_steps=20000,
+        cfg = MCTagConfig(variant=variant, n=216, mc_steps=20000,
                           pre_record_md_steps=100, record_steps=300,
                           job=seed, dtype="float64")
         res = run(cfg)
@@ -70,10 +70,11 @@ def main(ref_family_dir: str) -> int:
                          frac=float(res["tags"].mean()),
                          temp=float(res["temps"].mean()), vaf=vaf))
 
+    from mdqtplasmasims_tpu.analysis import weighted_pooled_mean
+
     def pooled_vx2(xs):  # tag-count-weighted across jobs
-        w = np.array([x["frac"] for x in xs])
-        v = np.array([x["vx2"] for x in xs])
-        return float((w * v).sum() / w.sum())
+        return weighted_pooled_mean([x["vx2"] for x in xs],
+                                    [x["frac"] for x in xs])
 
     ok = True
     vr, vm = pooled_vx2(refs), pooled_vx2(mine)
@@ -82,15 +83,17 @@ def main(ref_family_dir: str) -> int:
     fr = np.mean([x["frac"] for x in refs])
     fm = np.mean([x["frac"] for x in mine])
     print(f"pooled tag fraction: ref {fr:.4f} vs mine {fm:.4f}")
-    ok &= abs(fr - fm) < 0.02
+    ok &= abs(fr - fm) < max(0.02, 0.3 * fr)
     tr = np.mean([x["temp"] for x in refs])
     tm = np.mean([x["temp"] for x in mine])
     print(f"mean temperature: ref {tr:.3f} vs mine {tm:.3f}")
     ok &= abs(tr - tm) / tr < 0.10
     thermal = 1.0 / 3.0
-    print(f"quad-tag selectivity <vx^2>_tag/thermal: "
+    print(f"tag selectivity <vx^2>_tag/thermal: "
           f"ref {vr / thermal:.2f} vs mine {vm / thermal:.2f}")
-    ok &= vm > 1.1 * thermal
+    if variant == "408quad":
+        # the quadratic pump specifically selects high-|v| ions
+        ok &= vm > 1.1 * thermal
 
     m_lags = min(min(len(x["vaf"]) for x in refs + mine), 200)
     vref = np.mean([x["vaf"][:m_lags] for x in refs], axis=0)
@@ -105,4 +108,4 @@ def main(ref_family_dir: str) -> int:
 
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1]))
+    sys.exit(main(*sys.argv[1:]))
