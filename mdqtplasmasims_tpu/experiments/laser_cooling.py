@@ -319,7 +319,8 @@ def run_compiled_ensemble(cfg: CoolingConfig, states: SimState,
         # [rows, E*npad] planes for the whole sampling segment — the
         # SimState<->plane conversion happens once per sample, not per
         # MD step (scheduler.py soa_ens_*)
-        from ..ops.yukawa import yukawa_forces_n3l_soa_batched
+        from ..ops.yukawa import (yukawa_forces_n3l_soa,
+                                  yukawa_forces_n3l_soa_batched)
         E, n_actual = states.R.shape[0], states.R.shape[1]
         npad = sched._npad(n_actual)
         if mask is None:
@@ -328,9 +329,16 @@ def run_compiled_ensemble(cfg: CoolingConfig, states: SimState,
         else:
             mask_rows = jnp.zeros((E, npad), jnp.float32).at[
                 :, :n_actual].set(mask.astype(jnp.float32))
-        soa_forces = lambda Rp: yukawa_forces_n3l_soa_batched(
-            Rp, mask_rows, E, L, pu.debye_length,
-            interpret=sched.interpret)
+        if E == 1:
+            # single member: the unbatched half-pair kernel skips the
+            # reaction buffer's ensemble dim
+            soa_forces = lambda Rp: yukawa_forces_n3l_soa(
+                Rp, mask_rows[:1], L, pu.debye_length,
+                interpret=sched.interpret)
+        else:
+            soa_forces = lambda Rp: yukawa_forces_n3l_soa_batched(
+                Rp, mask_rows, E, L, pu.debye_length,
+                interpret=sched.interpret)
 
         def segment(states, _):
             carry = jax.lax.fori_loop(
@@ -357,7 +365,7 @@ def run_compiled_ensemble(cfg: CoolingConfig, states: SimState,
 
 @partial(jax.jit, static_argnames=("cfg", "n_segments", "mesh"))
 def run_compiled_sharded(cfg: CoolingConfig, mesh, states: SimState,
-                         n_segments: int):
+                         n_segments: int, mask=None):
     """Multi-chip ensemble run on the *production* kernels: trajectories
     are sharded over the mesh's ``ens`` axis (ions optionally over
     ``ions``), and each device advances its local members through the
@@ -379,18 +387,33 @@ def run_compiled_sharded(cfg: CoolingConfig, mesh, states: SimState,
                          "(TPU backend or cfg.fused_interpret=True)")
     bins = folded_bins(cfg.np_dtype)
     spec = state_pspec()
+    from ..parallel.mesh import ENS_AXIS
+    from jax.sharding import PartitionSpec as P
     local = fused_local_stepper(sched, pu.debye_length,
                                 mesh.shape[ION_AXIS])
     # check_vma=False: Pallas kernels inside shard_map lack varying-axes
     # metadata (see parallel/ensemble.py make_sharded_fused_step)
-    seg = shard_map(lambda s: local(s, cfg.sample_freq), mesh=mesh,
-                    in_specs=(spec,), out_specs=spec, check_vma=False)
+    if mask is None:
+        seg = shard_map(lambda s: local(s, cfg.sample_freq), mesh=mesh,
+                        in_specs=(spec,), out_specs=spec, check_vma=False)
 
-    def segment(states, _):
-        states = seg(states)
-        outs = jax.vmap(lambda s: _sample_outputs(
-            s, cfg, L, pu.debye_length, bins))(states)
-        return states, outs
+        def segment(states, _):
+            states = seg(states)
+            outs = jax.vmap(lambda s: _sample_outputs(
+                s, cfg, L, pu.debye_length, bins))(states)
+            return states, outs
+    else:
+        seg = shard_map(lambda s, m: local(s, cfg.sample_freq, mask=m),
+                        mesh=mesh,
+                        in_specs=(spec, P(ENS_AXIS, ION_AXIS)),
+                        out_specs=spec, check_vma=False)
+
+        def segment(states, _):
+            states = seg(states, mask)
+            outs = jax.vmap(lambda s, m: _sample_outputs(
+                s, cfg, L, pu.debye_length, bins,
+                mask=m.astype(cfg.np_dtype)))(states, mask)
+            return states, outs
 
     states, outs = jax.lax.scan(segment, states, None, length=n_segments)
     outs = jax.tree.map(lambda a: jnp.swapaxes(a, 0, 1), outs)
@@ -535,9 +558,9 @@ def _key_restore(arr) -> jax.Array:
 
 
 def run_ensemble(cfg: CoolingConfig, n_jobs: int, seed: int = 0,
-                 resume: bool = False):
-    """Batched ensemble of independent trajectories on one device — the
-    TPU-native replacement for the reference's SLURM job array
+                 resume: bool = False, mesh=None):
+    """Batched ensemble of independent trajectories — the TPU-native
+    replacement for the reference's SLURM job array
     (exampleSlurmFile.slurm).  Returns per-job stacked outputs; with
     ``cfg.save_directory`` set, writes each trajectory's .dat tree into
     ``job<k>/`` exactly as the reference's array jobs would.
@@ -552,9 +575,24 @@ def run_ensemble(cfg: CoolingConfig, n_jobs: int, seed: int = 0,
     of the reference's per-job walltime chaining (README.md:51-53).
     ``resume=True`` reconstructs the fold from the newest checkpoint
     common to all job directories; members at inconsistent counters
-    raise (the fold requires one shared tick)."""
+    raise (the fold requires one shared tick).
+
+    ``mesh`` runs the compute over a multi-chip ``jax.sharding.Mesh``
+    (parallel/mesh.make_mesh): members shard over the ``ens`` axis and
+    ions optionally over ``ions``, each device stepping its local fold
+    through the same fused Pallas kernels a single chip runs
+    (run_compiled_sharded; 318M agg updates/s per chip, RESULTS.md).
+    Host-side file output, checkpointing and resume are identical —
+    resume a mesh run with the same mesh."""
     import os
     save_directory = cfg.save_directory
+    if mesh is not None:
+        from ..parallel.mesh import ENS_AXIS, ION_AXIS
+        if n_jobs % mesh.shape[ENS_AXIS] or (
+                cfg.exact_n and cfg.n0 % mesh.shape[ION_AXIS]):
+            raise ValueError(
+                f"n_jobs {n_jobs} / n0 {cfg.n0} must divide the mesh "
+                f"axes {dict(mesh.shape)}")
     n_md = int(round(cfg.tmax / cfg.timestep))
     n_segments = n_md // cfg.sample_freq
     group = cfg.checkpoint_every_segments or n_segments
@@ -610,13 +648,36 @@ def run_ensemble(cfg: CoolingConfig, n_jobs: int, seed: int = 0,
                 epot0_np = np.asarray([float(z["epot0"]) for z in zs])
             vholders = [z.get("vholder") for z in zs]
     if states is None:
-        if cfg.exact_n:
+        if mesh is not None and not cfg.exact_n:
+            from ..parallel.mesh import ION_AXIS
+            states, mask, n_js = _poisson_member_states(
+                cfg_run, n_jobs, seed, round_to=mesh.shape[ION_AXIS])
+        elif mesh is not None:
+            # per-(job, ion-shard) key streams, as the sharded stepper
+            # expects ([E, I] keys; each ion shard draws its own rolls)
+            from ..parallel.ensemble import shard_keys
+            from ..parallel.mesh import ION_AXIS
+            keys = shard_keys(jax.random.PRNGKey(seed), n_jobs,
+                              mesh.shape[ION_AXIS])
+            states = jax.jit(jax.vmap(
+                lambda k: _initial_state_from_key(cfg_run, k)))(keys[:, 0])
+            states = states._replace(key=keys)
+        elif cfg.exact_n:
             keys = jax.random.split(jax.random.PRNGKey(seed), n_jobs)
             states = jax.jit(jax.vmap(
                 lambda k: _initial_state_from_key(cfg_run, k)))(keys)
         else:
             states, mask, n_js = _poisson_member_states(cfg_run, n_jobs,
                                                         seed)
+    # cross-mode resume: a single-device checkpoint carries [E, 2] keys,
+    # a mesh checkpoint [E, I, 2] — normalize to the mode we run in
+    if mesh is not None and states.key.ndim == 2:
+        from ..parallel.mesh import ION_AXIS
+        n_ion = mesh.shape[ION_AXIS]
+        states = states._replace(key=jax.vmap(
+            lambda k: jax.random.split(k, n_ion))(states.key))
+    elif mesh is None and states.key.ndim == 3:
+        states = states._replace(key=states.key[:, 0])
     pu = PlasmaUnits(cfg.density, cfg.ge)
     L = PlasmaUnits.box_length(cfg.n0)
     if epot0_np is None:
@@ -633,7 +694,12 @@ def run_ensemble(cfg: CoolingConfig, n_jobs: int, seed: int = 0,
     outs_groups = []
     while done < n_segments:
         g = min(group, n_segments - done)
-        states, outs = run_compiled_ensemble(cfg_run, states, g, mask=mask)
+        if mesh is None:
+            states, outs = run_compiled_ensemble(cfg_run, states, g,
+                                                 mask=mask)
+        else:
+            states, outs = run_compiled_sharded(cfg_run, mesh, states, g,
+                                                mask=mask)
         jax.block_until_ready(states)
         outs_np = safe_device_get(outs)
         outs_groups.append(outs_np)
@@ -686,7 +752,8 @@ def _initial_state_from_key(cfg: CoolingConfig, key,
     return make_state(R, V, psi, k_run, dtype=cfg.np_dtype)
 
 
-def _poisson_member_states(cfg: CoolingConfig, n_jobs: int, seed: int):
+def _poisson_member_states(cfg: CoolingConfig, n_jobs: int, seed: int,
+                           round_to: int = 1):
     """Fixed-shape ensemble fold with per-member Poissonian ion counts —
     the reference's init draws a fresh N for every array job by
     scattering 729*N0 candidates over a 9L box and keeping the ones in
@@ -697,7 +764,8 @@ def _poisson_member_states(cfg: CoolingConfig, n_jobs: int, seed: int):
     from ..core.init import sample_cell_count
     rng = np.random.default_rng(seed)
     n_js = [sample_cell_count(rng, cfg.n0) for _ in range(n_jobs)]
-    n_arr = max(n_js)
+    # round the padded size up so a sharded ion axis divides evenly
+    n_arr = -(-max(n_js) // round_to) * round_to
     m = np.zeros((n_jobs, n_arr), np.float32)
     for j, nj in enumerate(n_js):
         m[j, :nj] = 1.0

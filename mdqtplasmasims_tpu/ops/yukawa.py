@@ -569,12 +569,14 @@ def yukawa_forces_soa_cols_batched(Rp: jax.Array, cols: jax.Array,
     """Row forces from the folded lane layout against an explicit column
     set: ``Rp [3, E*npad]`` local ion-shard rows (job blocks contiguous),
     ``cols [E, ncols, 3]`` the source positions (e.g. the all-gathered
-    global ion set of each job), ``col_mask [ncols]`` marking real source
-    ions.  Pair forces are full-tile (both ordered pairs evaluated — the
+    global ion set of each job), ``col_mask`` marking real source ions —
+    ``[ncols]`` shared or ``[E, ncols]`` per job (Poissonian-N members).
+    Pair forces are full-tile (both ordered pairs evaluated — the
     reaction half lives on another shard), so this costs ~2x the N3L
     kernel per pair but parallelizes the row axis perfectly across shards.
-    Padded *row* lanes may accumulate garbage; they are dropped by the
-    SoA unfold and never feed back.  Returns ``F [3, E*npad]``."""
+    Padded *row* lanes may accumulate garbage; callers whose padded lanes
+    feed back (the Poissonian fold) must zero them with a row mask.
+    Returns ``F [3, E*npad]``."""
     npad = Rp.shape[1] // e
     ncols = cols.shape[1]
     if tile is None:
@@ -584,7 +586,9 @@ def yukawa_forces_soa_cols_batched(Rp: jax.Array, cols: jax.Array,
                          f"ncols {ncols}")
     Rl = jnp.swapaxes(Rp.reshape(3, e, npad), 0, 1)        # [E, 3, npad]
     Rs = jnp.zeros((e, ncols, 8), Rp.dtype).at[:, :, :3].set(cols)
-    Rs = Rs.at[:, :, 3].set(col_mask[None, :])
+    cm = (col_mask if col_mask.ndim == 2
+          else jnp.broadcast_to(col_mask[None], (e, ncols)))
+    Rs = Rs.at[:, :, 3].set(cm.astype(Rp.dtype))
     F = _yukawa_rows_cols_batched(Rl, Rs, L=float(L), ldeb=float(ldeb),
                                   tile=tile, interpret=interpret)
     return jnp.swapaxes(F, 0, 1).reshape(3, e * npad)

@@ -24,7 +24,7 @@ from jax import shard_map
 from ..state import SimState
 from ..core.scheduler import CoolingScheduler
 from ..ops.yukawa import yukawa_forces_potential
-from .mesh import ION_AXIS, state_pspec
+from .mesh import ENS_AXIS, ION_AXIS, state_pspec
 
 
 def batched_initial_states(init_one: Callable[[jax.Array], SimState],
@@ -120,28 +120,55 @@ def fused_local_stepper(sched: "CoolingScheduler", ldeb: float,
 
     RNG: per-member rolls (or in-kernel PRNG streams) come from each
     member's own key, so trajectories are invariant to how the ensemble
-    axis is laid out across devices."""
-    from ..ops.yukawa import (yukawa_forces_n3l_soa_batched,
+    axis is laid out across devices.
+
+    ``local_run(states, n_steps, mask=None)``: the optional local
+    ``mask [E_loc, N_loc]`` marks each member's real ions (Poissonian-N
+    fold); masked lanes are kept exactly inert — row-masked forces on
+    every path and source masking via the kernels' mask columns."""
+    from ..ops.yukawa import (yukawa_forces_n3l_soa,
+                              yukawa_forces_n3l_soa_batched,
                               yukawa_forces_soa_cols_batched)
 
-    def local_run(states: SimState, n_steps: int) -> SimState:
+    def local_run(states: SimState, n_steps: int, mask=None) -> SimState:
         E_loc, n_loc = states.R.shape[0], states.R.shape[1]
         npad = sched._npad(n_loc)
-        mask_row = jnp.zeros((1, npad), jnp.float32).at[0, :n_loc].set(1.0)
-        if n_ion_shards == 1:
-            soa_forces = lambda Rp: yukawa_forces_n3l_soa_batched(
-                Rp, mask_row, E_loc, sched.L, ldeb,
-                interpret=sched.interpret)
+        if mask is None:
+            mrows = jnp.zeros((1, npad),
+                              jnp.float32).at[0, :n_loc].set(1.0)
         else:
-            col_mask = jnp.tile(mask_row[0], n_ion_shards)
+            mrows = jnp.zeros((E_loc, npad), jnp.float32).at[
+                :, :n_loc].set(mask.astype(jnp.float32))
+        if n_ion_shards == 1:
+            if E_loc == 1 and mask is None:
+                # one member per device: the unbatched half-pair kernel
+                # skips the reaction buffer's ensemble dim (measured
+                # equal-rate to the single-chip path: 10.9 us/tick at
+                # N0=3500 — tools/bench_sharded.py)
+                soa_forces = lambda Rp: yukawa_forces_n3l_soa(
+                    Rp, mrows, sched.L, ldeb,
+                    interpret=sched.interpret)
+            else:
+                soa_forces = lambda Rp: yukawa_forces_n3l_soa_batched(
+                    Rp, mrows, E_loc, sched.L, ldeb,
+                    interpret=sched.interpret)
+        else:
+            cm = (jnp.broadcast_to(mrows, (E_loc, npad))
+                  if mrows.shape[0] == 1 else mrows)
+            col_mask = jax.lax.all_gather(cm, ION_AXIS, axis=1,
+                                          tiled=True)   # [E, I*npad]
+            row_mask = cm.reshape(E_loc * npad)
 
             def soa_forces(Rp):
                 R3 = jnp.swapaxes(Rp.reshape(3, E_loc, npad), 0, 1)
                 cols = jax.lax.all_gather(jnp.swapaxes(R3, 1, 2),
                                           ION_AXIS, axis=1, tiled=True)
-                return yukawa_forces_soa_cols_batched(
+                F = yukawa_forces_soa_cols_batched(
                     Rp, cols, col_mask, E_loc, sched.L, ldeb,
                     interpret=sched.interpret)
+                # the full-tile kernel has no row mask: zero padded/masked
+                # row lanes so they stay inert as they feed back
+                return F * row_mask[None, :]
 
         local = states._replace(key=states.key[:, 0])
         carry = sched.soa_ens_init(local, local.F)
@@ -156,10 +183,11 @@ def fused_local_stepper(sched: "CoolingScheduler", ldeb: float,
 
 
 def make_sharded_fused_step(sched: "CoolingScheduler", ldeb: float,
-                            mesh: Mesh, n_steps: int = 1):
+                            mesh: Mesh, n_steps: int = 1, with_mask=False):
     """Jitted sharded [E, N, ...] SimState -> SimState over ``n_steps``
     MD steps on the fused production path (see fused_local_stepper).
-    ``sched`` must carry a ``fused_spec``."""
+    ``sched`` must carry a ``fused_spec``.  With ``with_mask`` the step
+    takes ``(states, mask [E, N])`` for Poissonian-N members."""
     if sched.fused_spec is None:
         raise ValueError("make_sharded_fused_step needs a scheduler with "
                          "a fused_spec (build with use_pallas=True or "
@@ -169,8 +197,15 @@ def make_sharded_fused_step(sched: "CoolingScheduler", ldeb: float,
     # check_vma=False: pallas_call does not yet annotate its outputs with
     # varying-mesh-axes metadata, so the vma checker rejects any Pallas
     # kernel inside shard_map
-    step = shard_map(lambda s: local(s, n_steps), mesh=mesh,
-                     in_specs=(spec,), out_specs=spec, check_vma=False)
+    if with_mask:
+        step = shard_map(lambda s, m: local(s, n_steps, mask=m),
+                         mesh=mesh,
+                         in_specs=(spec, P(ENS_AXIS, ION_AXIS)),
+                         out_specs=spec, check_vma=False)
+    else:
+        step = shard_map(lambda s: local(s, n_steps), mesh=mesh,
+                         in_specs=(spec,), out_specs=spec,
+                         check_vma=False)
     return jax.jit(step)
 
 

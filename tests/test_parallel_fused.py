@@ -176,6 +176,78 @@ class TestFusedSharded:
         np.testing.assert_allclose(np.asarray(o0["pops"]).sum(-1), 1.0,
                                    atol=5e-4)  # f32 norm drift per tick
 
+    def test_run_ensemble_on_mesh_end_to_end(self, tmp_path):
+        """The user-facing production entry point: run_ensemble(mesh=...)
+        steps the ensemble over the device mesh on the fused kernels and
+        writes each job's .dat tree + checkpoints exactly like the
+        single-device runner, including walltime-chained resume."""
+        import dataclasses
+        import os
+        from mdqtplasmasims_tpu.experiments.laser_cooling import (
+            run_ensemble)
+        cfg1 = _fused_cfg(tmax=0.1, sample_freq=5,
+                          checkpoint_every_segments=5,
+                          save_directory=str(tmp_path))
+        mesh = make_mesh(2, 1)
+        final1, outs1 = run_ensemble(cfg1, n_jobs=2, seed=4, mesh=mesh)
+        assert outs1["t"].shape == (2, 10)
+        job_dirs = sorted(str(p.parent)
+                          for p in tmp_path.rglob("energies.dat"))
+        assert len(job_dirs) == 2
+        for d in job_dirs:
+            e = np.loadtxt(os.path.join(d, "energies.dat"))
+            assert e.shape[0] == 10 and np.isfinite(e).all()
+
+        cfg2 = dataclasses.replace(cfg1, tmax=0.2)
+        final2, outs2 = run_ensemble(cfg2, n_jobs=2, seed=4, resume=True,
+                                     mesh=mesh)
+        assert outs2["t"].shape == (2, 10)   # only the remaining half
+        for d in job_dirs:
+            e = np.loadtxt(os.path.join(d, "energies.dat"))
+            assert e.shape[0] == 20
+        assert not np.allclose(np.asarray(final2.R[0]),
+                               np.asarray(final2.R[1]))
+
+    def test_poisson_members_on_mesh(self, tmp_path):
+        """Poissonian-N members (per-member masks) run on the sharded
+        production path too: layout-invariant across mesh splits, padded
+        lanes exactly inert, and run_ensemble(mesh=..., exact_n=False)
+        writes per-job files sized to each member's real N."""
+        import os
+        from mdqtplasmasims_tpu.experiments.laser_cooling import (
+            run_compiled_sharded, run_ensemble, _poisson_member_states)
+        cfg = _fused_cfg(sample_freq=3, exact_n=False)
+        states, mask, n_js = _poisson_member_states(cfg, 2, seed=6)
+        states = states._replace(key=jax.vmap(
+            lambda k: jax.random.split(k, 1))(states.key))
+
+        results = []
+        for n_dev in (2, 1):
+            mesh = make_mesh(n_dev, 1)
+            final, outs = run_compiled_sharded(cfg, mesh, states, 2,
+                                               mask=mask)
+            results.append((jax.device_get(final), jax.device_get(outs)))
+        (f0, o0), (f1, o1) = results
+        for name in ("R", "V", "psi"):
+            np.testing.assert_array_equal(np.asarray(getattr(f0, name)),
+                                          np.asarray(getattr(f1, name)),
+                                          err_msg=name)
+            # padded lanes inert
+            for j, nj in enumerate(n_js):
+                assert not np.any(np.asarray(getattr(f0, name))[j, nj:]), \
+                    f"padded lanes of {name} moved (member {j})"
+        np.testing.assert_array_equal(np.asarray(o0["ekin"]),
+                                      np.asarray(o1["ekin"]))
+
+        # end-to-end with files
+        cfg2 = _fused_cfg(tmax=0.05, sample_freq=5, exact_n=False,
+                          save_directory=str(tmp_path))
+        run_ensemble(cfg2, n_jobs=2, seed=6, mesh=make_mesh(2, 1))
+        n_seen = []
+        for p in sorted(tmp_path.rglob("conditions_timestep*.dat")):
+            n_seen.append(np.loadtxt(p).shape[0])
+        assert sorted(n_seen) == sorted(n_js), (n_seen, n_js)
+
     def test_tick_uniformity_guard(self):
         """Folding members at different ticks must raise (scheduler.py
         check_uniform_tick) instead of silently mis-timing dynamics."""

@@ -1,20 +1,21 @@
 """Hardware bench of the sharded (shard_map) fused production path.
 
 VERDICT r2 item 1 'done' criterion: a 1-device-mesh shard_map bench
-within ~10% of the single-chip BENCH rate.  Round-3 measurements (v5e):
+within ~10% of the single-chip BENCH rate.  Round-3 measurements (v5e,
+1000-MD-step calls):
 
-  E=8 members folded on a 1-device mesh: 88.2 us per 8-job tick
-    = 318M aggregate ion-QT-updates/s
-    vs 312-333M for the non-shard_map paths (single-run bench.py /
-    ensemble8 fold) — shard_map costs ~0 at steady state.
-  E=1 on the same mesh: ~21 us/tick, matching the non-shard_map E=1
-    fold (22.4): the 2x gap vs the single-run 11.2 us/tick is the
-    batched kernels' fixed per-MD-step cost, amortized away at E>=8 —
-    production ensembles run at full rate.
+  E=1 on a 1-device mesh: 10.9 us/tick = 322M ion-QT-updates/s —
+    identical to the single-chip non-shard_map bench (11.2).
+  E=8 members folded: 77.6 us per 8-job tick = 361M aggregate
+    ion-QT-updates/s — 16% above the single-run rate (the fold
+    amortizes per-step fixed costs).  shard_map costs ~0.
 
-Caveat: the first TWO calls of a fresh shard_map executable include a
-~1.9 s warm-up on the axon backend (input relayout); bench after a
-warm-up rep, or the rate reads ~40x low.
+Caveats: the first TWO calls of a fresh shard_map executable include a
+~1.9 s warm-up on the axon backend (input relayout), and because this
+script fetches a scalar between timed calls, every dispatch after the
+first fetch pays the ~23 ms degraded-dispatch latency — n_steps must be
+large enough to amortize it (at n_steps=100 the E=1 rate reads 2x slow
+purely from that fixed cost; default is 1000).
 
 Usage: python tools/bench_sharded.py [E] [n_steps]
 """
@@ -27,7 +28,7 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 import jax
 
 
-def main(E: int = 8, n_steps: int = 100) -> None:
+def main(E: int = 8, n_steps: int = 1000) -> None:
     E, n_steps = int(E), int(n_steps)
     from mdqtplasmasims_tpu.experiments.laser_cooling import (
         CoolingConfig, build_scheduler, _initial_state_from_key)
