@@ -327,6 +327,81 @@ def run(cfg: FrozenTagConfig, seed: Optional[int] = None):
     return final, results
 
 
+def run_ensemble(cfg: FrozenTagConfig, n_jobs: int, seed: int = 0):
+    """Batched job array on one device — the TPU-native replacement for
+    the reference's SLURM array over randomFrozenStartTag* jobs
+    (README.md:63: pooled statistics need 10+ jobs).  All three phases
+    vmap over the job axis: one compiled program advances every
+    trajectory's MD + windowed pumping together (the Pallas force kernel
+    batches through vmap's grid-dim lifting; the pump-window QT scan is
+    job-parallel XLA).  Per-job .dat trees land in ``job<k>/`` exactly as
+    the array jobs' would.  Returns the per-job results list."""
+    if not cfg.exact_n:
+        raise NotImplementedError("Poissonian-N tagging ensembles: use "
+                                  "independent runs (cli --jobs) until "
+                                  "masks are threaded through the "
+                                  "tagging output blocks")
+    cfg_run = dataclasses.replace(cfg, job=1, save_directory=None)
+    pu = PlasmaUnits(cfg.density, cfg.ge)
+    L = PlasmaUnits.box_length(cfg.n0)
+    n_md_a = int(np.ceil(cfg.tend / cfg.timestep))
+    n_md_total = int(round(cfg.tmax / cfg.timestep))
+    first = cfg.sample_freq - (n_md_a % cfg.sample_freq)
+    remaining = n_md_total - n_md_a - first
+    seg_lengths = (first,) + (cfg.sample_freq,) * max(
+        0, remaining // cfg.sample_freq)
+
+    keys = jax.random.split(jax.random.PRNGKey(seed), n_jobs)
+
+    def init_one(key):
+        k_init, k_run = jax.random.split(key)
+        R, V, psi, _ = frozen_gas_init(k_init, cfg.n0,
+                                       n_states=cfg.n_states,
+                                       exact_n=True, dtype=cfg.np_dtype)
+        st = make_state(R, V, psi, k_run, dtype=cfg.np_dtype)
+        forces_fn = best_forces_fn(cfg.n0, L, pu.debye_length,
+                                   use_pallas=cfg.use_pallas)
+        F, _ = forces_fn(st.R)
+        return st._replace(F=F)
+
+    states = jax.jit(jax.vmap(init_one))(keys)
+    epot0 = jax.jit(jax.vmap(
+        lambda R: yukawa_potential(R, L, pu.debye_length)))(states.R)
+
+    states = jax.vmap(lambda s: run_phase_a(cfg_run, s, n_md_a))(states)
+    states, spin_up, vholder = jax.vmap(
+        lambda s: measure(cfg_run, s))(states)
+    out_tag = jax.vmap(lambda s, u, v, e: tag_instant_output(
+        cfg_run, s, u, v, e))(states, spin_up, vholder, epot0)
+    states, outs = jax.vmap(lambda s, u, v, e: run_phase_b(
+        cfg_run, s, u, v, e, seg_lengths))(states, spin_up, vholder,
+                                           epot0)
+    jax.block_until_ready(states)
+
+    outs_np = safe_device_get(outs)
+    out_tag_np = safe_device_get(out_tag)
+    final_np = safe_device_get(states)
+    spin_np = np.asarray(safe_device_get(spin_up))
+    epot0_np = np.asarray(safe_device_get(epot0))
+
+    results = []
+    for j in range(n_jobs):
+        res = dict(outs=jax.tree.map(lambda a: a[j], outs_np),
+                   out_tag=jax.tree.map(lambda a: a[j], out_tag_np),
+                   spin_up=spin_np[j], epot0=float(epot0_np[j]),
+                   final=jax.tree.map(lambda a: a[j], final_np),
+                   n_md_a=n_md_a)
+        results.append(res)
+        if cfg.save_directory is not None:
+            d = frozen_tag_dir(cfg.save_directory,
+                               tpump_seconds=cfg.tpump_seconds,
+                               tstart=cfg.tstart, detuning=cfg.detuning,
+                               om=cfg.om, density=cfg.density, ge=cfg.ge,
+                               n0=cfg.n0, job=j + 1)
+            write_outputs(d, cfg, res, n_md_total)
+    return results
+
+
 def write_outputs(directory: str, cfg: FrozenTagConfig, res: dict,
                   n_md_total: int) -> None:
     w = DatWriter(directory)

@@ -248,6 +248,59 @@ def run(cfg: MCTagConfig, seed: Optional[int] = None) -> dict:
     return results
 
 
+def run_ensemble(cfg: MCTagConfig, n_jobs: int, seed: int = 0):
+    """Batched MC->MD->pump->tag->record job array on one device (the
+    reference's SLURM array over MonteCarloFollowedByQTTagging* jobs).
+    The whole per-job pipeline vmaps over the job axis — every stage
+    (Metropolis equilibration, collisional MD, pump-window QT, projective
+    tag, collisionless recording, FFT autocorrelations) runs job-parallel
+    in one compiled program.  Per-job .dat trees land in ``job<k>/``;
+    returns the per-job results list."""
+    cfg_run = dataclasses.replace(cfg, job=1, save_directory=None)
+    dt = cfg.np_dtype
+    keys = jax.random.split(jax.random.PRNGKey(seed), n_jobs)
+    mc = MetropolisMC(L=cfg.L, ldeb=1.0 / cfg.kappa, gamma=cfg.gamma)
+    forces = _forces(cfg_run)
+
+    @jax.jit
+    def pipeline(key):
+        k_lat, k_psi, k_mc, _, k_run = jax.random.split(key, 5)
+        R, V = lattice_init(k_lat, cfg.n, cfg.gamma, cfg.L, dtype=dt)
+        psi = random_s_superposition(
+            k_psi, cfg.n, cfg.n_states,
+            jnp.complex128 if cfg.dtype == "float64" else jnp.complex64)
+        R, n_acc = mc.run(R, k_mc, cfg.mc_steps)
+        A = forces(R)[0]
+        R, V, A, k_run = md_phase(cfg_run, R, V, A, k_run,
+                                  cfg.pre_record_md_steps,
+                                  cfg.collision_freq)
+        state = pump_phase(cfg_run, R, V, A, psi,
+                           jnp.zeros((cfg.n,), dt), k_run)
+        key2, k_meas = jax.random.split(state.key)
+        p = cfg_run.spin_up_probability(state.psi)
+        tags = jax.random.uniform(k_meas, p.shape, p.dtype) < p
+        (R, V, A, _), grs, moments, dists, temps, vstore = record_phase(
+            cfg_run, state.R, state.V, state.F, key2, tags)
+        vaf, long_visc, v_cube, v_fourth = autocorr_suite(vstore,
+                                                          cfg.gamma)
+        return dict(mc_accepted=n_acc, tags=tags, grs=grs,
+                    moments=moments, dists=dists, temps=temps, vaf=vaf,
+                    long_visc=long_visc, v_cube=v_cube,
+                    v_fourth=v_fourth, R=R, V=V)
+
+    batched = jax.vmap(pipeline)(keys)
+    jax.block_until_ready(batched["R"])
+    batched_np = {k: safe_device_get(v) for k, v in batched.items()}
+
+    results = []
+    for j in range(n_jobs):
+        res = {k: v[j] for k, v in batched_np.items()}
+        results.append(res)
+        if cfg.save_directory is not None:
+            _write_outputs(dataclasses.replace(cfg, job=j + 1), res)
+    return results
+
+
 def _write_outputs(cfg: MCTagConfig, res: dict) -> None:
     # the 422 main stamps the run date into the directory name
     # (MonteCarloFollowedByQTTagging422Linear.cpp:1127-1134)

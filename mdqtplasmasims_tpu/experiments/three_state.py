@@ -124,6 +124,55 @@ def run(cfg: ThreeStateConfig, seed: Optional[int] = None):
     return results
 
 
+def run_ensemble(cfg: ThreeStateConfig, n_jobs: int, seed: int = 0):
+    """Batched job array for the QT-only toy: per-job (V, psi, t_part,
+    key) carries vmap over the job axis through the same grouped-dispatch
+    loop as run() (ions are already independent, so this is one bigger
+    QT program with per-job output rows).  Writes each job's
+    energies.dat; returns the stacked results dict."""
+    base_keys = jax.random.split(jax.random.PRNGKey(seed), n_jobs)
+    sigma = SQRT_KELVIN_TO_PLASMA_VEL * np.sqrt(cfg.temperature_k)
+    cdt = jnp.complex128 if cfg.dtype == "float64" else jnp.complex64
+
+    @jax.jit
+    def init_one(key):
+        kv, krun = jax.random.split(key)
+        V = jax.random.normal(kv, (cfg.n0, 3), cfg.np_dtype) * jnp.asarray(
+            sigma, cfg.np_dtype)
+        psi = jnp.zeros((cfg.n0, 3), cdt).at[:, 0].set(1.0)
+        return V, psi, jnp.zeros((cfg.n0,), cfg.np_dtype), krun
+
+    carry = jax.vmap(init_one)(base_keys)
+    n_segments = int(cfg.tmax / cfg.dt) // cfg.sample_freq
+    cfg_run = dataclasses.replace(cfg, job=1, save_directory=None)
+    group = min(cfg.dispatch_segments or n_segments, n_segments)
+    rec_groups, done = [], 0
+    step = jax.vmap(lambda V, psi, tp, k, g: run_compiled(
+        cfg_run, V, psi, tp, k, g), in_axes=(0, 0, 0, 0, None))
+    while done < n_segments:
+        g = min(group, n_segments - done)
+        carry, recs_g = step(*carry, g)
+        rec_groups.append(recs_g)
+        done += g
+    jax.block_until_ready(carry[0])
+    recs = np.concatenate([np.asarray(safe_device_get(r))
+                           for r in rec_groups], axis=1)   # [E, S, 2]
+    t_axis = (np.arange(1, n_segments + 1) * cfg.sample_freq) * cfg.dt
+    results = dict(t=t_axis, ekin_x=recs[:, :, 0],
+                   ground_pop=recs[:, :, 1],
+                   V=np.asarray(safe_device_get(carry[0])))
+    if cfg.save_directory is not None:
+        for j in range(n_jobs):
+            d = three_state_dir(cfg.save_directory, om=cfg.om,
+                                detuning=cfg.detuning, n0=cfg.n0,
+                                temperature_k=cfg.temperature_k,
+                                job=j + 1)
+            w = DatWriter(d)
+            w.append("energies.dat",
+                     np.stack([t_axis, recs[j, :, 0]], -1))
+    return results
+
+
 def doppler_limit_ekin(detuning: float, om: float = 0.0) -> float:
     """Textbook Doppler-limit x kinetic energy (in gamma/k velocity units):
     T_D = (hbar*gamma/4)(1/|2 det| + |2 det|)/ ... expressed directly as

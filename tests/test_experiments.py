@@ -71,6 +71,68 @@ class TestCooling:
 
 
 class TestFrozenTagging:
+    def test_run_ensemble_matches_sequential(self, tmp_path):
+        """Batched tagging jobs (one vmapped program) must reproduce each
+        job's sequential single-trajectory result bit-for-bit (f64), and
+        write the same per-job .dat tree as a SLURM array would."""
+        import dataclasses
+        from mdqtplasmasims_tpu.experiments.frozen_tagging import (
+            run_ensemble, initial_state, run_phase_a, run_phase_b,
+            measure, tag_instant_output)
+        from mdqtplasmasims_tpu.ops.yukawa import (best_forces_fn,
+                                                   yukawa_potential)
+        from mdqtplasmasims_tpu.units import PlasmaUnits
+        from mdqtplasmasims_tpu.core.init import frozen_gas_init
+        from mdqtplasmasims_tpu.state import make_state
+
+        cfg = FrozenTagConfig(variant="422linear", n0=48, tstart=0.1,
+                              tmax=0.4, tpump_seconds=1e-7,
+                              sample_freq=10, use_pallas=False,
+                              dtype="float64",
+                              save_directory=str(tmp_path))
+        results = run_ensemble(cfg, n_jobs=2, seed=3)
+        assert len(results) == 2
+        job_dirs = sorted(str(p.parent)
+                          for p in tmp_path.rglob("energies.dat"))
+        assert len(job_dirs) == 2
+
+        # sequential replay of member 1 with the same key
+        cfg_run = dataclasses.replace(cfg, job=1, save_directory=None)
+        pu = PlasmaUnits(cfg.density, cfg.ge)
+        L = PlasmaUnits.box_length(cfg.n0)
+        keys = jax.random.split(jax.random.PRNGKey(3), 2)
+        k_init, k_run = jax.random.split(keys[1])
+        R, V, psi, _ = frozen_gas_init(k_init, cfg.n0,
+                                       n_states=cfg.n_states,
+                                       exact_n=True, dtype=cfg.np_dtype)
+        st = make_state(R, V, psi, k_run, dtype=cfg.np_dtype)
+        fn = best_forces_fn(cfg.n0, L, pu.debye_length, use_pallas=False)
+        st = st._replace(F=fn(st.R)[0])
+        epot0 = yukawa_potential(st.R, L, pu.debye_length)
+        n_md_a = int(np.ceil(cfg.tend / cfg.timestep))
+        st = run_phase_a(cfg_run, st, n_md_a)
+        st, spin_up, vholder = measure(cfg_run, st)
+        n_md_total = int(round(cfg.tmax / cfg.timestep))
+        first = cfg.sample_freq - (n_md_a % cfg.sample_freq)
+        seg_lengths = (first,) + (cfg.sample_freq,) * max(
+            0, (n_md_total - n_md_a - first) // cfg.sample_freq)
+        st, outs = run_phase_b(cfg_run, st, spin_up, vholder, epot0,
+                               seg_lengths)
+
+        res1 = results[1]
+        np.testing.assert_array_equal(np.asarray(res1["spin_up"]),
+                                      np.asarray(spin_up))
+        np.testing.assert_array_equal(np.asarray(res1["final"].R),
+                                      np.asarray(st.R))
+        # trajectories are bit-exact; the output-block reductions
+        # reassociate under vmap (different sum order) -> 1e-12
+        np.testing.assert_allclose(
+            np.asarray(res1["outs"]["energies"]),
+            np.asarray(outs["energies"]), rtol=1e-11, atol=1e-13)
+        # members differ from each other
+        assert not np.allclose(np.asarray(results[0]["final"].R),
+                               np.asarray(results[1]["final"].R))
+
     @pytest.mark.parametrize("variant", ["422linear", "408quad", "408linear"])
     def test_smoke(self, variant, tmp_path):
         cfg = FrozenTagConfig(variant=variant, n0=64, tstart=0.1, tmax=0.5,
@@ -175,6 +237,26 @@ class TestMCTagging:
         assert "taggedMoments.dat" in files
         assert "vel_distX_timestep000000.dat" in files
 
+    def test_run_ensemble_batched(self, tmp_path):
+        """The whole MC->pump->tag->record pipeline vmapped over a job
+        axis: per-job .dat trees, independent members, finite physics."""
+        from mdqtplasmasims_tpu.experiments.mc_qt_tagging import (
+            run_ensemble)
+        cfg = MCTagConfig(variant="422linear", n=64, mc_steps=300,
+                          pre_record_md_steps=5, record_steps=20,
+                          gr_every_record=10,
+                          save_directory=str(tmp_path))
+        results = run_ensemble(cfg, n_jobs=2, seed=1)
+        assert len(results) == 2
+        job_dirs = sorted(str(p.parent)
+                          for p in tmp_path.rglob("taggedMoments.dat"))
+        assert len(job_dirs) == 2
+        for res in results:
+            assert res["vaf"].shape == (20,)
+            assert np.isfinite(res["moments"]).all()
+        assert not np.allclose(results[0]["V"], results[1]["V"])
+        assert not np.array_equal(results[0]["tags"], results[1]["tags"])
+
 
 class TestTransport:
     def test_pipeline_smoke(self):
@@ -235,6 +317,23 @@ class TestEnsembleCompiled:
         assert not np.allclose(outs["ekin"][0], outs["ekin"][1])
         # all heat (DIH) from the frozen start
         assert np.all(outs["ekin"][:, -1].sum(-1) > outs["ekin"][:, 0].sum(-1))
+
+    def test_three_state_run_ensemble(self, tmp_path):
+        from mdqtplasmasims_tpu.experiments.three_state import (
+            ThreeStateConfig, run_ensemble)
+        cfg = ThreeStateConfig(n0=64, tmax=40.0, sample_freq=100,
+                               dispatch_segments=2,
+                               save_directory=str(tmp_path))
+        res = run_ensemble(cfg, n_jobs=3, seed=2)
+        assert res["ekin_x"].shape == (3, 40)
+        assert np.isfinite(res["ekin_x"]).all()
+        assert not np.allclose(res["ekin_x"][0], res["ekin_x"][1])
+        job_dirs = sorted(str(p.parent)
+                          for p in tmp_path.rglob("energies.dat"))
+        assert len(job_dirs) == 3
+        for d in job_dirs:
+            e = np.loadtxt(os.path.join(d, "energies.dat")).reshape(-1, 2)
+            assert e.shape[0] == 40
 
 
 def test_sequential_jobs_share_compiled_program():
