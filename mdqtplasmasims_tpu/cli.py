@@ -78,6 +78,12 @@ def main(argv=None) -> int:
                       mc_md_anisotropy.run),
         "three-state": (three_state.ThreeStateConfig, three_state.run),
     }
+    # families with an on-device batched job array (one vmapped program)
+    batched = {
+        "frozen-tag": frozen_tagging.run_ensemble,
+        "mc-tag": mc_qt_tagging.run_ensemble,
+        "three-state": three_state.run_ensemble,
+    }
 
     parser = argparse.ArgumentParser(prog="mdqtplasmasims_tpu")
     sub = parser.add_subparsers(dest="cmd", required=True)
@@ -92,6 +98,11 @@ def main(argv=None) -> int:
             p.add_argument("--resume", action="store_true",
                            help="continue from the newest native checkpoint "
                                 "(the reference's newRun=0 walltime chaining)")
+        if name in ("frozen-tag", "mc-tag", "three-state"):
+            p.add_argument("--batch-jobs", type=int, default=0,
+                           metavar="K",
+                           help="run K jobs batched on-device in one "
+                                "vmapped program (vs --jobs sequential)")
     pe = sub.add_parser("cooling-ensemble")
     _add_dataclass_args(pe, laser_cooling.CoolingConfig)
     pe.add_argument("--jobs", type=int, default=8)
@@ -113,7 +124,13 @@ def main(argv=None) -> int:
     else:
         cls, runner = families[ns.cmd]
         cfg = _build_cfg(cls, ns)
-        if getattr(ns, "jobs", 0) > 1:
+        if getattr(ns, "batch_jobs", 0) > 1:
+            batched[ns.cmd](cfg, ns.batch_jobs)
+            print(f"[{ns.cmd}] {ns.batch_jobs} batched trajectories in "
+                  f"{time.perf_counter() - t0:.1f}s"
+                  + (f" -> {cfg.save_directory}"
+                     if cfg.save_directory else ""))
+        elif getattr(ns, "jobs", 0) > 1:
             # sequential in-process array (all jitted phases canonicalize
             # job away, so the compiled programs are reused across jobs);
             # --resume applies per job where the family supports it
