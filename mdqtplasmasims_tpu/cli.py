@@ -82,6 +82,7 @@ def main(argv=None) -> int:
     batched = {
         "frozen-tag": frozen_tagging.run_ensemble,
         "mc-tag": mc_qt_tagging.run_ensemble,
+        "transport": mc_md_anisotropy.run_ensemble,
         "three-state": three_state.run_ensemble,
     }
 
@@ -98,7 +99,8 @@ def main(argv=None) -> int:
             p.add_argument("--resume", action="store_true",
                            help="continue from the newest native checkpoint "
                                 "(the reference's newRun=0 walltime chaining)")
-        if name in ("frozen-tag", "mc-tag", "three-state"):
+        if name in ("frozen-tag", "mc-tag", "transport",
+                    "three-state"):
             p.add_argument("--batch-jobs", type=int, default=0,
                            metavar="K",
                            help="run K jobs batched on-device in one "

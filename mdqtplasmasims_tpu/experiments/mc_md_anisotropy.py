@@ -246,6 +246,77 @@ def run(cfg: MCTransportConfig, seed: Optional[int] = None) -> dict:
     return results
 
 
+def run_ensemble(cfg: MCTransportConfig, n_jobs: int, seed: int = 0):
+    """Batched job array for the MC transport pipeline (the reference's
+    SLURM array over MonteCarloFollowedByMDAndTempAnisotropy jobs): the
+    full staged pipeline — MC equilibration with g(r) snapshots,
+    collisional MD, classical tagging, collisionless recording, FFT
+    autocorrelations, both anisotropy drives — vmapped over the job axis
+    as one compiled program.  Per-job .dat trees in ``job<k>/``; returns
+    the per-job results list."""
+    cfg_run = dataclasses.replace(cfg, job=1, save_directory=None)
+    dt = cfg.np_dtype
+    keys = jax.random.split(jax.random.PRNGKey(seed), n_jobs)
+    mc = MetropolisMC(L=cfg.L, ldeb=cfg.ldeb, gamma=cfg.gamma,
+                      max_r_step=cfg.max_r_step)
+    n_chunks = max(1, cfg.mc_steps // cfg.gr_every_mc)
+
+    @jax.jit
+    def pipeline(key):
+        k_lat, k_mc, k_tag, k_run = jax.random.split(key, 4)
+        R, V = lattice_init(k_lat, cfg.n, cfg.gamma, cfg.L, dtype=dt)
+
+        def chunk(carry, k):
+            R, n_acc = carry
+            g = pair_correlation(R, cfg.L)
+            R, acc = mc.run(R, k, cfg.mc_steps // n_chunks)
+            return (R, n_acc + acc), g
+        (R, n_acc), gr_mc = jax.lax.scan(
+            chunk, (R, jnp.zeros((), jnp.int32)),
+            jax.random.split(k_mc, n_chunks))
+
+        A = _forces(cfg_run)(R)
+        (R, V, A, k_run), _ = md_stage(cfg_run, R, V, A, k_run,
+                                       cfg.pre_record_md_steps,
+                                       collision_freq=cfg.collision_freq)
+        tags = tag_classical(V[:, 0], k_tag, cfg.gamma)
+        (R, V, A, k_run), gr_record, moments, temps, vstore = record_stage(
+            cfg_run, R, V, A, k_run, tags)
+        vaf, long_visc, v_cube, v_fourth = autocorr_suite(vstore,
+                                                          cfg.gamma)
+        V = anisotropize_velocities(V, cfg.temp_percent_diff)
+        (R, V, A, k_run), temps_inst = md_stage(
+            cfg_run, R, V, A, k_run, cfg.instant_aniso_steps,
+            record="temp_axes")
+        (R, V, A, k_run), _ = md_stage(cfg_run, R, V, A, k_run,
+                                       cfg.reequil_steps,
+                                       collision_freq=cfg.collision_freq)
+        (R, V, A, k_run), temps_force = md_stage(
+            cfg_run, R, V, A, k_run, cfg.aniso_establish_steps,
+            add_laser_force=True, record="temp_axes")
+        (R, V, A, k_run), temps_relax = md_stage(
+            cfg_run, R, V, A, k_run, cfg.aniso_relax_steps,
+            record="temp_axes")
+        return dict(gr_mc=gr_mc, gr_record=gr_record, mc_accepted=n_acc,
+                    moments=moments, temps=temps, vaf=vaf,
+                    long_visc=long_visc, v_cube=v_cube,
+                    v_fourth=v_fourth, temps_inst=temps_inst,
+                    temps_force=temps_force, temps_relax=temps_relax,
+                    R=R, V=V)
+
+    batched = jax.vmap(pipeline)(keys)
+    jax.block_until_ready(batched["R"])
+    batched_np = {k: safe_device_get(v) for k, v in batched.items()}
+
+    results = []
+    for j in range(n_jobs):
+        res = {k: v[j] for k, v in batched_np.items()}
+        results.append(res)
+        if cfg.save_directory is not None:
+            _write_outputs(dataclasses.replace(cfg, job=j + 1), res)
+    return results
+
+
 def _write_outputs(cfg: MCTransportConfig, res: dict) -> None:
     d = mc_transport_dir(cfg.save_directory, gamma=cfg.gamma,
                          kappa=cfg.kappa, n=cfg.n, job=cfg.job)

@@ -586,3 +586,22 @@ def test_vholder_restored_across_resume(tmp_path):
     v_t = vaf[vaf1.shape[0], 0]
     assert vaf[vaf1.shape[0], 1] != 0.0
     assert abs(v_t - (vaf1[-1, 0] + cfg2.sample_freq * cfg2.timestep)) < 1e-9
+
+
+def test_transport_run_ensemble(tmp_path):
+    """The staged transport pipeline vmapped over a job axis."""
+    from mdqtplasmasims_tpu.experiments.mc_md_anisotropy import run_ensemble
+    cfg = MCTransportConfig(n=27, mc_steps=500, gr_every_mc=250,
+                            pre_record_md_steps=10, record_steps=40,
+                            gr_every_record=20, instant_aniso_steps=20,
+                            reequil_steps=10, aniso_relax_steps=20,
+                            aniso_time_us=1.0, save_directory=str(tmp_path))
+    results = run_ensemble(cfg, n_jobs=2, seed=4)
+    assert len(results) == 2
+    for res in results:
+        assert res["vaf"].shape == (40,)
+        assert 0.3 < res["vaf"][0] < 3.0
+        assert res["temps_inst"].shape == (20, 3)
+    assert not np.allclose(results[0]["V"], results[1]["V"])
+    job_dirs = sorted(str(p.parent) for p in tmp_path.rglob("VAF.dat"))
+    assert len(job_dirs) == 2
