@@ -249,6 +249,31 @@ class TestFullScaleSoak:
         assert abs(r["dih_peak_ekin_x"] - c["dih_peak_ekin_x"]) < 0.02
         assert abs(r["cooling_ratio"] - c["cooling_ratio"]) < 0.06
 
+    def test_cooling_poisson_ensemble(self, soak):
+        """Production Poissonian ensemble (8 jobs, each drawing its own N
+        as reference init does per array job): member counts spread like
+        Binomial(729*3500, 1/729) (sd ~59 -> spread over 8 draws ~100-250)
+        and the pooled physics matches the pinned-N soak."""
+        if "cooling_poisson_ensemble" not in soak:
+            pytest.skip("poisson-ensemble soak not archived yet")
+        p, c = soak["cooling_poisson_ensemble"], soak["cooling"]
+        ns = np.asarray(p["member_ns"])
+        assert len(ns) == 8 and len(set(ns.tolist())) >= 6
+        assert abs(ns.mean() - 3500) < 150
+        assert 40 < p["member_n_spread"] < 450
+        assert abs(p["dih_peak_t"] - c["dih_peak_t"]) < 0.5
+        assert abs(p["cooling_ratio"] - c["cooling_ratio"]) < 0.08
+
+    def test_cooling_mesh_ensemble(self, soak):
+        """run_ensemble(mesh=...) at full production scale: same cooling
+        physics through the sharded fused path + file/checkpoint I/O."""
+        if "cooling_mesh_ensemble" not in soak:
+            pytest.skip("mesh-ensemble soak not archived yet")
+        m, c = soak["cooling_mesh_ensemble"], soak["cooling"]
+        assert m["n_jobs"] >= 8 and m["tmax"] == 30.0
+        assert abs(m["dih_peak_t"] - c["dih_peak_t"]) < 0.5
+        assert abs(m["cooling_ratio"] - c["cooling_ratio"]) < 0.08
+
     def test_cooling_beyond_reference_scale(self, soak):
         """N=14000 (4x the reference's practical max; its own sizing rule
         t <= 50/(N/3000)^2 per 8 h would need ~6 weeks) completes a full

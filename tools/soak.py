@@ -213,6 +213,75 @@ def soak_three_state() -> None:
     })
 
 
+def soak_cooling_poisson_ensemble() -> None:
+    """Production Poissonian ensemble (round 3): 8 jobs, each drawing its
+    own N ~ Binomial(729*3500, 1/729) as the reference init does per
+    array job, folded into one fused program with per-member masks."""
+    import glob
+    from mdqtplasmasims_tpu.experiments.laser_cooling import (
+        CoolingConfig, run_ensemble)
+    base = os.path.join(ART, "cooling_poisson")
+    # checkpoint grouping keeps each device dispatch ~10 s: a single
+    # 375-segment E=8 dispatch (~50 s on-device) trips the relay's
+    # per-dispatch deadline (UNAVAILABLE — same limit three_state hits)
+    cfg = CoolingConfig(n0=3500, tmax=30.0, sample_freq=40, exact_n=False,
+                        checkpoint_every_segments=75,
+                        save_directory=base)
+    t0 = time.perf_counter()
+    final, outs = run_ensemble(cfg, n_jobs=8, seed=1)
+    wall = time.perf_counter() - t0
+    t = np.asarray(outs["t"], np.float64)[0]
+    ekx = np.asarray(outs["ekin"], np.float64)[:, :, 0]   # [E, S]
+    early = t <= 8.0
+    i_peak = int(np.argmax(ekx.mean(0)[early]))
+    late = t >= 25.0
+    c0 = int(round(cfg.tmax / cfg.timestep)) - 1
+    n_js = sorted(np.loadtxt(p).shape[0] for p in glob.glob(
+        base + f"/*/job*/conditions_timestep{c0:06d}.dat"))
+    _update_summary("cooling_poisson_ensemble", {
+        "n_jobs": 8, "n0": cfg.n0, "tmax": cfg.tmax,
+        "wall_s": round(wall, 1),
+        "member_ns": [int(n) for n in n_js],
+        "member_n_spread": int(n_js[-1] - n_js[0]),
+        "dih_peak_t": float(t[early][i_peak]),
+        "dih_peak_ekin_x": float(ekx.mean(0)[early][i_peak]),
+        "cooling_ratio": float(ekx.mean(0)[late].mean()
+                               / ekx.mean(0)[early][i_peak]),
+    })
+
+
+def soak_cooling_mesh() -> None:
+    """Production mesh ensemble (round 3): run_ensemble(mesh=...) on the
+    attached chip(s) — the multi-chip entry point exercised end to end on
+    hardware, .dat trees + periodic checkpoints included."""
+    import jax
+    from mdqtplasmasims_tpu.experiments.laser_cooling import (
+        CoolingConfig, run_ensemble)
+    from mdqtplasmasims_tpu.parallel.mesh import make_mesh
+    n_dev = len(jax.devices())
+    mesh = make_mesh(n_dev, 1)
+    cfg = CoolingConfig(n0=3500, tmax=30.0, sample_freq=40,
+                        checkpoint_every_segments=75,
+                        save_directory=os.path.join(ART, "cooling_mesh"))
+    t0 = time.perf_counter()
+    final, outs = run_ensemble(cfg, n_jobs=8 * n_dev, seed=1, mesh=mesh)
+    wall = time.perf_counter() - t0
+    t = np.asarray(outs["t"], np.float64)[0]
+    ekx = np.asarray(outs["ekin"], np.float64)[:, :, 0]
+    early = t <= 8.0
+    i_peak = int(np.argmax(ekx.mean(0)[early]))
+    late = t >= 25.0
+    ticks = 8 * n_dev * cfg.n0 * int(round(cfg.tmax / cfg.timestep)) * cfg.ratio
+    _update_summary("cooling_mesh_ensemble", {
+        "n_devices": n_dev, "n_jobs": 8 * n_dev, "n0": cfg.n0,
+        "tmax": cfg.tmax, "wall_s": round(wall, 1),
+        "agg_updates_per_sec": round(ticks / wall, 1),
+        "dih_peak_t": float(t[early][i_peak]),
+        "cooling_ratio": float(ekx.mean(0)[late].mean()
+                               / ekx.mean(0)[early][i_peak]),
+    })
+
+
 FAMILIES = {
     "cooling": soak_cooling,
     "frozen": soak_frozen,
@@ -222,6 +291,9 @@ FAMILIES = {
     # variant coverage beyond the one-per-family defaults
     "frozen_408quad": soak_frozen_408quad,
     "mc_tag_422": soak_mc_tag_422,
+    # round-3 production modes
+    "cooling_poisson_ensemble": soak_cooling_poisson_ensemble,
+    "cooling_mesh_ensemble": soak_cooling_mesh,
 }
 
 
