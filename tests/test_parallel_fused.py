@@ -208,6 +208,38 @@ class TestFusedSharded:
         assert not np.allclose(np.asarray(final2.R[0]),
                                np.asarray(final2.R[1]))
 
+    def test_cross_mode_resume(self, tmp_path):
+        """Walltime chains can move between chip counts: a single-device
+        ensemble checkpoint resumes onto a mesh and a mesh checkpoint
+        resumes single-device (run_ensemble normalizes the per-job key
+        payload [2] vs [I,2] to the mode it runs in)."""
+        import dataclasses
+        import os
+        from mdqtplasmasims_tpu.experiments.laser_cooling import (
+            run_ensemble)
+
+        # single-device first half -> mesh second half
+        cfg1 = _fused_cfg(tmax=0.1, sample_freq=5,
+                          checkpoint_every_segments=5,
+                          save_directory=str(tmp_path / "a"))
+        run_ensemble(cfg1, n_jobs=2, seed=4)
+        cfg2 = dataclasses.replace(cfg1, tmax=0.2)
+        _, outs2 = run_ensemble(cfg2, n_jobs=2, seed=4, resume=True,
+                                mesh=make_mesh(2, 1))
+        assert outs2["t"].shape == (2, 10)    # only the remaining half
+        # mesh first half -> single-device second half
+        cfg3 = _fused_cfg(tmax=0.1, sample_freq=5,
+                          checkpoint_every_segments=5,
+                          save_directory=str(tmp_path / "b"))
+        run_ensemble(cfg3, n_jobs=2, seed=4, mesh=make_mesh(2, 1))
+        cfg4 = dataclasses.replace(cfg3, tmax=0.2)
+        _, outs4 = run_ensemble(cfg4, n_jobs=2, seed=4, resume=True)
+        assert outs4["t"].shape == (2, 10)
+        for sub in ("a", "b"):
+            for p in sorted((tmp_path / sub).rglob("energies.dat")):
+                e = np.loadtxt(p)
+                assert e.shape[0] == 20 and np.isfinite(e).all()
+
     def test_poisson_members_on_mesh(self, tmp_path):
         """Poissonian-N members (per-member masks) run on the sharded
         production path too: layout-invariant across mesh splits, padded
