@@ -106,7 +106,13 @@ class CoolingScheduler:
         return -(-max(n, self.tile) // self.tile) * self.tile
 
     def soa_init(self, state: SimState, F=None):
-        """SimState -> (Rp, Vp, Fp, tpp, prep, pimp, key, tick) planes."""
+        """SimState -> (Rp, Vp, Fp, tpp, prep, pimp, key, tick, seed)
+        planes.  On the in-kernel-PRNG path the 31-bit seed word is drawn
+        *here*, once per sampling segment, not per MD step: the kernel's
+        second seed word (tile * 2^20 + tick mod 2^20, qt_fused.py) already
+        makes every (MD step, ion tile) stream unique within a segment, so
+        a per-step host-side refresh is pure glue — measured 3.5% of the
+        flagship MD step on v5e (two threefry launches per step)."""
         n = state.R.shape[0]
         npad = self._npad(n)
         SP = self.fused_spec.SP
@@ -115,17 +121,27 @@ class CoolingScheduler:
             out = jnp.zeros((rows, npad), jnp.float32)
             return out.at[:x.shape[0], :n].set(x.astype(jnp.float32))
 
+        key, seed = self._segment_seed(state.key)
         psi_sm = state.psi.T
         Fp = (jnp.zeros((3, npad), jnp.float32) if F is None
               else pad_rows(F.T, 3))
         return (pad_rows(state.R.T, 3), pad_rows(state.V.T, 3), Fp,
                 pad_rows(state.t_part[None, :], 1),
                 pad_rows(psi_sm.real, SP), pad_rows(psi_sm.imag, SP),
-                state.key, state.tick)
+                key, state.tick, seed)
+
+    def _segment_seed(self, key):
+        """Advance ``key`` and draw the segment's PRNG word 1 (in-kernel
+        RNG only; a zero placeholder rides the carry otherwise)."""
+        if self.fused_spec.internal_rng:
+            key, sub = jax.random.split(key)
+            return key, jax.random.randint(sub, (1, 1), 0, 2 ** 31 - 1,
+                                           jnp.int32)
+        return key, jnp.zeros((1, 1), jnp.int32)
 
     def soa_restore(self, carry, state: SimState) -> SimState:
         """SoA planes -> SimState (shapes/dtypes from the template)."""
-        Rp, Vp, Fp, tpp, prep, pimp, key, tick = carry
+        Rp, Vp, Fp, tpp, prep, pimp, key, tick, _seed = carry
         n = state.R.shape[0]
         S = state.psi.shape[1]
         psi = (prep[:S, :n] + 1j * pimp[:S, :n]).T.astype(state.psi.dtype)
@@ -140,15 +156,16 @@ class CoolingScheduler:
         """One MD step entirely in kernel layout: ``soa_forces_fn`` maps
         Rp [3, Np] -> F [3, Np] (ops.yukawa.yukawa_forces_n3l_soa)."""
         from .qt_fused import fused_md_substeps
-        Rp, Vp, _, tpp, prep, pimp, key, tick = carry
+        Rp, Vp, _, tpp, prep, pimp, key, tick, seed32 = carry
         npad = Rp.shape[1]
         Fp = soa_forces_fn(Rp)
-        key, sub = jax.random.split(key)
         if self.fused_spec.internal_rng:
+            # seed word 1 is segment-constant (drawn in soa_init); the
+            # kernel's tick-derived word 2 separates the MD steps
             rolls = None
-            seed = jax.random.randint(sub, (1, 1), 0, 2 ** 31 - 1,
-                                      jnp.int32)
+            seed = seed32
         else:
+            key, sub = jax.random.split(key)
             rolls = jax.random.uniform(sub, (self.ratio * 5, npad),
                                        jnp.float32)
             seed = None
@@ -159,7 +176,8 @@ class CoolingScheduler:
             tick0=tick.astype(jnp.float32).reshape(1, 1),
             tick0_i=tick.astype(jnp.int32).reshape(1, 1), tile=self.tile,
             interpret=self.interpret)
-        return (Rp, Vp, Fp, tpp, prep, pimp, key, tick + self.ratio)
+        return (Rp, Vp, Fp, tpp, prep, pimp, key, tick + self.ratio,
+                seed32)
 
     def fused_substeps_ensemble(self, states: SimState, F) -> SimState:
         """Ensemble variant of the fused path.  The QT update and the
@@ -205,11 +223,15 @@ class CoolingScheduler:
         psi_sm = jnp.swapaxes(states.psi, 1, 2)          # [E, S, n]
         Fp = (jnp.zeros((3, E * npad), jnp.float32) if F is None
               else fold(jnp.swapaxes(F, 1, 2)))
+        # segment seed from member 0's key (folded members share one
+        # word-1; their tiles occupy distinct word-2 slots)
+        key0, seed = self._segment_seed(states.key[0])
+        keys = states.key.at[0].set(key0)
         return (fold(jnp.swapaxes(states.R, 1, 2)),
                 fold(jnp.swapaxes(states.V, 1, 2)), Fp,
                 fold(states.t_part[:, None, :]),
                 fold(psi_sm.real, SP), fold(psi_sm.imag, SP),
-                states.key, states.tick)
+                keys, states.tick, seed)
 
     def soa_ens_md_step(self, carry, soa_forces_fn,
                         per_member_rolls: bool = False):
@@ -223,27 +245,28 @@ class CoolingScheduler:
         it so fused-sharded == fused-unsharded exactly.  Ignored when the
         spec uses the in-kernel hardware PRNG."""
         from .qt_fused import fused_md_substeps
-        Rp, Vp, _, tpp, prep, pimp, keys, tick = carry
+        Rp, Vp, _, tpp, prep, pimp, keys, tick, seed32 = carry
         Fp = soa_forces_fn(Rp)
-        ks = jax.vmap(jax.random.split)(keys)            # [E, 2, 2]
-        new_keys = ks[:, 0]
         if self.fused_spec.internal_rng:
+            # segment-constant word 1 (soa_ens_init); no per-step splits
+            new_keys = keys
             rolls = None
-            seed = jax.random.randint(ks[0, 1], (1, 1), 0, 2 ** 31 - 1,
-                                      jnp.int32)
-        elif per_member_rolls:
-            E = keys.shape[0]
-            npad = Rp.shape[1] // E
-            rolls = jax.vmap(lambda k: jax.random.uniform(
-                k, (self.ratio * 5, npad), jnp.float32))(ks[:, 1])
-            rolls = jnp.swapaxes(rolls, 0, 1).reshape(self.ratio * 5,
-                                                      E * npad)
-            seed = None
+            seed = seed32
         else:
-            rolls = jax.random.uniform(ks[0, 1],
-                                       (self.ratio * 5, Rp.shape[1]),
-                                       jnp.float32)
+            ks = jax.vmap(jax.random.split)(keys)        # [E, 2, 2]
+            new_keys = ks[:, 0]
             seed = None
+            if per_member_rolls:
+                E = keys.shape[0]
+                npad = Rp.shape[1] // E
+                rolls = jax.vmap(lambda k: jax.random.uniform(
+                    k, (self.ratio * 5, npad), jnp.float32))(ks[:, 1])
+                rolls = jnp.swapaxes(rolls, 0, 1).reshape(self.ratio * 5,
+                                                          E * npad)
+            else:
+                rolls = jax.random.uniform(ks[0, 1],
+                                           (self.ratio * 5, Rp.shape[1]),
+                                           jnp.float32)
         first = (tick[0] == 0).astype(jnp.float32).reshape(1, 1)
         tick0 = tick[0].astype(jnp.float32).reshape(1, 1)
         Rp, Vp, tpp, prep, pimp = fused_md_substeps(
@@ -251,11 +274,12 @@ class CoolingScheduler:
             rolls=rolls, seed=seed, tick0=tick0,
             tick0_i=tick[0].astype(jnp.int32).reshape(1, 1), tile=self.tile,
             interpret=self.interpret)
-        return (Rp, Vp, Fp, tpp, prep, pimp, new_keys, tick + self.ratio)
+        return (Rp, Vp, Fp, tpp, prep, pimp, new_keys, tick + self.ratio,
+                seed32)
 
     def soa_ens_restore(self, carry, states: SimState) -> SimState:
         """Folded planes -> [E,...] SimState batch (template dtypes)."""
-        Rp, Vp, Fp, tpp, prep, pimp, keys, tick = carry
+        Rp, Vp, Fp, tpp, prep, pimp, keys, tick, _seed = carry
         E, n, _ = states.R.shape
         npad = Rp.shape[1] // E
         S = states.psi.shape[-1]
