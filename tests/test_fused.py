@@ -390,3 +390,73 @@ def test_soa_segment_loop_matches_md_steps():
     np.testing.assert_array_equal(np.asarray(s_ref.psi),
                                   np.asarray(s_soa.psi))
     assert int(s_ref.tick) == int(s_soa.tick) == steps * ratio
+
+
+class TestInternalRNGSeeding:
+    """RNG plumbing of the in-kernel hardware-PRNG path (production TPU
+    mode).  Plain CPU interpret mode has no `prng_seed` lowering and the
+    TPU-semantics interpreter (`pltpu.InterpretParams`) stubs the draws
+    to zeros, so only the *scheduler-side* seeding contract is testable
+    here: word 1 is drawn once per sampling segment in soa_init and the
+    key is never consumed per step.  Stream identity proper (identical
+    (seed, tick) -> identical output; either changing -> new stream) is
+    verified on hardware by tools/verify_seed_streams.py."""
+
+    def _setup(self, ratio=6, n=96):
+        tile = npad = 128
+        L = PlasmaUnits.box_length(n)
+        scheme = with_recoil(sr12_cooling(), 9.1e-4, 3.6e-4)
+        h, qdt, p2q, g2e = 0.00985, 8e-5, 1.327, 123.1
+        spec = FusedTickSpec(scheme=scheme, h=h, qdt=qdt,
+                             plas_to_quant_vel=p2q, gamma_to_einstein=g2e,
+                             ratio=ratio, L=L, apply_force=True,
+                             internal_rng=True)
+        key = jax.random.PRNGKey(5)
+        kr, kv, kp, kq = jax.random.split(key, 4)
+        R = jax.random.uniform(kr, (n, 3), jnp.float32, 0, L)
+        V = jax.random.normal(kv, (n, 3), jnp.float32) * 0.3
+        F = jax.random.normal(kq, (n, 3), jnp.float32) * 0.5
+        # populated P manifold so jumps fire (exercises the PRNG draws)
+        S = scheme.n_states
+        psi = jnp.zeros((n, S), jnp.complex64)
+        psi = psi.at[:, 2].set(0.7).at[:, 4].set(0.5j).at[:, 0].set(0.51)
+
+        def pad_rows(x, rows):
+            out = jnp.zeros((rows, npad), jnp.float32)
+            return out.at[:x.shape[0], :n].set(x)
+
+        args = (pad_rows(R.T, 3), pad_rows(V.T, 3), pad_rows(F.T, 3),
+                pad_rows(jnp.ones((1, n), jnp.float32), 1),
+                pad_rows(psi.T.real, spec.SP), pad_rows(psi.T.imag, spec.SP))
+        return spec, tile, args
+
+    def test_segment_key_advances_once(self):
+        from jax.experimental.pallas import tpu as pltpu
+        from mdqtplasmasims_tpu.core.scheduler import CoolingScheduler
+        spec, tile, args = self._setup()
+        engine = QTEngine(spec.scheme, h=spec.h, dt_plasma=spec.qdt,
+                          plas_to_quant_vel=spec.plas_to_quant_vel,
+                          gamma_to_einstein=spec.gamma_to_einstein,
+                          apply_force=True)
+        sched = CoolingScheduler(engine=engine, forces_fn=None, L=spec.L,
+                                 qdt=spec.qdt, ratio=spec.ratio,
+                                 fused_spec=spec, tile=tile,
+                                 interpret=pltpu.InterpretParams())
+        from mdqtplasmasims_tpu.state import make_state
+        n = 96
+        R = jnp.asarray(args[0][:, :n].T)
+        V = jnp.asarray(args[1][:, :n].T)
+        psi = (args[4][:spec.S, :n] + 1j * args[5][:spec.S, :n]).T
+        state = make_state(R, V, psi.astype(jnp.complex64),
+                           jax.random.PRNGKey(9))
+        carry = sched.soa_init(state)
+        key_after_init = np.asarray(carry[6])
+        assert not np.array_equal(key_after_init, np.asarray(state.key))
+        Fp = carry[2]
+        for _ in range(3):
+            carry = sched.soa_md_step(carry, lambda Rp: Fp)
+        # no per-step key consumption on the internal-RNG path
+        np.testing.assert_array_equal(np.asarray(carry[6]), key_after_init)
+        # seed rides the carry unchanged
+        out = sched.soa_restore(carry, state)
+        assert int(out.tick) == 3 * spec.ratio
