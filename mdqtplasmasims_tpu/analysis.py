@@ -120,3 +120,34 @@ def compare_job_pools(refs: Sequence[dict], fws: Sequence[dict],
               f"{b.std(ddof=1):6.4f} {z:+6.2f}")
         ok &= abs(z) < z_max
     return bool(ok)
+
+
+def state_population_profile(job_dir: str, vel_scale: float = 1.0,
+                             vmax: float = 3.0, nbins: int = 30,
+                             last_k: int = 5, state_col: int = 2,
+                             min_count: int = 10):
+    """Bin one state population against folded ion speed from the
+    emitted ``statePopulationsVsVTime*.dat`` snapshots of a job
+    directory (columns per reference README.md:110-118: 1 velocity,
+    2 S, 3 P, 4 D; ``state_col`` is the 0-based column, default P).
+
+    ``vel_scale`` converts the file's plasma-unit velocities (multiply
+    by ``QTEngine.plas_to_quant_vel`` for gamma/k units).  Pools the
+    last ``last_k`` snapshots.  Returns ``(bin_centers, profile)`` with
+    NaN where a bin has fewer than ``min_count`` ions.  Dips in the P
+    profile mark dark states (thesis 4.5); the two-photon resonance
+    sits at v = (detDP - detSP)/(1 + kRat)."""
+    files = sorted(glob.glob(os.path.join(
+        job_dir, "statePopulationsVsVTime*.dat")))[-last_k:]
+    if not files:
+        raise FileNotFoundError(
+            f"no statePopulationsVsVTime*.dat under {job_dir}")
+    rows = np.concatenate([np.atleast_2d(np.loadtxt(f)) for f in files])
+    v = np.abs(rows[:, 0]) * vel_scale
+    pop = rows[:, state_col]
+    bins = np.linspace(0.0, vmax, nbins + 1)
+    which = np.digitize(v, bins)
+    prof = np.array([pop[which == i].mean()
+                     if (which == i).sum() >= min_count else np.nan
+                     for i in range(1, len(bins))])
+    return 0.5 * (bins[1:] + bins[:-1]), prof
