@@ -67,6 +67,73 @@ class TestAnalysis:
         assert np.allclose(avg[:, 1], [2.0, 3.0])
 
 
+class TestStatePopulationProfile:
+    """analysis.state_population_profile: dark-state dip extraction from
+    emitted statePopulationsVsVTime*.dat snapshots (reference
+    README.md:110-118 column schema)."""
+
+    @staticmethod
+    def _write_snapshot(path, v, s, p, d):
+        rows = np.stack([v, s, p, d], axis=-1)
+        np.savetxt(path, rows, fmt="%.6f", delimiter="\t")
+
+    def test_bins_population_against_folded_speed(self, tmp_path):
+        from mdqtplasmasims_tpu.analysis import state_population_profile
+        # P population = |v| / 3 exactly, on both signs of v: the folded
+        # profile must recover the identity line at bin centers.
+        v = np.concatenate([np.linspace(-2.95, -0.05, 300),
+                            np.linspace(0.05, 2.95, 300)])
+        p = np.abs(v) / 3.0
+        self._write_snapshot(tmp_path / "statePopulationsVsVTime5.dat",
+                             v, 1.0 - p, p, np.zeros_like(v))
+        centers, prof = state_population_profile(str(tmp_path), nbins=10)
+        assert centers.shape == prof.shape == (10,)
+        assert np.allclose(prof, centers / 3.0, atol=0.02)
+
+    def test_last_k_and_state_col(self, tmp_path):
+        from mdqtplasmasims_tpu.analysis import state_population_profile
+        v = np.linspace(0.05, 2.95, 200)
+        # older snapshot has P=1 everywhere; the two recent ones P=0.25 —
+        # last_k=2 must exclude the old one.  File order is lexicographic
+        # over the zero-padded reference naming.
+        self._write_snapshot(tmp_path / "statePopulationsVsVTime1.dat",
+                             v, np.zeros_like(v), np.ones_like(v),
+                             np.zeros_like(v))
+        for k in (2, 3):
+            self._write_snapshot(
+                tmp_path / f"statePopulationsVsVTime{k}.dat",
+                v, np.full_like(v, 0.5), np.full_like(v, 0.25),
+                np.full_like(v, 0.25))
+        _, prof = state_population_profile(str(tmp_path), nbins=5,
+                                           last_k=2, min_count=1)
+        assert np.allclose(prof, 0.25)
+        # state_col=3 selects the D column instead
+        _, prof_d = state_population_profile(str(tmp_path), nbins=5,
+                                             last_k=2, min_count=1,
+                                             state_col=3)
+        assert np.allclose(prof_d, 0.25)
+
+    def test_vel_scale_and_sparse_bins_nan(self, tmp_path):
+        from mdqtplasmasims_tpu.analysis import state_population_profile
+        # 50 ions at plasma-unit speed 0.1 -> gamma/k speed 2.0 with
+        # vel_scale=20: only the bin containing 2.0 is populated, all
+        # other bins NaN (below min_count).
+        v = np.full(50, 0.1)
+        self._write_snapshot(tmp_path / "statePopulationsVsVTime0.dat",
+                             v, np.full_like(v, 0.4), np.full_like(v, 0.6),
+                             np.zeros_like(v))
+        centers, prof = state_population_profile(
+            str(tmp_path), vel_scale=20.0, vmax=3.0, nbins=6, min_count=10)
+        hit = int(np.digitize(2.0, np.linspace(0, 3.0, 7))) - 1
+        assert prof[hit] == pytest.approx(0.6)
+        assert np.isnan(np.delete(prof, hit)).all()
+
+    def test_missing_files_raise(self, tmp_path):
+        from mdqtplasmasims_tpu.analysis import state_population_profile
+        with pytest.raises(FileNotFoundError):
+            state_population_profile(str(tmp_path))
+
+
 class TestCLI:
     def test_parser_builds_configs(self):
         from mdqtplasmasims_tpu.cli import _add_dataclass_args, _build_cfg
