@@ -1,22 +1,27 @@
-"""Reproduce the thesis-4.5 dark-state observable with a detuning sweep.
+"""Reproduce the thesis-4.5 dark-state observable with a detuning sweep
+— the whole sweep in ONE fused dispatch.
 
 The reference README's analysis recipe (README.md:110-118): bin the P
 population of ``statePopulationsVsVTime*.dat`` against ion velocity;
 dips mark dark states, sitting at the two-photon resonance
-v_res = (detDP - detSP)/(1 + kRat).  The reference needs an 8 h job per
-detuning point; here each point is a ~1-minute single-chip run writing
-the same .dat trees, and the profiles come from
-`mdqtplasmasims_tpu.analysis.state_population_profile`.
+v_res = (detDP - detSP)/(1 + kRat).  The reference needs an 8 h job —
+and a fresh *compile* of the binary — per detuning point; here the
+grid folds into one compiled program (``run_sweep``: per-lane diagonal
+energies in the fused kernel, so each point costs one more ensemble
+member), writing the same per-point .dat trees, and the profiles come
+from ``mdqtplasmasims_tpu.analysis.state_population_profile``.
 
 Usage: python examples/dark_state_sweep.py [outdir]
 
-Typical output (TPU v5e, seed 1): dips at 1.47 / 1.22 / 1.22 gamma/k for
-predictions 1.43 / 1.08 / 1.08 — the dip tracks the two-photon detuning,
-riding ~0.1 high on the thermal-tail slope at this run length.
+Typical output (TPU v5e, seed 1): the 3-point grid runs in ~13 s wall
+total (one compile); dips at 1.41 / 1.22 / 1.16 gamma/k for predictions
+1.43 / 1.08 / 1.08 — the dip tracks the two-photon detuning, riding
+~0.1 high on the thermal-tail slope at this run length.
 """
 import glob
 import os
 import sys
+import time
 
 import numpy as np
 
@@ -24,7 +29,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from mdqtplasmasims_tpu.analysis import state_population_profile
 from mdqtplasmasims_tpu.experiments.laser_cooling import (CoolingConfig,
-                                                          build_engine, run)
+                                                          build_engine,
+                                                          run_sweep)
 from mdqtplasmasims_tpu.units import K_RATIO_1033
 
 OUT = sys.argv[1] if len(sys.argv) > 1 else "dataDarkState"
@@ -42,17 +48,21 @@ def nearest_local_dip(centers, prof, v_res, window=0.45):
     return min(dips, key=lambda i: abs(centers[i] - v_res), default=None)
 
 
+cfg = CoolingConfig(n0=2048, tmax=6.0, sample_freq=50, save_directory=OUT)
+t0 = time.perf_counter()
+final, outs, member_cfgs = run_sweep(cfg, SWEEP, seed=1)
+print(f"[sweep] {len(SWEEP)} detuning points in one fused fold: "
+      f"{time.perf_counter() - t0:.1f} s wall\n")
+
 print(f"{'detSP':>6s} {'detDP':>6s} {'v_res (pred)':>12s} "
       f"{'v_dip (meas)':>12s} {'depth':>6s}")
-for det_sp, det_dp in SWEEP:
-    cfg = CoolingConfig(n0=2048, tmax=6.0, sample_freq=50,
-                        detuning=det_sp, detuning_dp=det_dp,
-                        save_directory=OUT)
-    run(cfg, seed=1)
-    p2q = build_engine(cfg).plas_to_quant_vel
+for mcfg in member_cfgs:
+    det_sp, det_dp = mcfg.detuning, mcfg.detuning_dp
+    p2q = build_engine(mcfg).plas_to_quant_vel
     job = sorted(glob.glob(os.path.join(
         OUT, "*DetSP%i*DetDP%i*" % (round(det_sp * 100),
-                                    round(det_dp * 100)), "job1")))[-1]
+                                    round(det_dp * 100)),
+        f"job{mcfg.job}")))[-1]
     # pool the second half of the run — pumping is in steady state
     centers, prof = state_population_profile(job, vel_scale=p2q,
                                              last_k=30, nbins=40,

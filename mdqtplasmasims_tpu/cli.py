@@ -112,10 +112,43 @@ def main(argv=None) -> int:
     pe.add_argument("--resume", action="store_true",
                     help="rebuild the fold from the newest checkpoint "
                          "common to all job directories")
+    ps = sub.add_parser(
+        "cooling-sweep",
+        help="run a (detSP, detDP) detuning grid as ONE fused fold — "
+             "the reference recompiles the binary per point")
+    _add_dataclass_args(ps, laser_cooling.CoolingConfig)
+    ps.add_argument("--det-sp-values", type=str, required=True,
+                    metavar="CSV", help="detSP grid, e.g. -1.0,-0.5")
+    ps.add_argument("--det-dp-values", type=str, required=True,
+                    metavar="CSV",
+                    help="detDP grid, same length (zipped with detSP) or "
+                         "crossed with --cross")
+    ps.add_argument("--cross", action="store_true",
+                    help="full cartesian product of the two grids")
+    ps.add_argument("--jobs-per-point", type=int, default=1)
+    ps.add_argument("--seed", type=int, default=0)
+    ps.add_argument("--resume", action="store_true")
 
     ns = parser.parse_args(argv)
     t0 = time.perf_counter()
-    if ns.cmd == "cooling-ensemble":
+    if ns.cmd == "cooling-sweep":
+        cfg = _build_cfg(laser_cooling.CoolingConfig, ns)
+        sp = [float(x) for x in ns.det_sp_values.split(",") if x]
+        dp = [float(x) for x in ns.det_dp_values.split(",") if x]
+        if ns.cross:
+            points = [(a, b) for a in sp for b in dp]
+        else:
+            if len(sp) != len(dp):
+                parser.error("zipped sweep needs equal-length grids "
+                             "(use --cross for a product)")
+            points = list(zip(sp, dp))
+        final, outs, mcfgs = laser_cooling.run_sweep(
+            cfg, points, jobs_per_point=ns.jobs_per_point, seed=ns.seed,
+            resume=ns.resume)
+        print(f"[{ns.cmd}] {len(points)} points x {ns.jobs_per_point} "
+              f"jobs in one fold, {time.perf_counter() - t0:.1f}s"
+              + (f" -> {cfg.save_directory}" if cfg.save_directory else ""))
+    elif ns.cmd == "cooling-ensemble":
         cfg = _build_cfg(laser_cooling.CoolingConfig, ns)
         final, outs = laser_cooling.run_ensemble(cfg, ns.jobs, ns.seed,
                                                  resume=ns.resume)

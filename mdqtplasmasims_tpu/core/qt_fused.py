@@ -62,6 +62,13 @@ class FusedTickSpec:
     exp_c2: float = 0.0
     # explicit norm division after every tick (SpeedUp.cpp:706-712)
     renormalize: bool = False
+    # take the diagonal energies from a per-lane [SP, Np] plane input
+    # instead of the scheme's [SP] vector — lets folded ensemble members
+    # carry *different laser detunings* (detSP/detDP enter the physics
+    # only through e0, levels.py:151-156), so a whole detuning sweep runs
+    # as ONE kernel launch per MD step.  Same FLOPs: the [SP,1] e0 column
+    # was broadcast against [SP,T] anyway.
+    per_lane_e0: bool = False
 
     @property
     def S(self) -> int:
@@ -84,6 +91,8 @@ def _make_kernel(spec: FusedTickSpec):
 
     def kernel(first_ref, tick0_ref, ticki_ref, seed_ref, vecs_ref, mats_ref,
                R_ref, V_ref, F_ref, tp_ref, pre_ref, pim_ref, *rest):
+        rest = list(rest)
+        e0l_ref = rest.pop(0) if spec.per_lane_e0 else None
         if spec.internal_rng:
             (Ro_ref, Vo_ref, tpo_ref, preo_ref, pimo_ref) = rest
             rolls_ref = None
@@ -111,7 +120,9 @@ def _make_kernel(spec: FusedTickSpec):
         # non-scalar constants): vecs [SP,8] cols = w,e0,e1,src_mask
         # and mats [4*SP,SP] = C | cumS^T | cumD^T | lower-tri ones
         w_c = vecs_ref[:, 0:1]
-        e0_c = vecs_ref[:, 1:2]
+        # diagonal energies: per-lane plane (detuning sweep) or the
+        # scheme's shared column — same broadcast shape either way
+        e0_b = e0l_ref[...] if spec.per_lane_e0 else vecs_ref[:, 1:2]
         e1_c = vecs_ref[:, 2:3]
         mask_c = vecs_ref[:, 3:4]
         C_c = mats_ref[0:SP, :]
@@ -124,7 +135,7 @@ def _make_kernel(spec: FusedTickSpec):
 
         def hpsi(a, b, u, cphi, sphi):
             """(Hr + iHi)(a + ib) -> (re, im).  u: [1,T] row."""
-            diag_r = e0_c + e1_c * u
+            diag_r = e0_b + e1_c * u
             hr_a = jnp.dot(C_c, a, preferred_element_type=jnp.float32) \
                 + diag_r * a
             hr_b = jnp.dot(C_c, b, preferred_element_type=jnp.float32) \
@@ -295,7 +306,7 @@ def _make_kernel(spec: FusedTickSpec):
 @functools.partial(jax.jit, static_argnames=("spec", "tile", "interpret"))
 def fused_md_substeps(spec: FusedTickSpec, first, R, V, F, tp, psi_re,
                       psi_im, rolls=None, seed=None, tick0=None,
-                      tick0_i=None, tile: int = 512,
+                      tick0_i=None, e0_lanes=None, tile: int = 512,
                       interpret: bool = False):
     """One MD step's worth of quantum-substepped ticks as one kernel.
 
@@ -306,7 +317,9 @@ def fused_md_substeps(spec: FusedTickSpec, first, R, V, F, tp, psi_re,
     expanding-frame detuning (exp_c1 != 0); ``tick0_i`` is the same
     counter as (1,1) int32, used for PRNG stream identity when
     ``internal_rng`` (int32 keeps exactness where f32 would alias streams
-    past 2^24 ticks).
+    past 2^24 ticks).  ``e0_lanes`` [SP, Np] supplies per-lane diagonal
+    energies when ``spec.per_lane_e0`` (detuning-sweep folds — each
+    member block of the lane axis carries its own detunings).
     """
     # the kernel unrolls complex arithmetic assuming purely real coupling
     # tables (true for all four reference schemes); fail loudly otherwise
@@ -355,6 +368,13 @@ def fused_md_substeps(spec: FusedTickSpec, first, R, V, F, tp, psi_re,
         row_spec(3), row_spec(3), row_spec(3), row_spec(1),
         row_spec(SP), row_spec(SP),
     ]
+    if spec.per_lane_e0:
+        if e0_lanes is None:
+            raise ValueError("spec.per_lane_e0 requires e0_lanes [SP, Np]")
+        if e0_lanes.shape != (SP, npad):
+            raise ValueError(f"e0_lanes must be [{SP}, {npad}], got "
+                             f"{e0_lanes.shape}")
+        in_specs.append(row_spec(SP))
     if not spec.internal_rng:
         in_specs.append(row_spec(spec.ratio * 5))
     if seed is None:
@@ -383,5 +403,6 @@ def fused_md_substeps(spec: FusedTickSpec, first, R, V, F, tp, psi_re,
         interpret=interpret,
     )(*((first, tick0, tick0_i, seed, jnp.asarray(vecs), jnp.asarray(mats),
          R, V, F, tp, psi_re, psi_im)
+        + ((e0_lanes,) if spec.per_lane_e0 else ())
         + (() if spec.internal_rng else (rolls,))))
     return out

@@ -152,9 +152,11 @@ class CoolingScheduler:
             t_part=tpp[0, :n].astype(state.t_part.dtype), key=key,
             tick=tick, t=tick.astype(state.t.dtype) * self.qdt)
 
-    def soa_md_step(self, carry, soa_forces_fn):
+    def soa_md_step(self, carry, soa_forces_fn, e0_lanes=None):
         """One MD step entirely in kernel layout: ``soa_forces_fn`` maps
-        Rp [3, Np] -> F [3, Np] (ops.yukawa.yukawa_forces_n3l_soa)."""
+        Rp [3, Np] -> F [3, Np] (ops.yukawa.yukawa_forces_n3l_soa).
+        ``e0_lanes`` [SP, Np] rides to the kernel when the spec uses
+        per-lane diagonal energies (detuning sweeps)."""
         from .qt_fused import fused_md_substeps
         Rp, Vp, _, tpp, prep, pimp, key, tick, seed32 = carry
         npad = Rp.shape[1]
@@ -174,12 +176,14 @@ class CoolingScheduler:
             self.fused_spec, first, Rp, Vp, Fp, tpp, prep, pimp,
             rolls=rolls, seed=seed,
             tick0=tick.astype(jnp.float32).reshape(1, 1),
-            tick0_i=tick.astype(jnp.int32).reshape(1, 1), tile=self.tile,
+            tick0_i=tick.astype(jnp.int32).reshape(1, 1),
+            e0_lanes=e0_lanes, tile=self.tile,
             interpret=self.interpret)
         return (Rp, Vp, Fp, tpp, prep, pimp, key, tick + self.ratio,
                 seed32)
 
-    def fused_substeps_ensemble(self, states: SimState, F) -> SimState:
+    def fused_substeps_ensemble(self, states: SimState, F,
+                                e0_lanes=None) -> SimState:
         """Ensemble variant of the fused path.  The QT update and the
         quantum-substepped leapfrog are per-ion independent, so E batched
         trajectories fold into the *ion axis* of one kernel launch per MD
@@ -196,7 +200,8 @@ class CoolingScheduler:
         checkpoints."""
         carry = self.soa_ens_init(states, F)
         Fp = carry[2]
-        carry = self.soa_ens_md_step(carry, lambda Rp: Fp)
+        carry = self.soa_ens_md_step(carry, lambda Rp: Fp,
+                                     e0_lanes=e0_lanes)
         return self.soa_ens_restore(carry, states)
 
     # Ensemble SoA-resident segment loop: same idea as soa_* but with the
@@ -234,7 +239,7 @@ class CoolingScheduler:
                 keys, states.tick, seed)
 
     def soa_ens_md_step(self, carry, soa_forces_fn,
-                        per_member_rolls: bool = False):
+                        per_member_rolls: bool = False, e0_lanes=None):
         """One ensemble MD step in folded-plane layout; ``soa_forces_fn``
         maps Rp [3, E*npad] -> F [3, E*npad] (job-batched kernel).
 
@@ -243,7 +248,12 @@ class CoolingScheduler:
         making the trajectory of every member invariant to how the
         ensemble is split across devices — the sharded-ensemble path uses
         it so fused-sharded == fused-unsharded exactly.  Ignored when the
-        spec uses the in-kernel hardware PRNG."""
+        spec uses the in-kernel hardware PRNG.
+
+        ``e0_lanes`` [SP, E*npad] supplies per-member diagonal energies
+        when the spec has ``per_lane_e0`` — a *detuning sweep* folds as
+        one kernel launch per MD step, each member block carrying its own
+        (detSP, detDP) point."""
         from .qt_fused import fused_md_substeps
         Rp, Vp, _, tpp, prep, pimp, keys, tick, seed32 = carry
         Fp = soa_forces_fn(Rp)
@@ -272,7 +282,8 @@ class CoolingScheduler:
         Rp, Vp, tpp, prep, pimp = fused_md_substeps(
             self.fused_spec, first, Rp, Vp, Fp, tpp, prep, pimp,
             rolls=rolls, seed=seed, tick0=tick0,
-            tick0_i=tick[0].astype(jnp.int32).reshape(1, 1), tile=self.tile,
+            tick0_i=tick[0].astype(jnp.int32).reshape(1, 1),
+            e0_lanes=e0_lanes, tile=self.tile,
             interpret=self.interpret)
         return (Rp, Vp, Fp, tpp, prep, pimp, new_keys, tick + self.ratio,
                 seed32)

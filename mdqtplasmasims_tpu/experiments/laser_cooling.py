@@ -259,7 +259,7 @@ def run_compiled(cfg: CoolingConfig, state: SimState, n_segments: int):
 
 @partial(jax.jit, static_argnames=("cfg", "n_segments"))
 def run_compiled_ensemble(cfg: CoolingConfig, states: SimState,
-                          n_segments: int, mask=None):
+                          n_segments: int, mask=None, sweep_e0=None):
     """Batched-ensemble run: the Pallas force kernel is batched over the
     job axis (one grid); on TPU the quantum-substepped leapfrog folds all
     jobs into the fused kernel's ion axis (per-ion independent), else the
@@ -270,11 +270,25 @@ def run_compiled_ensemble(cfg: CoolingConfig, states: SimState,
     SpeedUp.cpp:289-348): padded lanes start at R=V=psi=0 and stay
     exactly there (the pair kernels mask both the row and source sides,
     so their forces are zero, and zero wavefunctions neither jump nor
-    kick), and every diagnostic reduction excludes them."""
+    kick), and every diagnostic reduction excludes them.
+
+    ``sweep_e0 [E, S]`` gives each member its own diagonal energies — a
+    *detuning sweep* running as one fused dispatch (the reference user
+    recompiles the binary per (detSP, detDP) point; detunings enter the
+    physics only through e0, levels.py:151-156).  Fused path only."""
     from ..ops.yukawa import yukawa_forces_n3l_pallas_batched
     pu = PlasmaUnits(cfg.density, cfg.ge)
     L = PlasmaUnits.box_length(cfg.n0)
     sched = build_scheduler(cfg)
+    if sweep_e0 is not None:
+        if sched.fused_spec is None:
+            raise ValueError(
+                "detuning sweeps fold through the fused kernel; enable it "
+                "(TPU, or fused_interpret=True on CPU) or loop run() over "
+                "the sweep points instead")
+        sched = dataclasses.replace(
+            sched, fused_spec=dataclasses.replace(sched.fused_spec,
+                                                  per_lane_e0=True))
     bins = folded_bins(cfg.np_dtype)
 
     use_pallas = cfg.use_pallas
@@ -340,10 +354,21 @@ def run_compiled_ensemble(cfg: CoolingConfig, states: SimState,
                 Rp, mask_rows, E, L, pu.debye_length,
                 interpret=sched.interpret)
 
+        e0p = None
+        if sweep_e0 is not None:
+            # fold [E, S] member energies into the kernel's lane layout
+            # once; loop-invariant, so XLA hoists it out of the scan
+            SP = sched.fused_spec.SP
+            S = sweep_e0.shape[1]
+            e0p = jnp.zeros((E, SP, npad), jnp.float32).at[:, :S, :].set(
+                sweep_e0.astype(jnp.float32)[:, :, None])
+            e0p = jnp.swapaxes(e0p, 0, 1).reshape(SP, E * npad)
+
         def segment(states, _):
             carry = jax.lax.fori_loop(
                 0, cfg.sample_freq,
-                lambda i, c: sched.soa_ens_md_step(c, soa_forces),
+                lambda i, c: sched.soa_ens_md_step(c, soa_forces,
+                                                   e0_lanes=e0p),
                 sched.soa_ens_init(states, states.F))
             states = sched.soa_ens_restore(carry, states)
             return states, sample(states)
@@ -365,7 +390,7 @@ def run_compiled_ensemble(cfg: CoolingConfig, states: SimState,
 
 @partial(jax.jit, static_argnames=("cfg", "n_segments", "mesh"))
 def run_compiled_sharded(cfg: CoolingConfig, mesh, states: SimState,
-                         n_segments: int, mask=None):
+                         n_segments: int, mask=None, sweep_e0=None):
     """Multi-chip ensemble run on the *production* kernels: trajectories
     are sharded over the mesh's ``ens`` axis (ions optionally over
     ``ions``), and each device advances its local members through the
@@ -374,7 +399,9 @@ def run_compiled_sharded(cfg: CoolingConfig, mesh, states: SimState,
     (parallel/ensemble.py fused_local_stepper).  Diagnostics are computed
     on the sharded states under GSPMD (cross-shard reductions inserted
     automatically).  ``cfg`` must enable the fused path (TPU, or
-    ``fused_interpret=True`` on the CPU mesh)."""
+    ``fused_interpret=True`` on the CPU mesh).  ``sweep_e0 [E, S]`` runs
+    the members as a detuning sweep (sharded over ``ens`` like the
+    states; see run_compiled_ensemble)."""
     from ..parallel.ensemble import fused_local_stepper
     from ..parallel.mesh import ION_AXIS, state_pspec
     from jax import shard_map
@@ -385,35 +412,47 @@ def run_compiled_sharded(cfg: CoolingConfig, mesh, states: SimState,
     if sched.fused_spec is None:
         raise ValueError("run_compiled_sharded requires the fused path "
                          "(TPU backend or cfg.fused_interpret=True)")
+    if sweep_e0 is not None:
+        sched = dataclasses.replace(
+            sched, fused_spec=dataclasses.replace(sched.fused_spec,
+                                                  per_lane_e0=True))
     bins = folded_bins(cfg.np_dtype)
     spec = state_pspec()
     from ..parallel.mesh import ENS_AXIS
     from jax.sharding import PartitionSpec as P
     local = fused_local_stepper(sched, pu.debye_length,
                                 mesh.shape[ION_AXIS])
+    # optional operands (Poisson mask, sweep energies) enter shard_map as
+    # keyword-bound positionals so every combination shares one wrapper
+    in_specs = [spec]
+    names = []
+    if mask is not None:
+        in_specs.append(P(ENS_AXIS, ION_AXIS))
+        names.append("mask")
+    if sweep_e0 is not None:
+        in_specs.append(P(ENS_AXIS, None))
+        names.append("sweep_e0")
+
+    def local_seg(s, *opt):
+        kw = dict(zip(names, opt))
+        return local(s, cfg.sample_freq, **kw)
+
     # check_vma=False: Pallas kernels inside shard_map lack varying-axes
     # metadata (see parallel/ensemble.py make_sharded_fused_step)
-    if mask is None:
-        seg = shard_map(lambda s: local(s, cfg.sample_freq), mesh=mesh,
-                        in_specs=(spec,), out_specs=spec, check_vma=False)
+    seg = shard_map(local_seg, mesh=mesh, in_specs=tuple(in_specs),
+                    out_specs=spec, check_vma=False)
+    opt_args = tuple(a for a in (mask, sweep_e0) if a is not None)
 
-        def segment(states, _):
-            states = seg(states)
+    def segment(states, _):
+        states = seg(states, *opt_args)
+        if mask is None:
             outs = jax.vmap(lambda s: _sample_outputs(
                 s, cfg, L, pu.debye_length, bins))(states)
-            return states, outs
-    else:
-        seg = shard_map(lambda s, m: local(s, cfg.sample_freq, mask=m),
-                        mesh=mesh,
-                        in_specs=(spec, P(ENS_AXIS, ION_AXIS)),
-                        out_specs=spec, check_vma=False)
-
-        def segment(states, _):
-            states = seg(states, mask)
+        else:
             outs = jax.vmap(lambda s, m: _sample_outputs(
                 s, cfg, L, pu.debye_length, bins,
                 mask=m.astype(cfg.np_dtype)))(states, mask)
-            return states, outs
+        return states, outs
 
     states, outs = jax.lax.scan(segment, states, None, length=n_segments)
     outs = jax.tree.map(lambda a: jnp.swapaxes(a, 0, 1), outs)
@@ -558,7 +597,7 @@ def _key_restore(arr) -> jax.Array:
 
 
 def run_ensemble(cfg: CoolingConfig, n_jobs: int, seed: int = 0,
-                 resume: bool = False, mesh=None):
+                 resume: bool = False, mesh=None, sweep=None):
     """Batched ensemble of independent trajectories — the TPU-native
     replacement for the reference's SLURM job array
     (exampleSlurmFile.slurm).  Returns per-job stacked outputs; with
@@ -583,7 +622,19 @@ def run_ensemble(cfg: CoolingConfig, n_jobs: int, seed: int = 0,
     through the same fused Pallas kernels a single chip runs
     (run_compiled_sharded; 318M agg updates/s per chip, RESULTS.md).
     Host-side file output, checkpointing and resume are identical —
-    resume a mesh run with the same mesh."""
+    resume a mesh run with the same mesh.
+
+    ``sweep`` makes the members a *parameter sweep* instead of replicas:
+    a length-``n_jobs`` sequence of per-member overrides (dicts with keys
+    among ``detuning``/``detuning_dp``/``job``).  The whole sweep still
+    folds into ONE fused kernel launch per MD step (per-lane diagonal
+    energies, core/qt_fused.py) — where the reference user edits the
+    compile-time constants and rebuilds the binary per (detSP, detDP)
+    point (SpeedUp.cpp:66-67), this runs the grid in one compiled
+    program.  Each member's .dat tree lands in its own param-encoded
+    directory, exactly as separate reference builds would.  Single- and
+    multi-chip; checkpoint/resume per member works unchanged.  See
+    ``run_sweep`` for the convenience grid builder."""
     import os
     save_directory = cfg.save_directory
     if mesh is not None:
@@ -598,6 +649,23 @@ def run_ensemble(cfg: CoolingConfig, n_jobs: int, seed: int = 0,
     group = cfg.checkpoint_every_segments or n_segments
     cfg_run = canonical_run_cfg(cfg)
     job_cfgs = [dataclasses.replace(cfg, job=j + 1) for j in range(n_jobs)]
+    sweep_e0 = None
+    if sweep is not None:
+        if len(sweep) != n_jobs:
+            raise ValueError(f"sweep has {len(sweep)} entries for "
+                             f"{n_jobs} jobs")
+        allowed = {"detuning", "detuning_dp", "job"}
+        bad = {k for s in sweep for k in s} - allowed
+        if bad:
+            # only fields that enter the physics purely through the
+            # diagonal e0 (plus the job label) can vary inside one fold;
+            # om/om_dp etc. change the coupling matrix, which is shared
+            raise ValueError(f"sweep can only override {sorted(allowed)}, "
+                             f"got {sorted(bad)}")
+        job_cfgs = [dataclasses.replace(c, **dict(s))
+                    for c, s in zip(job_cfgs, sweep)]
+        sweep_e0 = jnp.asarray(np.stack(
+            [build_engine(c).scheme.e0 for c in job_cfgs]), jnp.float32)
     job_dirs = ([_save_dir(c) for c in job_cfgs]
                 if save_directory is not None else None)
 
@@ -696,10 +764,12 @@ def run_ensemble(cfg: CoolingConfig, n_jobs: int, seed: int = 0,
         g = min(group, n_segments - done)
         if mesh is None:
             states, outs = run_compiled_ensemble(cfg_run, states, g,
-                                                 mask=mask)
+                                                 mask=mask,
+                                                 sweep_e0=sweep_e0)
         else:
             states, outs = run_compiled_sharded(cfg_run, mesh, states, g,
-                                                mask=mask)
+                                                mask=mask,
+                                                sweep_e0=sweep_e0)
         jax.block_until_ready(states)
         outs_np = safe_device_get(outs)
         outs_groups.append(outs_np)
@@ -736,6 +806,42 @@ def run_ensemble(cfg: CoolingConfig, n_jobs: int, seed: int = 0,
     outs_np = jax.tree.map(lambda *xs: np.concatenate(xs, axis=1),
                            *outs_groups)
     return final_np, outs_np
+
+
+def run_sweep(cfg: CoolingConfig, points, jobs_per_point: int = 1,
+              seed: int = 0, resume: bool = False, mesh=None):
+    """Run a (detSP, detDP) detuning grid as ONE fused ensemble fold.
+
+    The reference explores laser detunings by editing the compile-time
+    constants and rebuilding the binary per point (SpeedUp.cpp:66-67;
+    README.md:73-87 — each build's output lands in its param-encoded
+    directory).  Here the whole grid is one compiled program: detunings
+    enter the physics only through the Hamiltonian's diagonal e0
+    (levels.py:151-156), which the fused kernel reads per lane
+    (core/qt_fused.py per_lane_e0), so every sweep point costs the same
+    as one more ensemble member — one kernel launch per MD step for the
+    entire grid.
+
+    ``points``: sequence of ``(det_sp, det_dp)`` in units of gamma_SP.
+    ``jobs_per_point`` replicates each point with independent seeds (job
+    numbers 1..jobs_per_point inside each point's directory).  Member
+    order in the returned outputs is point-major:
+    ``member = point_index * jobs_per_point + rep``.
+
+    Returns ``(final_states, outs, member_cfgs)``; with
+    ``cfg.save_directory`` set, each member writes the full reference
+    .dat tree under its own param-encoded directory (the exact layout a
+    per-point reference build would produce).  Checkpoint/resume and
+    ``mesh`` behave as in ``run_ensemble``."""
+    sweep = []
+    for dsp, ddp in points:
+        for r in range(jobs_per_point):
+            sweep.append({"detuning": float(dsp),
+                          "detuning_dp": float(ddp), "job": r + 1})
+    member_cfgs = [dataclasses.replace(cfg, **s) for s in sweep]
+    final, outs = run_ensemble(cfg, len(sweep), seed=seed, resume=resume,
+                               mesh=mesh, sweep=sweep)
+    return final, outs, member_cfgs
 
 
 def _initial_state_from_key(cfg: CoolingConfig, key,

@@ -122,15 +122,19 @@ def fused_local_stepper(sched: "CoolingScheduler", ldeb: float,
     member's own key, so trajectories are invariant to how the ensemble
     axis is laid out across devices.
 
-    ``local_run(states, n_steps, mask=None)``: the optional local
-    ``mask [E_loc, N_loc]`` marks each member's real ions (Poissonian-N
-    fold); masked lanes are kept exactly inert — row-masked forces on
-    every path and source masking via the kernels' mask columns."""
+    ``local_run(states, n_steps, mask=None, sweep_e0=None)``: the
+    optional local ``mask [E_loc, N_loc]`` marks each member's real ions
+    (Poissonian-N fold); masked lanes are kept exactly inert —
+    row-masked forces on every path and source masking via the kernels'
+    mask columns.  ``sweep_e0 [E_loc, S]`` gives each local member its
+    own diagonal energies (detuning sweep; requires a spec with
+    ``per_lane_e0``)."""
     from ..ops.yukawa import (yukawa_forces_n3l_soa,
                               yukawa_forces_n3l_soa_batched,
                               yukawa_forces_soa_cols_batched)
 
-    def local_run(states: SimState, n_steps: int, mask=None) -> SimState:
+    def local_run(states: SimState, n_steps: int, mask=None,
+                  sweep_e0=None) -> SimState:
         E_loc, n_loc = states.R.shape[0], states.R.shape[1]
         npad = sched._npad(n_loc)
         if mask is None:
@@ -170,12 +174,20 @@ def fused_local_stepper(sched: "CoolingScheduler", ldeb: float,
                 # row lanes so they stay inert as they feed back
                 return F * row_mask[None, :]
 
+        e0p = None
+        if sweep_e0 is not None:
+            SP = sched.fused_spec.SP
+            S = sweep_e0.shape[1]
+            e0p = jnp.zeros((E_loc, SP, npad), jnp.float32).at[
+                :, :S, :].set(sweep_e0.astype(jnp.float32)[:, :, None])
+            e0p = jnp.swapaxes(e0p, 0, 1).reshape(SP, E_loc * npad)
         local = states._replace(key=states.key[:, 0])
         carry = sched.soa_ens_init(local, local.F)
         carry = jax.lax.fori_loop(
             0, n_steps,
             lambda i, c: sched.soa_ens_md_step(c, soa_forces,
-                                               per_member_rolls=True),
+                                               per_member_rolls=True,
+                                               e0_lanes=e0p),
             carry)
         out = sched.soa_ens_restore(carry, local)
         return out._replace(key=out.key[:, None])

@@ -605,3 +605,86 @@ def test_transport_run_ensemble(tmp_path):
     assert not np.allclose(results[0]["V"], results[1]["V"])
     job_dirs = sorted(str(p.parent) for p in tmp_path.rglob("VAF.dat"))
     assert len(job_dirs) == 2
+
+
+class TestDetuningSweep:
+    """Detuning sweeps folded into one fused dispatch (run_ensemble
+    sweep= / run_sweep): where the reference user recompiles the binary
+    per (detSP, detDP) point (SpeedUp.cpp:66-67), the framework runs the
+    grid as one compiled program with per-lane diagonal energies
+    (core/qt_fused.py per_lane_e0)."""
+
+    BASE = dict(n0=96, tmax=0.16, sample_freq=2, use_pallas=False,
+                fused_interpret=True)
+
+    def test_sweep_member_matches_uniform_fold(self):
+        """Member j of a sweep fold must reproduce — bit for bit — the
+        same member inside a uniform fold whose *config* detunings equal
+        member j's sweep point (same seed, same keys, same rolls)."""
+        import dataclasses as dc
+        from mdqtplasmasims_tpu.experiments.laser_cooling import (
+            _initial_state_from_key, build_engine, run_compiled_ensemble)
+        base = CoolingConfig(**self.BASE)
+        dets = [(-1.0, 1.0), (-0.5, 0.4)]
+        keys = jax.random.split(jax.random.PRNGKey(3), len(dets))
+        states = jax.jit(jax.vmap(
+            lambda k: _initial_state_from_key(base, k)))(keys)
+        e0s = jnp.asarray(np.stack(
+            [build_engine(dc.replace(base, detuning=d,
+                                     detuning_dp=dd)).scheme.e0
+             for d, dd in dets]), jnp.float32)
+        fs, os_ = run_compiled_ensemble(base, states, 2, sweep_e0=e0s)
+        for j, (d, dd) in enumerate(dets):
+            cfg_j = dc.replace(base, detuning=d, detuning_dp=dd)
+            fu, ou = run_compiled_ensemble(cfg_j, states, 2)
+            for name in ("R", "V", "psi", "t_part"):
+                np.testing.assert_array_equal(
+                    np.asarray(getattr(fs, name)[j]),
+                    np.asarray(getattr(fu, name)[j]), err_msg=name)
+            np.testing.assert_array_equal(np.asarray(os_["ekin"][j]),
+                                          np.asarray(ou["ekin"][j]))
+
+    def test_run_sweep_writes_per_point_dirs(self, tmp_path):
+        """Each sweep point's members land in that point's param-encoded
+        directory — the layout separate reference builds would produce —
+        and the dark-state physics differs between points."""
+        from mdqtplasmasims_tpu.experiments.laser_cooling import run_sweep
+        cfg = CoolingConfig(save_directory=str(tmp_path), **self.BASE)
+        points = [(-1.0, 1.0), (-0.5, 0.4)]
+        final, outs, mcfgs = run_sweep(cfg, points, jobs_per_point=2,
+                                       seed=5)
+        assert np.asarray(outs["ekin"]).shape[0] == 4
+        assert len(mcfgs) == 4
+        assert [c.job for c in mcfgs] == [1, 2, 1, 2]
+        import glob
+        import os
+        dirs = sorted(glob.glob(str(tmp_path / "*")))
+        assert len(dirs) == 2
+        assert any("DetSP-100DetDP100" in d for d in dirs)
+        assert any("DetSP-50DetDP40" in d for d in dirs)
+        for d in dirs:
+            jobs = sorted(glob.glob(os.path.join(d, "job*")))
+            assert [os.path.basename(j) for j in jobs] == ["job1", "job2"]
+            assert os.path.exists(os.path.join(jobs[0], "energies.dat"))
+
+    def test_sweep_validation(self):
+        from mdqtplasmasims_tpu.experiments.laser_cooling import (
+            run_ensemble)
+        cfg = CoolingConfig(**self.BASE)
+        with pytest.raises(ValueError, match="entries"):
+            run_ensemble(cfg, 3, sweep=[{"detuning": -1.0}])
+        with pytest.raises(ValueError, match="om"):
+            run_ensemble(cfg, 1, sweep=[{"om": 2.0}])
+
+    def test_sweep_requires_fused_path(self):
+        import dataclasses as dc
+        from mdqtplasmasims_tpu.experiments.laser_cooling import (
+            _initial_state_from_key, run_compiled_ensemble)
+        cfg = CoolingConfig(n0=96, use_pallas=False, fused_interpret=False,
+                            sample_freq=2)
+        keys = jax.random.split(jax.random.PRNGKey(0), 2)
+        states = jax.jit(jax.vmap(
+            lambda k: _initial_state_from_key(cfg, k)))(keys)
+        e0s = jnp.zeros((2, 12), jnp.float32)
+        with pytest.raises(ValueError, match="fused"):
+            run_compiled_ensemble(cfg, states, 1, sweep_e0=e0s)

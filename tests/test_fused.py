@@ -460,3 +460,107 @@ class TestInternalRNGSeeding:
         # seed rides the carry unchanged
         out = sched.soa_restore(carry, state)
         assert int(out.tick) == 3 * spec.ratio
+
+
+class TestPerLaneE0:
+    """Per-lane diagonal energies (FusedTickSpec.per_lane_e0): the kernel
+    input that makes detuning sweeps fold into one launch.  Detunings
+    enter the physics only through e0 (levels.py:151-156), so a member
+    block whose lanes carry e0(detSP', detDP') must evolve exactly as a
+    kernel whose *spec* was built from those detunings."""
+
+    @staticmethod
+    def _setup(detuning=-1.0, detuning_dp=1.0, ratio=5, n=96, npad=128):
+        L = PlasmaUnits.box_length(n)
+        scheme = with_recoil(sr12_cooling(detuning, detuning_dp),
+                             9.1e-4, 3.6e-4)
+        h, qdt, p2q, g2e = 0.00985, 8e-5, 1.327, 123.1
+        spec = FusedTickSpec(scheme=scheme, h=h, qdt=qdt,
+                             plas_to_quant_vel=p2q, gamma_to_einstein=g2e,
+                             ratio=ratio, L=L, apply_force=True,
+                             internal_rng=False)
+        return spec
+
+    @staticmethod
+    def _inputs(spec, n, npad, key=0):
+        kr, kv, kf, kq, ko = jax.random.split(jax.random.PRNGKey(key), 5)
+        S, SP = spec.S, spec.SP
+        R = jnp.zeros((3, npad), jnp.float32).at[:, :n].set(
+            jax.random.uniform(kr, (3, n), jnp.float32, 0, spec.L))
+        V = jnp.zeros((3, npad), jnp.float32).at[:, :n].set(
+            jax.random.normal(kv, (3, n), jnp.float32) * 0.3)
+        F = jnp.zeros((3, npad), jnp.float32).at[:, :n].set(
+            jax.random.normal(kf, (3, n), jnp.float32) * 0.5)
+        tp = jnp.zeros((1, npad), jnp.float32).at[0, :n].set(
+            jnp.abs(jax.random.normal(kq, (n,), jnp.float32)))
+        pre = jnp.zeros((SP, npad), jnp.float32).at[0, :n].set(0.6)
+        pre = pre.at[2, :n].set(0.64)
+        pim = jnp.zeros((SP, npad), jnp.float32).at[4, :n].set(0.48)
+        rolls = jax.random.uniform(ko, (spec.ratio * 5, npad), jnp.float32)
+        return R, V, F, tp, pre, pim, rolls
+
+    @staticmethod
+    def _e0_plane(scheme, SP, npad):
+        e0 = np.zeros((SP, 1), np.float32)
+        e0[:scheme.n_states, 0] = scheme.e0
+        return jnp.asarray(np.repeat(e0, npad, axis=1))
+
+    def test_uniform_plane_matches_baseline(self):
+        """A per-lane plane filled with the scheme's own e0 is a no-op:
+        bit-identical to the vecs-column baseline."""
+        n = npad = tile = 128
+        spec = self._setup(n=n, npad=npad)
+        args = self._inputs(spec, n, npad)
+        first = jnp.ones((1, 1), jnp.float32)
+        base = fused_md_substeps(spec, first, *args[:6], rolls=args[6],
+                                 tile=tile, interpret=True)
+        spec_pl = dataclasses.replace(spec, per_lane_e0=True)
+        e0p = self._e0_plane(spec.scheme, spec.SP, npad)
+        out = fused_md_substeps(spec_pl, first, *args[:6], rolls=args[6],
+                                e0_lanes=e0p, tile=tile, interpret=True)
+        for a, b in zip(base, out):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_two_point_sweep_matches_per_detuning_specs(self):
+        """Two lane blocks carrying different (detSP, detDP) e0 vectors
+        evolve bit-identically to two kernels whose specs were built from
+        those detunings (same rolls per block)."""
+        n = npad = tile = 128
+        points = [(-1.0, 1.0), (-0.4, 0.25)]
+        specs = [self._setup(d, dd, n=n, npad=npad) for d, dd in points]
+        SP = specs[0].SP
+        args = [self._inputs(s, n, npad, key=7 + i)
+                for i, s in enumerate(specs)]
+        first = jnp.zeros((1, 1), jnp.float32)
+
+        # folded: one kernel over 2*npad lanes, per-lane e0 per block
+        spec_pl = dataclasses.replace(specs[0], per_lane_e0=True)
+        cat = lambda i: jnp.concatenate([args[0][i], args[1][i]], axis=1)
+        e0p = jnp.concatenate(
+            [self._e0_plane(s.scheme, SP, npad) for s in specs], axis=1)
+        out = fused_md_substeps(spec_pl, first, cat(0), cat(1), cat(2),
+                                cat(3), cat(4), cat(5), rolls=cat(6),
+                                e0_lanes=e0p, tile=tile, interpret=True)
+
+        for j, spec_j in enumerate(specs):
+            ref = fused_md_substeps(spec_j, first, *args[j][:6],
+                                    rolls=args[j][6], tile=tile,
+                                    interpret=True)
+            sl = slice(j * npad, (j + 1) * npad)
+            for a, b in zip(ref, out):
+                np.testing.assert_array_equal(np.asarray(a),
+                                              np.asarray(b[:, sl]))
+
+    def test_e0_lanes_validation(self):
+        n = npad = tile = 128
+        spec = self._setup(n=n, npad=npad)
+        spec_pl = dataclasses.replace(spec, per_lane_e0=True)
+        args = self._inputs(spec, n, npad)
+        first = jnp.ones((1, 1), jnp.float32)
+        with pytest.raises(ValueError, match="e0_lanes"):
+            fused_md_substeps(spec_pl, first, *args[:6], rolls=args[6],
+                              tile=tile, interpret=True)
+        bad = jnp.zeros((spec.SP, npad + 128), jnp.float32)
+        with pytest.raises(ValueError, match="e0_lanes"):
+            fused_md_substeps(spec_pl, first, *args[:6], rolls=args[6],
+                              e0_lanes=bad, tile=tile, interpret=True)

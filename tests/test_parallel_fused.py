@@ -291,3 +291,44 @@ class TestFusedSharded:
             tick=states.tick.at[1].set(states.tick[1] + cfg.ratio))
         with pytest.raises(ValueError, match="uniform tick"):
             sched.soa_ens_init(states)
+
+
+class TestShardedSweep:
+    """Detuning sweeps over a device mesh: sweep_e0 shards over the
+    ``ens`` axis with the members, so a multi-chip detuning grid runs
+    the same per-lane-e0 fused kernel a single chip runs."""
+
+    @needs_devices
+    def test_sharded_sweep_layout_invariant(self):
+        from mdqtplasmasims_tpu.experiments.laser_cooling import (
+            build_engine)
+        cfg = _fused_cfg(sample_freq=3)
+        dets = [(-1.0, 1.0), (-0.8, 0.8), (-0.5, 0.4), (-0.3, 0.2)]
+        e0s = jnp.asarray(np.stack(
+            [build_engine(dataclasses.replace(cfg, detuning=d,
+                                              detuning_dp=dd)).scheme.e0
+             for d, dd in dets]), jnp.float32)
+        results = []
+        for n_dev in (4, 1):
+            mesh = make_mesh(n_dev, 1)
+            states = _members(cfg, len(dets), 1, seed=11)
+            final, outs = run_compiled_sharded(cfg, mesh, states,
+                                               n_segments=2, sweep_e0=e0s)
+            results.append((jax.device_get(final), jax.device_get(outs)))
+        (f0, o0), (f1, o1) = results
+        for name in ("R", "V", "psi", "t_part"):
+            np.testing.assert_array_equal(np.asarray(getattr(f0, name)),
+                                          np.asarray(getattr(f1, name)),
+                                          err_msg=name)
+        for k in o0:
+            np.testing.assert_array_equal(np.asarray(o0[k]),
+                                          np.asarray(o1[k]), err_msg=k)
+        # the sweep actually took effect: different points evolve
+        # different wavefunctions from identical-seed inits? members have
+        # distinct seeds anyway, so instead assert against the uniform
+        # fold: point 3's member differs from a no-sweep run of member 3
+        mesh = make_mesh(1, 1)
+        states = _members(cfg, len(dets), 1, seed=11)
+        f_uni, _ = run_compiled_sharded(cfg, mesh, states, n_segments=2)
+        assert np.abs(np.asarray(f0.psi[3]) -
+                      np.asarray(f_uni.psi[3])).max() > 1e-4
