@@ -114,17 +114,22 @@ def main(argv=None) -> int:
                          "common to all job directories")
     ps = sub.add_parser(
         "cooling-sweep",
-        help="run a (detSP, detDP) detuning grid as ONE fused fold — "
-             "the reference recompiles the binary per point")
+        help="run a laser-parameter grid (detSP/detDP/OmSP/OmDP) as ONE "
+             "fused fold — the reference recompiles the binary per point")
     _add_dataclass_args(ps, laser_cooling.CoolingConfig)
-    ps.add_argument("--det-sp-values", type=str, required=True,
+    ps.add_argument("--det-sp-values", type=str, default=None,
                     metavar="CSV", help="detSP grid, e.g. -1.0,-0.5")
-    ps.add_argument("--det-dp-values", type=str, required=True,
+    ps.add_argument("--det-dp-values", type=str, default=None,
                     metavar="CSV",
-                    help="detDP grid, same length (zipped with detSP) or "
-                         "crossed with --cross")
+                    help="detDP grid, same length (zipped) or crossed "
+                         "with --cross")
+    ps.add_argument("--om-values", type=str, default=None, metavar="CSV",
+                    help="OmSP grid (H is linear in each Rabi frequency, "
+                         "so Om points fold like detuning points)")
+    ps.add_argument("--om-dp-values", type=str, default=None,
+                    metavar="CSV", help="OmDP grid")
     ps.add_argument("--cross", action="store_true",
-                    help="full cartesian product of the two grids")
+                    help="full cartesian product of the given grids")
     ps.add_argument("--jobs-per-point", type=int, default=1)
     ps.add_argument("--seed", type=int, default=0)
     ps.add_argument("--resume", action="store_true")
@@ -133,15 +138,30 @@ def main(argv=None) -> int:
     t0 = time.perf_counter()
     if ns.cmd == "cooling-sweep":
         cfg = _build_cfg(laser_cooling.CoolingConfig, ns)
-        sp = [float(x) for x in ns.det_sp_values.split(",") if x]
-        dp = [float(x) for x in ns.det_dp_values.split(",") if x]
+        grids = {}
+        for key, csv in (("detuning", ns.det_sp_values),
+                         ("detuning_dp", ns.det_dp_values),
+                         ("om", ns.om_values),
+                         ("om_dp", ns.om_dp_values)):
+            if csv is not None:
+                grids[key] = [float(x) for x in csv.split(",") if x]
+        if not grids:
+            parser.error("give at least one of --det-sp-values/"
+                         "--det-dp-values/--om-values/--om-dp-values")
         if ns.cross:
-            points = [(a, b) for a in sp for b in dp]
+            points = [{}]
+            for key, vals in grids.items():
+                points = [{**p, key: v} for p in points for v in vals]
         else:
-            if len(sp) != len(dp):
-                parser.error("zipped sweep needs equal-length grids "
-                             "(use --cross for a product)")
-            points = list(zip(sp, dp))
+            n_pts = max(len(v) for v in grids.values())
+            for key, vals in grids.items():
+                if len(vals) == 1:
+                    grids[key] = vals * n_pts       # broadcast constants
+                elif len(vals) != n_pts:
+                    parser.error("zipped sweep needs equal-length grids "
+                                 "(use --cross for a product)")
+            points = [{k: grids[k][i] for k in grids}
+                      for i in range(n_pts)]
         final, outs, mcfgs = laser_cooling.run_sweep(
             cfg, points, jobs_per_point=ns.jobs_per_point, seed=ns.seed,
             resume=ns.resume)

@@ -69,6 +69,17 @@ class FusedTickSpec:
     # as ONE kernel launch per MD step.  Same FLOPs: the [SP,1] e0 column
     # was broadcast against [SP,T] anyway.
     per_lane_e0: bool = False
+    # per-lane Rabi frequencies: every coupling is *linear* in its Rabi
+    # frequency (levels.py:172-190 — SP couplings ∝ om, DP couplings and
+    # the beat-note coefficients ∝ om_dp, Ehrenfest force terms likewise
+    # by group), so H splits exactly as om*C_sp + om_dp*C_dp + diag.
+    # ``scheme_sp``/``scheme_dp`` hold the base patterns (the scheme
+    # built at om=1,om_dp=0 and om=0,om_dp=1); the kernel scales them by
+    # a [2, Np] row input.  Costs one extra [SP,SP]x[SP,T] matmul per
+    # H·psi — only when sweeping.
+    per_lane_om: bool = False
+    scheme_sp: LevelScheme = None
+    scheme_dp: LevelScheme = None
 
     @property
     def S(self) -> int:
@@ -81,6 +92,9 @@ class FusedTickSpec:
 
 def _make_kernel(spec: FusedTickSpec):
     sch = spec.scheme
+    # beat-note (time-dependent coupling) source: with the om split the
+    # coefficients come from the om_dp=1 base pattern, scaled per lane
+    tsch = spec.scheme_dp if spec.per_lane_om else sch
     S, SP = spec.S, spec.SP
     h = spec.h
     qdt = spec.qdt
@@ -93,6 +107,7 @@ def _make_kernel(spec: FusedTickSpec):
                R_ref, V_ref, F_ref, tp_ref, pre_ref, pim_ref, *rest):
         rest = list(rest)
         e0l_ref = rest.pop(0) if spec.per_lane_e0 else None
+        om_ref = rest.pop(0) if spec.per_lane_om else None
         if spec.internal_rng:
             (Ro_ref, Vo_ref, tpo_ref, preo_ref, pimo_ref) = rest
             rolls_ref = None
@@ -129,6 +144,10 @@ def _make_kernel(spec: FusedTickSpec):
         cumS_cT = mats_ref[SP:2 * SP, :]       # [dest, src] for dot
         cumD_cT = mats_ref[2 * SP:3 * SP, :]
         LT_c = mats_ref[3 * SP:4 * SP, :]      # lower-triangular ones
+        if spec.per_lane_om:
+            Cdp_c = mats_ref[4 * SP:5 * SP, :]  # om_dp=1 base pattern
+            om_r = om_ref[0:1, :]
+            omdp_r = om_ref[1:2, :]
         rows = jax.lax.broadcasted_iota(jnp.int32, (SP, T), 0)
         first = first_ref[0, 0]
         tick0 = tick0_ref[0, 0]          # run tick counter at block entry
@@ -136,31 +155,50 @@ def _make_kernel(spec: FusedTickSpec):
         def hpsi(a, b, u, cphi, sphi):
             """(Hr + iHi)(a + ib) -> (re, im).  u: [1,T] row."""
             diag_r = e0_b + e1_c * u
-            hr_a = jnp.dot(C_c, a, preferred_element_type=jnp.float32) \
-                + diag_r * a
-            hr_b = jnp.dot(C_c, b, preferred_element_type=jnp.float32) \
-                + diag_r * b
+            if spec.per_lane_om:
+                # H's off-diagonal is linear in each Rabi frequency, so
+                # it splits exactly into two scaled base patterns
+                hr_a = (om_r * jnp.dot(C_c, a,
+                                       preferred_element_type=jnp.float32)
+                        + omdp_r * jnp.dot(
+                            Cdp_c, a, preferred_element_type=jnp.float32)
+                        + diag_r * a)
+                hr_b = (om_r * jnp.dot(C_c, b,
+                                       preferred_element_type=jnp.float32)
+                        + omdp_r * jnp.dot(
+                            Cdp_c, b, preferred_element_type=jnp.float32)
+                        + diag_r * b)
+            else:
+                hr_a = jnp.dot(C_c, a, preferred_element_type=jnp.float32) \
+                    + diag_r * a
+                hr_b = jnp.dot(C_c, b, preferred_element_type=jnp.float32) \
+                    + diag_r * b
             hi_a = -0.5 * w_c * a
             hi_b = -0.5 * w_c * b
             re = hr_a - hi_b
             im = hr_b + hi_a
-            if sch.tdep_rows:
-                for r, cl, m in zip(sch.tdep_rows, sch.tdep_cols,
-                                    sch.tdep_coefs):
+            if tsch.tdep_rows:
+                sc = omdp_r if spec.per_lane_om else 1.0
+                for r, cl, m in zip(tsch.tdep_rows, tsch.tdep_cols,
+                                    tsch.tdep_coefs):
                     mr = jnp.float32(m.real)
                     # H[r,cl] = m e^{i phi}; H[cl,r] = m e^{-i phi}
                     re = re + jnp.where(
-                        rows == r, mr * (cphi * a[cl:cl + 1, :]
-                                         - sphi * b[cl:cl + 1, :]), 0.0)
+                        rows == r, sc * mr * (cphi * a[cl:cl + 1, :]
+                                              - sphi * b[cl:cl + 1, :]),
+                        0.0)
                     im = im + jnp.where(
-                        rows == r, mr * (cphi * b[cl:cl + 1, :]
-                                         + sphi * a[cl:cl + 1, :]), 0.0)
+                        rows == r, sc * mr * (cphi * b[cl:cl + 1, :]
+                                              + sphi * a[cl:cl + 1, :]),
+                        0.0)
                     re = re + jnp.where(
-                        rows == cl, mr * (cphi * a[r:r + 1, :]
-                                          + sphi * b[r:r + 1, :]), 0.0)
+                        rows == cl, sc * mr * (cphi * a[r:r + 1, :]
+                                               + sphi * b[r:r + 1, :]),
+                        0.0)
                     im = im + jnp.where(
-                        rows == cl, mr * (cphi * b[r:r + 1, :]
-                                          - sphi * a[r:r + 1, :]), 0.0)
+                        rows == cl, sc * mr * (cphi * b[r:r + 1, :]
+                                               - sphi * a[r:r + 1, :]),
+                        0.0)
             return re, im
 
         def dp_of(a, b):
@@ -202,8 +240,8 @@ def _make_kernel(spec: FusedTickSpec):
                 u = u + (jnp.float32(spec.exp_c1) * tpl
                          * jax.lax.rsqrt(1.0 + jnp.float32(spec.exp_c2)
                                          * tpl * tpl))
-            if sch.tdep_rows:
-                phi_ang = (jnp.float32(sch.tdep_freq) * u
+            if tsch.tdep_rows:
+                phi_ang = (jnp.float32(tsch.tdep_freq) * u
                            * (tp * jnp.float32(g2e)))
                 cphi = jnp.cos(phi_ang)
                 sphi = jnp.sin(phi_ang)
@@ -241,11 +279,24 @@ def _make_kernel(spec: FusedTickSpec):
 
             # Ehrenfest kick from the initial wavefunction
             kick_nj = jnp.zeros((1, T), jnp.float32)
-            for fa, fb, fw in zip(sch.force_a, sch.force_b, sch.force_w):
-                # Im(psi_a conj(psi_b)) = b_a a_b - a_a b_b
-                kick_nj = kick_nj + jnp.float32(fw) * (
-                    b[fa:fa + 1, :] * a[fb:fb + 1, :]
-                    - a[fa:fa + 1, :] * b[fb:fb + 1, :])
+            if spec.per_lane_om:
+                # force terms are linear in their Rabi frequency by group
+                # (SP terms ∝ om, DP terms ∝ om_dp): sum each base
+                # pattern, scale by the lane rows
+                groups = ((spec.scheme_sp, om_r), (spec.scheme_dp, omdp_r))
+            else:
+                groups = ((sch, None),)
+            for gsch, scale in groups:
+                acc = jnp.zeros((1, T), jnp.float32)
+                for fa, fb, fw in zip(gsch.force_a, gsch.force_b,
+                                      gsch.force_w):
+                    if fw == 0.0:     # the om splits zero the other group
+                        continue
+                    # Im(psi_a conj(psi_b)) = b_a a_b - a_a b_b
+                    acc = acc + jnp.float32(fw) * (
+                        b[fa:fa + 1, :] * a[fb:fb + 1, :]
+                        - a[fa:fa + 1, :] * b[fb:fb + 1, :])
+                kick_nj = kick_nj + (acc if scale is None else scale * acc)
             kick_nj = kick_nj * jnp.float32(h)
 
             # ---- jump collapse ----
@@ -306,8 +357,8 @@ def _make_kernel(spec: FusedTickSpec):
 @functools.partial(jax.jit, static_argnames=("spec", "tile", "interpret"))
 def fused_md_substeps(spec: FusedTickSpec, first, R, V, F, tp, psi_re,
                       psi_im, rolls=None, seed=None, tick0=None,
-                      tick0_i=None, e0_lanes=None, tile: int = 512,
-                      interpret: bool = False):
+                      tick0_i=None, e0_lanes=None, om_lanes=None,
+                      tile: int = 512, interpret: bool = False):
     """One MD step's worth of quantum-substepped ticks as one kernel.
 
     Shapes: R/V/F [3, Np], tp [1, Np], psi planes [SP, Np], rolls
@@ -319,16 +370,27 @@ def fused_md_substeps(spec: FusedTickSpec, first, R, V, F, tp, psi_re,
     ``internal_rng`` (int32 keeps exactness where f32 would alias streams
     past 2^24 ticks).  ``e0_lanes`` [SP, Np] supplies per-lane diagonal
     energies when ``spec.per_lane_e0`` (detuning-sweep folds — each
-    member block of the lane axis carries its own detunings).
+    member block of the lane axis carries its own detunings);
+    ``om_lanes`` [2, Np] supplies per-lane (om, om_dp) Rabi rows when
+    ``spec.per_lane_om``.
     """
+    schemes = [spec.scheme]
+    if spec.per_lane_om:
+        if spec.scheme_sp is None or spec.scheme_dp is None:
+            raise ValueError("spec.per_lane_om requires scheme_sp/"
+                             "scheme_dp base patterns")
+        schemes += [spec.scheme_sp, spec.scheme_dp]
     # the kernel unrolls complex arithmetic assuming purely real coupling
     # tables (true for all four reference schemes); fail loudly otherwise
-    if np.abs(np.asarray(spec.scheme.coupling).imag).max() != 0.0:
-        raise ValueError("fused kernel requires a real coupling matrix; "
-                         f"scheme {spec.scheme.name} has complex entries")
-    if any(complex(m).imag != 0.0 for m in spec.scheme.tdep_coefs):
-        raise ValueError("fused kernel requires real tdep coefficients; "
-                         f"scheme {spec.scheme.name} has complex entries")
+    for s_ in schemes:
+        if np.abs(np.asarray(s_.coupling).imag).max() != 0.0:
+            raise ValueError("fused kernel requires a real coupling "
+                             f"matrix; scheme {s_.name} has complex "
+                             "entries")
+        if any(complex(m).imag != 0.0 for m in s_.tdep_coefs):
+            raise ValueError("fused kernel requires real tdep "
+                             f"coefficients; scheme {s_.name} has "
+                             "complex entries")
     npad = R.shape[1]
     grid = (npad // tile,)
     kern = _make_kernel(spec)
@@ -346,8 +408,14 @@ def fused_md_substeps(spec: FusedTickSpec, first, R, V, F, tp, psi_re,
     vecs[:S, 2] = spec.scheme.e1
     for s in spec.scheme.jump_src:
         vecs[s, 3] = 1.0
-    mats = np.zeros((4 * SP, SP), np.float32)
-    mats[:S, :S] = spec.scheme.coupling.real
+    n_mat = 5 if spec.per_lane_om else 4
+    mats = np.zeros((n_mat * SP, SP), np.float32)
+    # block 0: the coupling pattern — the om=1 SP base when Rabi rows are
+    # per-lane (scaled in-kernel), else the scheme's full matrix
+    mats[:S, :S] = (spec.scheme_sp if spec.per_lane_om
+                    else spec.scheme).coupling.real
+    if spec.per_lane_om:
+        mats[4 * SP:4 * SP + S, :S] = spec.scheme_dp.coupling.real
     # destination-cumulative tables, padded DEST rows saturated to 1 so a
     # uniform roll (< 1) never counts them in the categorical comparison
     mats[SP:2 * SP, :] = 1.0
@@ -363,7 +431,7 @@ def fused_md_substeps(spec: FusedTickSpec, first, R, V, F, tp, psi_re,
     in_specs = [
         smem11, smem11, smem11, smem11,
         pl.BlockSpec((SP, 8), lambda i: (0, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((4 * SP, SP), lambda i: (0, 0),
+        pl.BlockSpec((n_mat * SP, SP), lambda i: (0, 0),
                      memory_space=pltpu.VMEM),
         row_spec(3), row_spec(3), row_spec(3), row_spec(1),
         row_spec(SP), row_spec(SP),
@@ -375,6 +443,13 @@ def fused_md_substeps(spec: FusedTickSpec, first, R, V, F, tp, psi_re,
             raise ValueError(f"e0_lanes must be [{SP}, {npad}], got "
                              f"{e0_lanes.shape}")
         in_specs.append(row_spec(SP))
+    if spec.per_lane_om:
+        if om_lanes is None:
+            raise ValueError("spec.per_lane_om requires om_lanes [2, Np]")
+        if om_lanes.shape != (2, npad):
+            raise ValueError(f"om_lanes must be [2, {npad}], got "
+                             f"{om_lanes.shape}")
+        in_specs.append(row_spec(2))
     if not spec.internal_rng:
         in_specs.append(row_spec(spec.ratio * 5))
     if seed is None:
@@ -404,5 +479,6 @@ def fused_md_substeps(spec: FusedTickSpec, first, R, V, F, tp, psi_re,
     )(*((first, tick0, tick0_i, seed, jnp.asarray(vecs), jnp.asarray(mats),
          R, V, F, tp, psi_re, psi_im)
         + ((e0_lanes,) if spec.per_lane_e0 else ())
+        + ((om_lanes,) if spec.per_lane_om else ())
         + (() if spec.internal_rng else (rolls,))))
     return out

@@ -152,7 +152,8 @@ class CoolingScheduler:
             t_part=tpp[0, :n].astype(state.t_part.dtype), key=key,
             tick=tick, t=tick.astype(state.t.dtype) * self.qdt)
 
-    def soa_md_step(self, carry, soa_forces_fn, e0_lanes=None):
+    def soa_md_step(self, carry, soa_forces_fn, e0_lanes=None,
+                    om_lanes=None):
         """One MD step entirely in kernel layout: ``soa_forces_fn`` maps
         Rp [3, Np] -> F [3, Np] (ops.yukawa.yukawa_forces_n3l_soa).
         ``e0_lanes`` [SP, Np] rides to the kernel when the spec uses
@@ -177,13 +178,13 @@ class CoolingScheduler:
             rolls=rolls, seed=seed,
             tick0=tick.astype(jnp.float32).reshape(1, 1),
             tick0_i=tick.astype(jnp.int32).reshape(1, 1),
-            e0_lanes=e0_lanes, tile=self.tile,
+            e0_lanes=e0_lanes, om_lanes=om_lanes, tile=self.tile,
             interpret=self.interpret)
         return (Rp, Vp, Fp, tpp, prep, pimp, key, tick + self.ratio,
                 seed32)
 
     def fused_substeps_ensemble(self, states: SimState, F,
-                                e0_lanes=None) -> SimState:
+                                e0_lanes=None, om_lanes=None) -> SimState:
         """Ensemble variant of the fused path.  The QT update and the
         quantum-substepped leapfrog are per-ion independent, so E batched
         trajectories fold into the *ion axis* of one kernel launch per MD
@@ -201,7 +202,8 @@ class CoolingScheduler:
         carry = self.soa_ens_init(states, F)
         Fp = carry[2]
         carry = self.soa_ens_md_step(carry, lambda Rp: Fp,
-                                     e0_lanes=e0_lanes)
+                                     e0_lanes=e0_lanes,
+                                     om_lanes=om_lanes)
         return self.soa_ens_restore(carry, states)
 
     # Ensemble SoA-resident segment loop: same idea as soa_* but with the
@@ -239,7 +241,8 @@ class CoolingScheduler:
                 keys, states.tick, seed)
 
     def soa_ens_md_step(self, carry, soa_forces_fn,
-                        per_member_rolls: bool = False, e0_lanes=None):
+                        per_member_rolls: bool = False, e0_lanes=None,
+                        om_lanes=None):
         """One ensemble MD step in folded-plane layout; ``soa_forces_fn``
         maps Rp [3, E*npad] -> F [3, E*npad] (job-batched kernel).
 
@@ -283,7 +286,7 @@ class CoolingScheduler:
             self.fused_spec, first, Rp, Vp, Fp, tpp, prep, pimp,
             rolls=rolls, seed=seed, tick0=tick0,
             tick0_i=tick[0].astype(jnp.int32).reshape(1, 1),
-            e0_lanes=e0_lanes, tile=self.tile,
+            e0_lanes=e0_lanes, om_lanes=om_lanes, tile=self.tile,
             interpret=self.interpret)
         return (Rp, Vp, Fp, tpp, prep, pimp, new_keys, tick + self.ratio,
                 seed32)

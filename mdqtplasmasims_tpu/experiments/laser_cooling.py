@@ -130,6 +130,23 @@ def build_engine(cfg: CoolingConfig) -> QTEngine:
                     apply_force=True, renormalize=cfg.renormalize)
 
 
+def om_split_schemes(cfg: CoolingConfig):
+    """Base coupling patterns for per-lane Rabi sweeps: the sr12 scheme
+    at (om=1, om_dp=0) and (om=0, om_dp=1).  Every coupling, beat-note
+    coefficient, and Ehrenfest force weight is linear in its Rabi
+    frequency (levels.py:172-211), so H = om*H_sp + om_dp*H_dp + diag
+    exactly; the fused kernel scales the two patterns by [2, Np] lane
+    rows (core/qt_fused.py per_lane_om)."""
+    ks, kd = cfg.vkick, cfg.vkick * K_RATIO_1033
+    sp = with_recoil(sr12_cooling(cfg.detuning, cfg.detuning_dp, om=1.0,
+                                  om_dp=0.0, gs_convention=cfg.physics),
+                     kick_s=ks, kick_d=kd)
+    dp = with_recoil(sr12_cooling(cfg.detuning, cfg.detuning_dp, om=0.0,
+                                  om_dp=1.0, gs_convention=cfg.physics),
+                     kick_s=ks, kick_d=kd)
+    return sp, dp
+
+
 def expansion_coeffs(cfg: CoolingConfig):
     """(c1, c2) of the expanding-frame detuning c1*t/sqrt(1+c2*t^2)
     (SpeedUp.cpp:447)."""
@@ -259,7 +276,8 @@ def run_compiled(cfg: CoolingConfig, state: SimState, n_segments: int):
 
 @partial(jax.jit, static_argnames=("cfg", "n_segments"))
 def run_compiled_ensemble(cfg: CoolingConfig, states: SimState,
-                          n_segments: int, mask=None, sweep_e0=None):
+                          n_segments: int, mask=None, sweep_e0=None,
+                          sweep_om=None):
     """Batched-ensemble run: the Pallas force kernel is batched over the
     job axis (one grid); on TPU the quantum-substepped leapfrog folds all
     jobs into the fused kernel's ion axis (per-ion independent), else the
@@ -275,20 +293,27 @@ def run_compiled_ensemble(cfg: CoolingConfig, states: SimState,
     ``sweep_e0 [E, S]`` gives each member its own diagonal energies — a
     *detuning sweep* running as one fused dispatch (the reference user
     recompiles the binary per (detSP, detDP) point; detunings enter the
-    physics only through e0, levels.py:151-156).  Fused path only."""
+    physics only through e0, levels.py:151-156).  ``sweep_om [E, 2]``
+    additionally gives each member its own (om, om_dp) Rabi frequencies
+    (H is linear in each — see om_split_schemes).  Fused path only."""
     from ..ops.yukawa import yukawa_forces_n3l_pallas_batched
     pu = PlasmaUnits(cfg.density, cfg.ge)
     L = PlasmaUnits.box_length(cfg.n0)
     sched = build_scheduler(cfg)
-    if sweep_e0 is not None:
+    if sweep_e0 is not None or sweep_om is not None:
         if sched.fused_spec is None:
             raise ValueError(
-                "detuning sweeps fold through the fused kernel; enable it "
-                "(TPU, or fused_interpret=True on CPU) or loop run() over "
-                "the sweep points instead")
+                "laser-parameter sweeps fold through the fused kernel; "
+                "enable it (TPU, or fused_interpret=True on CPU) or loop "
+                "run() over the sweep points instead")
+        upd = {}
+        if sweep_e0 is not None:
+            upd["per_lane_e0"] = True
+        if sweep_om is not None:
+            ssp, sdp = om_split_schemes(cfg)
+            upd.update(per_lane_om=True, scheme_sp=ssp, scheme_dp=sdp)
         sched = dataclasses.replace(
-            sched, fused_spec=dataclasses.replace(sched.fused_spec,
-                                                  per_lane_e0=True))
+            sched, fused_spec=dataclasses.replace(sched.fused_spec, **upd))
     bins = folded_bins(cfg.np_dtype)
 
     use_pallas = cfg.use_pallas
@@ -354,7 +379,7 @@ def run_compiled_ensemble(cfg: CoolingConfig, states: SimState,
                 Rp, mask_rows, E, L, pu.debye_length,
                 interpret=sched.interpret)
 
-        e0p = None
+        e0p = omp = None
         if sweep_e0 is not None:
             # fold [E, S] member energies into the kernel's lane layout
             # once; loop-invariant, so XLA hoists it out of the scan
@@ -363,12 +388,17 @@ def run_compiled_ensemble(cfg: CoolingConfig, states: SimState,
             e0p = jnp.zeros((E, SP, npad), jnp.float32).at[:, :S, :].set(
                 sweep_e0.astype(jnp.float32)[:, :, None])
             e0p = jnp.swapaxes(e0p, 0, 1).reshape(SP, E * npad)
+        if sweep_om is not None:
+            omp = jnp.repeat(
+                jnp.swapaxes(sweep_om.astype(jnp.float32), 0, 1)[:, :, None],
+                npad, axis=2).reshape(2, E * npad)
 
         def segment(states, _):
             carry = jax.lax.fori_loop(
                 0, cfg.sample_freq,
                 lambda i, c: sched.soa_ens_md_step(c, soa_forces,
-                                                   e0_lanes=e0p),
+                                                   e0_lanes=e0p,
+                                                   om_lanes=omp),
                 sched.soa_ens_init(states, states.F))
             states = sched.soa_ens_restore(carry, states)
             return states, sample(states)
@@ -390,7 +420,8 @@ def run_compiled_ensemble(cfg: CoolingConfig, states: SimState,
 
 @partial(jax.jit, static_argnames=("cfg", "n_segments", "mesh"))
 def run_compiled_sharded(cfg: CoolingConfig, mesh, states: SimState,
-                         n_segments: int, mask=None, sweep_e0=None):
+                         n_segments: int, mask=None, sweep_e0=None,
+                         sweep_om=None):
     """Multi-chip ensemble run on the *production* kernels: trajectories
     are sharded over the mesh's ``ens`` axis (ions optionally over
     ``ions``), and each device advances its local members through the
@@ -412,10 +443,15 @@ def run_compiled_sharded(cfg: CoolingConfig, mesh, states: SimState,
     if sched.fused_spec is None:
         raise ValueError("run_compiled_sharded requires the fused path "
                          "(TPU backend or cfg.fused_interpret=True)")
-    if sweep_e0 is not None:
+    if sweep_e0 is not None or sweep_om is not None:
+        upd = {}
+        if sweep_e0 is not None:
+            upd["per_lane_e0"] = True
+        if sweep_om is not None:
+            ssp, sdp = om_split_schemes(cfg)
+            upd.update(per_lane_om=True, scheme_sp=ssp, scheme_dp=sdp)
         sched = dataclasses.replace(
-            sched, fused_spec=dataclasses.replace(sched.fused_spec,
-                                                  per_lane_e0=True))
+            sched, fused_spec=dataclasses.replace(sched.fused_spec, **upd))
     bins = folded_bins(cfg.np_dtype)
     spec = state_pspec()
     from ..parallel.mesh import ENS_AXIS
@@ -432,6 +468,9 @@ def run_compiled_sharded(cfg: CoolingConfig, mesh, states: SimState,
     if sweep_e0 is not None:
         in_specs.append(P(ENS_AXIS, None))
         names.append("sweep_e0")
+    if sweep_om is not None:
+        in_specs.append(P(ENS_AXIS, None))
+        names.append("sweep_om")
 
     def local_seg(s, *opt):
         kw = dict(zip(names, opt))
@@ -441,7 +480,8 @@ def run_compiled_sharded(cfg: CoolingConfig, mesh, states: SimState,
     # metadata (see parallel/ensemble.py make_sharded_fused_step)
     seg = shard_map(local_seg, mesh=mesh, in_specs=tuple(in_specs),
                     out_specs=spec, check_vma=False)
-    opt_args = tuple(a for a in (mask, sweep_e0) if a is not None)
+    opt_args = tuple(a for a in (mask, sweep_e0, sweep_om)
+                     if a is not None)
 
     def segment(states, _):
         states = seg(states, *opt_args)
@@ -649,23 +689,29 @@ def run_ensemble(cfg: CoolingConfig, n_jobs: int, seed: int = 0,
     group = cfg.checkpoint_every_segments or n_segments
     cfg_run = canonical_run_cfg(cfg)
     job_cfgs = [dataclasses.replace(cfg, job=j + 1) for j in range(n_jobs)]
-    sweep_e0 = None
+    sweep_e0 = sweep_om = None
     if sweep is not None:
         if len(sweep) != n_jobs:
             raise ValueError(f"sweep has {len(sweep)} entries for "
                              f"{n_jobs} jobs")
-        allowed = {"detuning", "detuning_dp", "job"}
-        bad = {k for s in sweep for k in s} - allowed
+        allowed = {"detuning", "detuning_dp", "om", "om_dp", "job"}
+        keys = {k for s in sweep for k in s}
+        bad = keys - allowed
         if bad:
-            # only fields that enter the physics purely through the
-            # diagonal e0 (plus the job label) can vary inside one fold;
-            # om/om_dp etc. change the coupling matrix, which is shared
+            # only fields the fused kernel reads per lane can vary inside
+            # one fold: detunings enter purely through the diagonal e0
+            # and H is linear in each Rabi frequency (om_split_schemes)
             raise ValueError(f"sweep can only override {sorted(allowed)}, "
                              f"got {sorted(bad)}")
         job_cfgs = [dataclasses.replace(c, **dict(s))
                     for c, s in zip(job_cfgs, sweep)]
-        sweep_e0 = jnp.asarray(np.stack(
-            [build_engine(c).scheme.e0 for c in job_cfgs]), jnp.float32)
+        if keys & {"detuning", "detuning_dp"}:
+            sweep_e0 = jnp.asarray(np.stack(
+                [build_engine(c).scheme.e0 for c in job_cfgs]),
+                jnp.float32)
+        if keys & {"om", "om_dp"}:
+            sweep_om = jnp.asarray([[c.om, c.om_dp] for c in job_cfgs],
+                                   jnp.float32)
     job_dirs = ([_save_dir(c) for c in job_cfgs]
                 if save_directory is not None else None)
 
@@ -765,11 +811,13 @@ def run_ensemble(cfg: CoolingConfig, n_jobs: int, seed: int = 0,
         if mesh is None:
             states, outs = run_compiled_ensemble(cfg_run, states, g,
                                                  mask=mask,
-                                                 sweep_e0=sweep_e0)
+                                                 sweep_e0=sweep_e0,
+                                                 sweep_om=sweep_om)
         else:
             states, outs = run_compiled_sharded(cfg_run, mesh, states, g,
                                                 mask=mask,
-                                                sweep_e0=sweep_e0)
+                                                sweep_e0=sweep_e0,
+                                                sweep_om=sweep_om)
         jax.block_until_ready(states)
         outs_np = safe_device_get(outs)
         outs_groups.append(outs_np)
@@ -810,19 +858,24 @@ def run_ensemble(cfg: CoolingConfig, n_jobs: int, seed: int = 0,
 
 def run_sweep(cfg: CoolingConfig, points, jobs_per_point: int = 1,
               seed: int = 0, resume: bool = False, mesh=None):
-    """Run a (detSP, detDP) detuning grid as ONE fused ensemble fold.
+    """Run a laser-parameter grid as ONE fused ensemble fold.
 
-    The reference explores laser detunings by editing the compile-time
-    constants and rebuilding the binary per point (SpeedUp.cpp:66-67;
+    The reference explores laser parameters by editing the compile-time
+    constants and rebuilding the binary per point (SpeedUp.cpp:66-69;
     README.md:73-87 — each build's output lands in its param-encoded
     directory).  Here the whole grid is one compiled program: detunings
     enter the physics only through the Hamiltonian's diagonal e0
     (levels.py:151-156), which the fused kernel reads per lane
-    (core/qt_fused.py per_lane_e0), so every sweep point costs the same
+    (core/qt_fused.py per_lane_e0), and H is *linear* in each Rabi
+    frequency, so om/om_dp scale two fixed base patterns per lane
+    (om_split_schemes, per_lane_om).  Every sweep point costs the same
     as one more ensemble member — one kernel launch per MD step for the
     entire grid.
 
-    ``points``: sequence of ``(det_sp, det_dp)`` in units of gamma_SP.
+    ``points``: sequence of ``(det_sp, det_dp)`` pairs in units of
+    gamma_SP, or dicts with keys among ``detuning``/``detuning_dp``/
+    ``om``/``om_dp`` (unset fields keep ``cfg``'s value — e.g. a pure
+    Rabi sweep at fixed detuning uses ``{"om": x}`` points).
     ``jobs_per_point`` replicates each point with independent seeds (job
     numbers 1..jobs_per_point inside each point's directory).  Member
     order in the returned outputs is point-major:
@@ -834,10 +887,11 @@ def run_sweep(cfg: CoolingConfig, points, jobs_per_point: int = 1,
     per-point reference build would produce).  Checkpoint/resume and
     ``mesh`` behave as in ``run_ensemble``."""
     sweep = []
-    for dsp, ddp in points:
+    for pt in points:
+        ov = (dict(pt) if isinstance(pt, dict)
+              else {"detuning": float(pt[0]), "detuning_dp": float(pt[1])})
         for r in range(jobs_per_point):
-            sweep.append({"detuning": float(dsp),
-                          "detuning_dp": float(ddp), "job": r + 1})
+            sweep.append({**ov, "job": r + 1})
     member_cfgs = [dataclasses.replace(cfg, **s) for s in sweep]
     final, outs = run_ensemble(cfg, len(sweep), seed=seed, resume=resume,
                                mesh=mesh, sweep=sweep)

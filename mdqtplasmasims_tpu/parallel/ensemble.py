@@ -134,7 +134,7 @@ def fused_local_stepper(sched: "CoolingScheduler", ldeb: float,
                               yukawa_forces_soa_cols_batched)
 
     def local_run(states: SimState, n_steps: int, mask=None,
-                  sweep_e0=None) -> SimState:
+                  sweep_e0=None, sweep_om=None) -> SimState:
         E_loc, n_loc = states.R.shape[0], states.R.shape[1]
         npad = sched._npad(n_loc)
         if mask is None:
@@ -174,20 +174,25 @@ def fused_local_stepper(sched: "CoolingScheduler", ldeb: float,
                 # row lanes so they stay inert as they feed back
                 return F * row_mask[None, :]
 
-        e0p = None
+        e0p = omp = None
         if sweep_e0 is not None:
             SP = sched.fused_spec.SP
             S = sweep_e0.shape[1]
             e0p = jnp.zeros((E_loc, SP, npad), jnp.float32).at[
                 :, :S, :].set(sweep_e0.astype(jnp.float32)[:, :, None])
             e0p = jnp.swapaxes(e0p, 0, 1).reshape(SP, E_loc * npad)
+        if sweep_om is not None:
+            omp = jnp.repeat(
+                jnp.swapaxes(sweep_om.astype(jnp.float32), 0, 1)[:, :, None],
+                npad, axis=2).reshape(2, E_loc * npad)
         local = states._replace(key=states.key[:, 0])
         carry = sched.soa_ens_init(local, local.F)
         carry = jax.lax.fori_loop(
             0, n_steps,
             lambda i, c: sched.soa_ens_md_step(c, soa_forces,
                                                per_member_rolls=True,
-                                               e0_lanes=e0p),
+                                               e0_lanes=e0p,
+                                               om_lanes=omp),
             carry)
         out = sched.soa_ens_restore(carry, local)
         return out._replace(key=out.key[:, None])

@@ -673,8 +673,8 @@ class TestDetuningSweep:
         cfg = CoolingConfig(**self.BASE)
         with pytest.raises(ValueError, match="entries"):
             run_ensemble(cfg, 3, sweep=[{"detuning": -1.0}])
-        with pytest.raises(ValueError, match="om"):
-            run_ensemble(cfg, 1, sweep=[{"om": 2.0}])
+        with pytest.raises(ValueError, match="density"):
+            run_ensemble(cfg, 1, sweep=[{"density": 2.0}])
 
     def test_sweep_requires_fused_path(self):
         import dataclasses as dc
@@ -688,3 +688,134 @@ class TestDetuningSweep:
         e0s = jnp.zeros((2, 12), jnp.float32)
         with pytest.raises(ValueError, match="fused"):
             run_compiled_ensemble(cfg, states, 1, sweep_e0=e0s)
+
+
+class TestRabiSweep:
+    """Rabi-frequency (OmSP/OmDP) sweeps folded into one fused dispatch:
+    H is *linear* in each Rabi frequency (levels.py:172-211 — SP
+    couplings and SP force weights ∝ om; DP couplings, beat-note
+    coefficients and DP force weights ∝ om_dp), so the kernel scales two
+    fixed base patterns by per-lane (om, om_dp) rows
+    (core/qt_fused.py per_lane_om) instead of recompiling per point the
+    way the reference user rebuilds the binary (SpeedUp.cpp:68-69)."""
+
+    BASE = dict(n0=96, tmax=0.16, sample_freq=2, use_pallas=False,
+                fused_interpret=True)
+
+    def test_om_split_reconstructs_scheme(self):
+        """om*pattern_sp + om_dp*pattern_dp must rebuild the full scheme
+        exactly — coupling matrix, beat-note coefficients, and recoiled
+        Ehrenfest force weights — for generic (om, om_dp)."""
+        import dataclasses as dc
+        from mdqtplasmasims_tpu.experiments.laser_cooling import (
+            build_engine, om_split_schemes)
+        om, om_dp = 1.7, 0.6
+        cfg = CoolingConfig(om=om, om_dp=om_dp, **self.BASE)
+        full = build_engine(cfg).scheme
+        ssp, sdp = om_split_schemes(cfg)
+        np.testing.assert_allclose(
+            om * ssp.coupling + om_dp * sdp.coupling, full.coupling,
+            rtol=0, atol=1e-14)
+        assert ssp.tdep_coefs == tuple(0.0 * c for c in full.tdep_coefs)
+        assert sdp.tdep_rows == full.tdep_rows
+        assert sdp.tdep_cols == full.tdep_cols
+        assert sdp.tdep_freq == full.tdep_freq
+        np.testing.assert_allclose(
+            om_dp * np.asarray(sdp.tdep_coefs),
+            np.asarray(full.tdep_coefs), rtol=0, atol=1e-14)
+        np.testing.assert_allclose(
+            om * np.asarray(ssp.force_w) + om_dp * np.asarray(sdp.force_w),
+            np.asarray(full.force_w), rtol=0, atol=1e-14)
+        # the splits zero the other group so the kernel's fw==0 skip and
+        # per-group scaling are exact, not approximate
+        assert all((ws == 0.0) or (wd == 0.0)
+                   for ws, wd in zip(ssp.force_w, sdp.force_w))
+
+    # The split path computes om*(C_sp . psi) + om_dp*(C_dp . psi) while
+    # a uniform fold contracts the prefolded matrix in ONE accumulation;
+    # P rows carry couplings from both groups, so the two summation
+    # orders round differently at the f32 ulp (~1e-7 relative).  The
+    # contract is therefore tight-tolerance agreement, not bit equality
+    # (the detuning sweep *is* bit-exact because per-lane e0 is the same
+    # arithmetic as the broadcast column).
+    TOL = dict(rtol=1e-5, atol=1e-6)
+
+    def test_om_sweep_member_matches_uniform_fold(self):
+        """Member j of an Om-sweep fold must reproduce the same member
+        inside a uniform fold whose *config* Rabi frequencies equal
+        member j's sweep point, to f32 accumulation-order tolerance."""
+        import dataclasses as dc
+        from mdqtplasmasims_tpu.experiments.laser_cooling import (
+            _initial_state_from_key, run_compiled_ensemble)
+        base = CoolingConfig(**self.BASE)
+        oms = [(1.0, 1.0), (1.6, 0.5)]
+        keys = jax.random.split(jax.random.PRNGKey(7), len(oms))
+        states = jax.jit(jax.vmap(
+            lambda k: _initial_state_from_key(base, k)))(keys)
+        om_rows = jnp.asarray(oms, jnp.float32)
+        fs, os_ = run_compiled_ensemble(base, states, 2, sweep_om=om_rows)
+        for j, (om, om_dp) in enumerate(oms):
+            cfg_j = dc.replace(base, om=om, om_dp=om_dp)
+            fu, ou = run_compiled_ensemble(cfg_j, states, 2)
+            for name in ("R", "V", "psi", "t_part"):
+                np.testing.assert_allclose(
+                    np.asarray(getattr(fs, name)[j]),
+                    np.asarray(getattr(fu, name)[j]), err_msg=name,
+                    **self.TOL)
+            np.testing.assert_allclose(np.asarray(os_["ekin"][j]),
+                                       np.asarray(ou["ekin"][j]),
+                                       **self.TOL)
+        # the sweep took effect: member 1 evolved different physics
+        assert np.abs(np.asarray(fs.psi[1]) -
+                      np.asarray(fs.psi[0])).max() > 0
+
+    def test_joint_det_om_sweep_matches_uniform(self):
+        """Detuning and Rabi lanes compose: a joint (detSP, detDP, om,
+        om_dp) sweep reproduces per-member uniform folds to f32
+        accumulation-order tolerance (see TOL)."""
+        import dataclasses as dc
+        from mdqtplasmasims_tpu.experiments.laser_cooling import (
+            _initial_state_from_key, build_engine, run_compiled_ensemble)
+        base = CoolingConfig(**self.BASE)
+        pts = [dict(detuning=-1.0, detuning_dp=1.0, om=1.0, om_dp=1.0),
+               dict(detuning=-0.5, detuning_dp=0.4, om=1.4, om_dp=0.7)]
+        keys = jax.random.split(jax.random.PRNGKey(9), len(pts))
+        states = jax.jit(jax.vmap(
+            lambda k: _initial_state_from_key(base, k)))(keys)
+        e0s = jnp.asarray(np.stack(
+            [build_engine(dc.replace(base, **p)).scheme.e0
+             for p in pts]), jnp.float32)
+        om_rows = jnp.asarray([[p["om"], p["om_dp"]] for p in pts],
+                              jnp.float32)
+        fs, os_ = run_compiled_ensemble(base, states, 2, sweep_e0=e0s,
+                                        sweep_om=om_rows)
+        for j, p in enumerate(pts):
+            fu, ou = run_compiled_ensemble(dc.replace(base, **p),
+                                           states, 2)
+            for name in ("R", "V", "psi", "t_part"):
+                np.testing.assert_allclose(
+                    np.asarray(getattr(fs, name)[j]),
+                    np.asarray(getattr(fu, name)[j]), err_msg=name,
+                    **self.TOL)
+            np.testing.assert_allclose(np.asarray(os_["ekin"][j]),
+                                       np.asarray(ou["ekin"][j]),
+                                       **self.TOL)
+
+    def test_run_sweep_dict_points_write_om_dirs(self, tmp_path):
+        """Dict sweep points carrying Om overrides land in OmSP/OmDP
+        param-encoded directories — the layout separate reference builds
+        would produce."""
+        from mdqtplasmasims_tpu.experiments.laser_cooling import run_sweep
+        cfg = CoolingConfig(save_directory=str(tmp_path), **self.BASE)
+        points = [{"om": 1.0, "om_dp": 1.0}, {"om": 0.5, "om_dp": 1.3}]
+        final, outs, mcfgs = run_sweep(cfg, points, seed=3)
+        assert [(c.om, c.om_dp) for c in mcfgs] == [(1.0, 1.0),
+                                                    (0.5, 1.3)]
+        import glob
+        import os
+        dirs = sorted(glob.glob(str(tmp_path / "*")))
+        assert len(dirs) == 2
+        assert any("OmSP100OmDP100" in d for d in dirs)
+        assert any("OmSP50OmDP130" in d for d in dirs)
+        for d in dirs:
+            assert os.path.exists(os.path.join(d, "job1", "energies.dat"))

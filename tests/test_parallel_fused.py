@@ -332,3 +332,34 @@ class TestShardedSweep:
         f_uni, _ = run_compiled_sharded(cfg, mesh, states, n_segments=2)
         assert np.abs(np.asarray(f0.psi[3]) -
                       np.asarray(f_uni.psi[3])).max() > 1e-4
+
+    @needs_devices
+    def test_sharded_om_sweep_layout_invariant(self):
+        """Rabi sweeps shard like detuning sweeps: sweep_om rides the
+        ``ens`` axis into the per-lane-om fused kernel, and the result is
+        independent of the mesh layout."""
+        cfg = _fused_cfg(sample_freq=3)
+        oms = [(1.0, 1.0), (1.4, 0.8), (0.7, 1.2), (0.4, 0.3)]
+        om_rows = jnp.asarray(oms, jnp.float32)
+        results = []
+        for n_dev in (4, 1):
+            mesh = make_mesh(n_dev, 1)
+            states = _members(cfg, len(oms), 1, seed=13)
+            final, outs = run_compiled_sharded(cfg, mesh, states,
+                                               n_segments=2,
+                                               sweep_om=om_rows)
+            results.append((jax.device_get(final), jax.device_get(outs)))
+        (f0, o0), (f1, o1) = results
+        for name in ("R", "V", "psi", "t_part"):
+            np.testing.assert_array_equal(np.asarray(getattr(f0, name)),
+                                          np.asarray(getattr(f1, name)),
+                                          err_msg=name)
+        for k in o0:
+            np.testing.assert_array_equal(np.asarray(o0[k]),
+                                          np.asarray(o1[k]), err_msg=k)
+        # the sweep took effect vs a uniform (om=om_dp=1) fold
+        mesh = make_mesh(1, 1)
+        states = _members(cfg, len(oms), 1, seed=13)
+        f_uni, _ = run_compiled_sharded(cfg, mesh, states, n_segments=2)
+        assert np.abs(np.asarray(f0.psi[3]) -
+                      np.asarray(f_uni.psi[3])).max() > 1e-4
