@@ -26,7 +26,7 @@ from ..core.thermostat import (anisotropize_velocities, collide_and_kick,
 from ..core.md import wrap_pbc
 from ..io.datfiles import DatWriter
 from ..io.dirs import mc_transport_dir
-from ..ops.correlations import autocorr_suite
+from ..ops.correlations import autocorr_suite, power_autocorr
 from ..ops.structure import pair_correlation
 
 from ..util import safe_device_get
@@ -78,19 +78,23 @@ class MCTransportConfig:
         return jnp.float64 if self.dtype == "float64" else jnp.float32
 
 
-def _forces(cfg: MCTransportConfig):
-    """R -> F: half-pair Pallas kernel on TPU, XLA elsewhere."""
+def _forces(cfg: MCTransportConfig, ldeb=None):
+    """R -> F: half-pair Pallas kernel on TPU, XLA elsewhere.  ``ldeb``
+    optionally overrides cfg's screening length with a traced scalar
+    (per-member kappa sweeps — ops/yukawa data-carried 1/ldeb)."""
     from ..ops.yukawa import best_forces_fn
-    fn = best_forces_fn(cfg.n, cfg.L, cfg.ldeb)
+    fn = best_forces_fn(cfg.n, cfg.L, cfg.ldeb if ldeb is None else ldeb)
     return lambda R: fn(R)[0]
 
 
 def make_md_stage(cfg: MCTransportConfig, *, collision_freq: float,
-                  add_laser_force: bool = False):
+                  add_laser_force: bool = False, gamma=None, ldeb=None):
     """One velocity-Verlet MD step incl. thermostat/laser options as a
-    scannable (R, V, A, key) -> ... function."""
-    forces = _forces(cfg)
+    scannable (R, V, A, key) -> ... function.  ``gamma``/``ldeb`` may be
+    traced per-member overrides (sweep folds); None takes cfg's values."""
+    forces = _forces(cfg, ldeb)
     dt = cfg.timestep
+    g = cfg.gamma if gamma is None else gamma
 
     def step(carry, _):
         R, V, A, key = carry
@@ -99,7 +103,7 @@ def make_md_stage(cfg: MCTransportConfig, *, collision_freq: float,
         A_new = forces(R)
         V_verlet = V + 0.5 * dt * (A + A_new)
         V = collide_and_kick(V_verlet, kc, dt=dt,
-                             collision_freq=collision_freq, gamma=cfg.gamma)
+                             collision_freq=collision_freq, gamma=g)
         if add_laser_force:
             V = laser_force(V, dt=dt, beta=cfg.beta, density=cfg.density,
                             one_axis_only=cfg.one_axis_force)
@@ -112,11 +116,12 @@ def make_md_stage(cfg: MCTransportConfig, *, collision_freq: float,
                                    "add_laser_force", "record"))
 def md_stage(cfg: MCTransportConfig, R, V, A, key, n_steps: int,
              collision_freq: float = 0.0, add_laser_force: bool = False,
-             record: str = "none"):
+             record: str = "none", gamma=None, ldeb=None):
     """Run n_steps of velocity-Verlet.  record: none | temp | temp_axes |
     full (tagged moments need tags; handled by record_stage below)."""
     step = make_md_stage(cfg, collision_freq=collision_freq,
-                         add_laser_force=add_laser_force)
+                         add_laser_force=add_laser_force, gamma=gamma,
+                         ldeb=ldeb)
 
     def body(carry, x):
         carry, _ = step(carry, x)
@@ -135,13 +140,15 @@ def md_stage(cfg: MCTransportConfig, R, V, A, key, n_steps: int,
 
 
 @partial(jax.jit, static_argnames=("cfg",))
-def record_stage(cfg: MCTransportConfig, R, V, A, key, tags):
+def record_stage(cfg: MCTransportConfig, R, V, A, key, tags, gamma=None,
+                 ldeb=None):
     """The collisionless recording phase (main :1095-1104): per step emit
     tagged moments (all four taggings) and scalar temperature *before* the
     MD step, store velocities *after* it (the reference order), with a
     g(r) snapshot at the top of every ``gr_every_record``-step chunk."""
-    step = make_md_stage(cfg, collision_freq=0.0)
+    step = make_md_stage(cfg, collision_freq=0.0, gamma=gamma, ldeb=ldeb)
     t1, t2, t3, t4 = tags
+    g_eq = cfg.gamma if gamma is None else gamma
     assert cfg.record_steps % cfg.gr_every_record == 0
     n_chunks = cfg.record_steps // cfg.gr_every_record
 
@@ -149,7 +156,7 @@ def record_stage(cfg: MCTransportConfig, R, V, A, key, tags):
         R, V, A, key = carry
         moments = jnp.stack([
             tagged_moments(V[:, 0], t, subtract_equilibrium=True,
-                           gamma=cfg.gamma)
+                           gamma=g_eq)
             for t in (t1, t2, t3, t4)])
         temp = temperature(V)
         (R, V, A, key), _ = step((R, V, A, key), None)
@@ -246,6 +253,89 @@ def run(cfg: MCTransportConfig, seed: Optional[int] = None) -> dict:
     return results
 
 
+def _pipeline(cfg: MCTransportConfig, key, gamma=None, ldeb=None) -> dict:
+    """One member's full staged pipeline as a pure traced function:
+    lattice init -> chunked MC with g(r) snapshots -> collisional MD ->
+    classical tagging -> collisionless recording -> FFT autocorrelations
+    -> both anisotropy drives.  ``gamma``/``ldeb`` may be traced scalars
+    overriding cfg's coupling and screening — that is how a (Gamma,
+    kappa) phase-diagram sweep folds into ONE vmapped program (run_sweep;
+    the force kernel reads the member's 1/ldeb from its position operand,
+    ops/yukawa._half_pair_tile)."""
+    g = cfg.gamma if gamma is None else gamma
+    ld = cfg.ldeb if ldeb is None else ldeb
+    n_chunks = max(1, cfg.mc_steps // cfg.gr_every_mc)
+    mc = MetropolisMC(L=cfg.L, ldeb=ld, gamma=g,
+                      max_r_step=cfg.max_r_step)
+
+    k_lat, k_mc, k_tag, k_run = jax.random.split(key, 4)
+    R, V = lattice_init(k_lat, cfg.n, g, cfg.L, dtype=cfg.np_dtype)
+
+    def chunk(carry, k):
+        R, n_acc = carry
+        gr = pair_correlation(R, cfg.L)
+        R, acc = mc.run(R, k, cfg.mc_steps // n_chunks)
+        return (R, n_acc + acc), gr
+    (R, n_acc), gr_mc = jax.lax.scan(
+        chunk, (R, jnp.zeros((), jnp.int32)),
+        jax.random.split(k_mc, n_chunks))
+
+    A = _forces(cfg, ldeb)(R)
+    (R, V, A, k_run), _ = md_stage(cfg, R, V, A, k_run,
+                                   cfg.pre_record_md_steps,
+                                   collision_freq=cfg.collision_freq,
+                                   gamma=gamma, ldeb=ldeb)
+    tags = tag_classical(V[:, 0], k_tag, g)
+    (R, V, A, k_run), gr_record, moments, temps, vstore = record_stage(
+        cfg, R, V, A, k_run, tags, gamma=gamma, ldeb=ldeb)
+    vaf, long_visc, v_cube, v_fourth = (
+        power_autocorr(vstore, k, g) for k in (1, 2, 3, 4))
+    V = anisotropize_velocities(V, cfg.temp_percent_diff)
+    (R, V, A, k_run), temps_inst = md_stage(
+        cfg, R, V, A, k_run, cfg.instant_aniso_steps,
+        record="temp_axes", gamma=gamma, ldeb=ldeb)
+    (R, V, A, k_run), _ = md_stage(cfg, R, V, A, k_run,
+                                   cfg.reequil_steps,
+                                   collision_freq=cfg.collision_freq,
+                                   gamma=gamma, ldeb=ldeb)
+    (R, V, A, k_run), temps_force = md_stage(
+        cfg, R, V, A, k_run, cfg.aniso_establish_steps,
+        add_laser_force=True, record="temp_axes", gamma=gamma, ldeb=ldeb)
+    (R, V, A, k_run), temps_relax = md_stage(
+        cfg, R, V, A, k_run, cfg.aniso_relax_steps,
+        record="temp_axes", gamma=gamma, ldeb=ldeb)
+    return dict(gr_mc=gr_mc, gr_record=gr_record, mc_accepted=n_acc,
+                moments=moments, temps=temps, vaf=vaf,
+                long_visc=long_visc, v_cube=v_cube,
+                v_fourth=v_fourth, temps_inst=temps_inst,
+                temps_force=temps_force, temps_relax=temps_relax,
+                R=R, V=V)
+
+
+def _run_batched(cfg: MCTransportConfig, member_cfgs, keys,
+                 gammas=None, ldebs=None):
+    """vmap _pipeline over the member axis, fetch once, write each
+    member's .dat tree under its own param-encoded directory."""
+    cfg_run = dataclasses.replace(cfg, job=1, save_directory=None)
+    if gammas is None:
+        batched = jax.jit(jax.vmap(
+            lambda k: _pipeline(cfg_run, k)))(keys)
+    else:
+        batched = jax.jit(jax.vmap(
+            lambda k, g, ld: _pipeline(cfg_run, k, gamma=g, ldeb=ld)))(
+                keys, gammas, ldebs)
+    jax.block_until_ready(batched["R"])
+    batched_np = {k: safe_device_get(v) for k, v in batched.items()}
+
+    results = []
+    for j, mcfg in enumerate(member_cfgs):
+        res = {k: v[j] for k, v in batched_np.items()}
+        results.append(res)
+        if mcfg.save_directory is not None:
+            _write_outputs(mcfg, res)
+    return results
+
+
 def run_ensemble(cfg: MCTransportConfig, n_jobs: int, seed: int = 0):
     """Batched job array for the MC transport pipeline (the reference's
     SLURM array over MonteCarloFollowedByMDAndTempAnisotropy jobs): the
@@ -254,67 +344,51 @@ def run_ensemble(cfg: MCTransportConfig, n_jobs: int, seed: int = 0):
     autocorrelations, both anisotropy drives — vmapped over the job axis
     as one compiled program.  Per-job .dat trees in ``job<k>/``; returns
     the per-job results list."""
-    cfg_run = dataclasses.replace(cfg, job=1, save_directory=None)
-    dt = cfg.np_dtype
     keys = jax.random.split(jax.random.PRNGKey(seed), n_jobs)
-    mc = MetropolisMC(L=cfg.L, ldeb=cfg.ldeb, gamma=cfg.gamma,
-                      max_r_step=cfg.max_r_step)
-    n_chunks = max(1, cfg.mc_steps // cfg.gr_every_mc)
+    member_cfgs = [dataclasses.replace(cfg, job=j + 1)
+                   for j in range(n_jobs)]
+    return _run_batched(cfg, member_cfgs, keys)
 
-    @jax.jit
-    def pipeline(key):
-        k_lat, k_mc, k_tag, k_run = jax.random.split(key, 4)
-        R, V = lattice_init(k_lat, cfg.n, cfg.gamma, cfg.L, dtype=dt)
 
-        def chunk(carry, k):
-            R, n_acc = carry
-            g = pair_correlation(R, cfg.L)
-            R, acc = mc.run(R, k, cfg.mc_steps // n_chunks)
-            return (R, n_acc + acc), g
-        (R, n_acc), gr_mc = jax.lax.scan(
-            chunk, (R, jnp.zeros((), jnp.int32)),
-            jax.random.split(k_mc, n_chunks))
+def run_sweep(cfg: MCTransportConfig, points, jobs_per_point: int = 1,
+              seed: int = 0):
+    """Run a (Gamma, kappa) phase-diagram grid as ONE vmapped program.
 
-        A = _forces(cfg_run)(R)
-        (R, V, A, k_run), _ = md_stage(cfg_run, R, V, A, k_run,
-                                       cfg.pre_record_md_steps,
-                                       collision_freq=cfg.collision_freq)
-        tags = tag_classical(V[:, 0], k_tag, cfg.gamma)
-        (R, V, A, k_run), gr_record, moments, temps, vstore = record_stage(
-            cfg_run, R, V, A, k_run, tags)
-        vaf, long_visc, v_cube, v_fourth = autocorr_suite(vstore,
-                                                          cfg.gamma)
-        V = anisotropize_velocities(V, cfg.temp_percent_diff)
-        (R, V, A, k_run), temps_inst = md_stage(
-            cfg_run, R, V, A, k_run, cfg.instant_aniso_steps,
-            record="temp_axes")
-        (R, V, A, k_run), _ = md_stage(cfg_run, R, V, A, k_run,
-                                       cfg.reequil_steps,
-                                       collision_freq=cfg.collision_freq)
-        (R, V, A, k_run), temps_force = md_stage(
-            cfg_run, R, V, A, k_run, cfg.aniso_establish_steps,
-            add_laser_force=True, record="temp_axes")
-        (R, V, A, k_run), temps_relax = md_stage(
-            cfg_run, R, V, A, k_run, cfg.aniso_relax_steps,
-            record="temp_axes")
-        return dict(gr_mc=gr_mc, gr_record=gr_record, mc_accepted=n_acc,
-                    moments=moments, temps=temps, vaf=vaf,
-                    long_visc=long_visc, v_cube=v_cube,
-                    v_fourth=v_fourth, temps_inst=temps_inst,
-                    temps_force=temps_force, temps_relax=temps_relax,
-                    R=R, V=V)
+    The reference explores the Yukawa phase diagram by editing the
+    compile-time constants ``Gamma``/``kappa``
+    (MonteCarloFollowedByMDAndTempAnisotropy.cpp:64-65) and rebuilding
+    the binary per point.  Here both enter the traced pipeline as
+    per-member scalars: Gamma scales initialization, MC acceptance,
+    thermostat kicks and the equilibrium-moment subtractions; kappa rides
+    the force kernel's position operand as a data-carried 1/ldeb
+    (ops/yukawa._half_pair_tile), so one compiled program serves the
+    whole grid — every point costs one more vmapped member.
 
-    batched = jax.vmap(pipeline)(keys)
-    jax.block_until_ready(batched["R"])
-    batched_np = {k: safe_device_get(v) for k, v in batched.items()}
-
-    results = []
-    for j in range(n_jobs):
-        res = {k: v[j] for k, v in batched_np.items()}
-        results.append(res)
-        if cfg.save_directory is not None:
-            _write_outputs(dataclasses.replace(cfg, job=j + 1), res)
-    return results
+    ``points``: sequence of dicts with keys among ``gamma``/``kappa``
+    (unset fields keep cfg's value).  ``jobs_per_point`` replicates each
+    point with independent seeds (job numbers 1..jobs_per_point inside
+    the point's Gamma/kappa-encoded directory).  Member order in the
+    returned results list is point-major.  Returns (results,
+    member_cfgs)."""
+    allowed = {"gamma", "kappa"}
+    member_cfgs = []
+    for pt in points:
+        ov = dict(pt)
+        bad = set(ov) - allowed
+        if bad:
+            # only parameters the traced pipeline reads per member can
+            # vary inside one fold; n/timestep/step counts shape the
+            # compiled program itself
+            raise ValueError(f"sweep points can only override "
+                             f"{sorted(allowed)}, got {sorted(bad)}")
+        for r in range(jobs_per_point):
+            member_cfgs.append(
+                dataclasses.replace(cfg, job=r + 1, **ov))
+    keys = jax.random.split(jax.random.PRNGKey(seed), len(member_cfgs))
+    gammas = jnp.asarray([m.gamma for m in member_cfgs], cfg.np_dtype)
+    ldebs = jnp.asarray([m.ldeb for m in member_cfgs], cfg.np_dtype)
+    results = _run_batched(cfg, member_cfgs, keys, gammas, ldebs)
+    return results, member_cfgs
 
 
 def _write_outputs(cfg: MCTransportConfig, res: dict) -> None:

@@ -263,7 +263,17 @@ def _n3l_pairs(nt: int):
 def _half_pair_tile(x, ys, *, L, ldeb, rcut2, reaction):
     """Shared half-pair tile math.  x [4, TI] (row 3 = i mask), ys
     [TJ, 8].  Returns (fx, fy, fz) i-side row sums [TI] and, when
-    ``reaction`` is set, (gx, gy, gz) j-side reaction column sums [TJ]."""
+    ``reaction`` is set, (gx, gy, gz) j-side reaction column sums [TJ].
+
+    ``ldeb=None`` reads 1/ldeb from ys column 4 instead of a compile-time
+    constant: the screening length rides the position operand, so one
+    compiled kernel serves members with *different* kappa (the transport
+    family's (Gamma, kappa) sweeps) — under vmap or the explicit batch
+    grid each member's blocks carry its own value, with no extra operand
+    or batching-rule concern.  The whole column is read ([TJ, 1], every
+    row carries the same value) because Mosaic cannot broadcast a (1, 1)
+    vector in sublanes and lanes at once."""
+    inv_ldeb = ys[:, 4:5] if ldeb is None else 1.0 / ldeb
     dx = x[0:1, :] - ys[:, 0:1]
     dy = x[1:2, :] - ys[:, 1:2]
     dz = x[2:3, :] - ys[:, 2:3]
@@ -276,8 +286,8 @@ def _half_pair_tile(x, ys, *, L, ldeb, rcut2, reaction):
     r2s = jnp.where(valid, r2, 1.0)
     inv_r = jax.lax.rsqrt(r2s)
     r = r2s * inv_r
-    ft = jnp.where(valid, jnp.exp(-r * (1.0 / ldeb))
-                   * (inv_r + 1.0 / ldeb) * inv_r * inv_r, 0.0)
+    ft = jnp.where(valid, jnp.exp(-r * inv_ldeb)
+                   * (inv_r + inv_ldeb) * inv_r * inv_r, 0.0)
     fxt = dx * ft
     fyt = dy * ft
     fzt = dz * ft
@@ -377,14 +387,23 @@ def yukawa_forces_n3l_pallas(R: jax.Array, L: float, ldeb: float,
     evaluated once (triangle-enumerated grid, _n3l_pairs) and its
     reaction partner filled in by Newton's third law — ~1.5x the
     full-tile kernel's rate on v5e.  Diagnostics that need the potential
-    keep using the full kernel at sample times.  Returns ``F [N, 3]``."""
+    keep using the full kernel at sample times.  Returns ``F [N, 3]``.
+
+    ``ldeb`` may be a traced jax scalar: the kernel then reads 1/ldeb
+    from the position operand's spare column (see _half_pair_tile), so
+    kappa can vary per vmapped member inside one compiled program."""
     n = R.shape[0]
     npad = _round_up(max(n, tile), tile)
     m = mask if mask is not None else jnp.ones((n,), R.dtype)
     Rl4 = (jnp.zeros((4, npad), R.dtype).at[:3, :n].set(R.T)
            .at[3, :n].set(m))
     Rs = jnp.zeros((npad, 8), R.dtype).at[:n, :3].set(R).at[:n, 3].set(m)
-    out = _yukawa_n3l(Rl4, Rs, L=float(L), ldeb=float(ldeb), tile=tile,
+    if isinstance(ldeb, jax.Array):
+        Rs = Rs.at[:, 4].set((1.0 / ldeb).astype(R.dtype))
+        ldeb_static = None
+    else:
+        ldeb_static = float(ldeb)
+    out = _yukawa_n3l(Rl4, Rs, L=float(L), ldeb=ldeb_static, tile=tile,
                       interpret=interpret)
     return out[:, :n].T
 
@@ -597,14 +616,22 @@ def yukawa_forces_soa_cols_batched(Rp: jax.Array, cols: jax.Array,
 def yukawa_forces_n3l_pallas_batched(R: jax.Array, L: float, ldeb: float,
                                      tile: int = 512,
                                      interpret: bool = False) -> jax.Array:
-    """[E,N,3] ensemble positions -> forces [E,N,3], half-pair kernel."""
+    """[E,N,3] ensemble positions -> forces [E,N,3], half-pair kernel.
+
+    ``ldeb`` may be a per-member [E] jax array (kappa sweeps): each
+    member's blocks then carry its own 1/ldeb in the spare ys column."""
     e, n, _ = R.shape
     npad = _round_up(max(n, tile), tile)
     Rl4 = jnp.zeros((e, 4, npad), R.dtype).at[:, :3, :n].set(
         jnp.swapaxes(R, 1, 2)).at[:, 3, :n].set(1.0)
     Rs = jnp.zeros((e, npad, 8), R.dtype).at[:, :n, :3].set(R)
     Rs = Rs.at[:, :n, 3].set(1.0)
-    out = _yukawa_n3l_batched(Rl4, Rs, L=float(L), ldeb=float(ldeb),
+    if isinstance(ldeb, jax.Array):
+        Rs = Rs.at[:, :, 4].set((1.0 / ldeb).astype(R.dtype)[:, None])
+        ldeb_static = None
+    else:
+        ldeb_static = float(ldeb)
+    out = _yukawa_n3l_batched(Rl4, Rs, L=float(L), ldeb=ldeb_static,
                               tile=tile, interpret=interpret)
     return jnp.swapaxes(out[:, :, :n], 1, 2)
 
@@ -662,7 +689,8 @@ def best_forces_fn(n: int, L: float, ldeb: float, mask=None,
     """Return a ``R -> (F, pot_per_ion)`` callable for the current backend.
     The TPU hot path is the half-pair N3L kernel (force-only; the MD loop
     never needs the potential); ``n3l=False`` falls back to the full-tile
-    kernel."""
+    kernel.  ``ldeb`` may be a traced jax scalar on the n3l and XLA paths
+    (per-member kappa sweeps) — the full-tile kernel requires a float."""
     if use_pallas is None:
         use_pallas = _HAS_PALLAS and jax.default_backend() not in ("cpu",)
     if tile is None:

@@ -193,3 +193,59 @@ def test_n3l_batched_kernel_interpret(system):
         F1 = np.array(yukawa_forces_n3l_pallas(RE[e], L, ldeb, tile=128,
                                                interpret=True))
         np.testing.assert_array_equal(FE[e], F1)
+
+
+class TestDataCarriedLdeb:
+    """Kappa sweeps: when ``ldeb`` is a jax array the N3L kernels read
+    1/ldeb from the position operand's spare column instead of a
+    compile-time constant (_half_pair_tile), so one compiled program
+    serves members with different screening lengths."""
+
+    def test_traced_ldeb_matches_static(self, system):
+        from mdqtplasmasims_tpu.ops.yukawa import yukawa_forces_n3l_pallas
+        R, L, ldeb = system
+        R32 = jnp.asarray(R, jnp.float32)
+        F_static = np.array(yukawa_forces_n3l_pallas(
+            R32, L, ldeb, tile=128, interpret=True))
+        # f64 scalar: 1/ldeb rounds to f32 exactly as the static
+        # trace-time constant does -> bit equality
+        F_data = np.array(yukawa_forces_n3l_pallas(
+            R32, L, jnp.asarray(ldeb), tile=128, interpret=True))
+        np.testing.assert_array_equal(F_static, F_data)
+
+    def test_batched_per_member_ldeb(self, system):
+        """[E] ldeb array: each member's forces equal a static-ldeb call
+        at that member's screening length."""
+        from mdqtplasmasims_tpu.ops.yukawa import (
+            yukawa_forces_n3l_pallas, yukawa_forces_n3l_pallas_batched)
+        R, L, ldeb = system
+        rng = np.random.default_rng(11)
+        RE = jnp.asarray(np.stack([R, rng.uniform(0, L, R.shape)]),
+                         jnp.float32)
+        ldebs = np.asarray([ldeb, 0.5 * ldeb], np.float32)
+        FE = np.array(yukawa_forces_n3l_pallas_batched(
+            RE, L, jnp.asarray(ldebs), tile=128, interpret=True))
+        for e in range(2):
+            F1 = np.array(yukawa_forces_n3l_pallas(
+                RE[e], L, float(ldebs[e]), tile=128, interpret=True))
+            np.testing.assert_allclose(FE[e], F1, rtol=1e-6, atol=1e-6)
+        assert np.abs(FE[1] - np.array(yukawa_forces_n3l_pallas(
+            RE[1], L, ldeb, tile=128, interpret=True))).max() > 1e-3
+
+    def test_vmapped_traced_ldeb(self, system):
+        """The transport sweep's actual composition: vmap over members
+        whose traced ldeb differs, one pallas program."""
+        from mdqtplasmasims_tpu.ops.yukawa import yukawa_forces_n3l_pallas
+        R, L, ldeb = system
+        rng = np.random.default_rng(13)
+        RE = jnp.asarray(np.stack([R, rng.uniform(0, L, R.shape)]),
+                         jnp.float32)
+        ldebs = jnp.asarray([ldeb, 0.7 * ldeb], jnp.float32)
+        FV = np.array(jax.vmap(
+            lambda r, ld: yukawa_forces_n3l_pallas(r, L, ld, tile=128,
+                                                   interpret=True))(
+            RE, ldebs))
+        for e in range(2):
+            F1 = np.array(yukawa_forces_n3l_pallas(
+                RE[e], L, float(ldebs[e]), tile=128, interpret=True))
+            np.testing.assert_allclose(FV[e], F1, rtol=1e-6, atol=1e-6)
