@@ -122,6 +122,37 @@ def compare_job_pools(refs: Sequence[dict], fws: Sequence[dict],
     return bool(ok)
 
 
+def sweep_table(member_cfgs: Sequence, values: Sequence[float],
+                keys: Sequence[str]) -> List[dict]:
+    """Pool a per-member scalar observable of a ``run_sweep`` over its
+    ``jobs_per_point`` replicas.
+
+    ``member_cfgs`` is the config list every run_sweep returns (point-
+    major), ``values`` one scalar per member (same order), ``keys`` the
+    swept config fields to group by (e.g. ``("detuning",)`` or
+    ``("gamma", "kappa")``).  Returns one dict per sweep point, in first-
+    appearance order: the key fields plus ``mean``/``sd``/``n`` — the
+    curve a parameter study plots (tag fraction vs detuning, VAF decay
+    vs Gamma, ...)."""
+    groups: Dict[tuple, List[float]] = {}
+    order: List[tuple] = []
+    for mcfg, val in zip(member_cfgs, values):
+        pt = tuple(getattr(mcfg, k) for k in keys)
+        if pt not in groups:
+            groups[pt] = []
+            order.append(pt)
+        groups[pt].append(float(val))
+    out = []
+    for pt in order:
+        vals = np.asarray(groups[pt], np.float64)
+        row = dict(zip(keys, pt))
+        row.update(mean=float(vals.mean()),
+                   sd=float(vals.std(ddof=1)) if len(vals) > 1 else 0.0,
+                   n=len(vals))
+        out.append(row)
+    return out
+
+
 def state_population_profile(job_dir: str, vel_scale: float = 1.0,
                              vmax: float = 3.0, nbins: int = 30,
                              last_k: int = 5, state_col: int = 2,

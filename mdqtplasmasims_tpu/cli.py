@@ -58,6 +58,24 @@ def _add_dataclass_args(parser: argparse.ArgumentParser, cls) -> None:
         # unsupported field types are construction-time only
 
 
+def _sweep_points(parser, grids: dict, cross: bool):
+    """CSV grids -> sweep-point dicts: full cartesian product under
+    ``cross``, else zipped (length-1 grids broadcast as constants)."""
+    if cross:
+        points = [{}]
+        for key, vals in grids.items():
+            points = [{**p, key: v} for p in points for v in vals]
+        return points
+    n_pts = max(len(v) for v in grids.values())
+    for key, vals in grids.items():
+        if len(vals) == 1:
+            grids[key] = vals * n_pts           # broadcast constants
+        elif len(vals) != n_pts:
+            parser.error("zipped sweep needs equal-length grids "
+                         "(use --cross for a product)")
+    return [{k: grids[k][i] for k in grids} for i in range(n_pts)]
+
+
 def _build_cfg(cls, ns: argparse.Namespace):
     kwargs = {}
     for f in dataclasses.fields(cls):
@@ -133,6 +151,47 @@ def main(argv=None) -> int:
     ps.add_argument("--jobs-per-point", type=int, default=1)
     ps.add_argument("--seed", type=int, default=0)
     ps.add_argument("--resume", action="store_true")
+    pt = sub.add_parser(
+        "transport-sweep",
+        help="run a (Gamma, kappa) phase-diagram grid as ONE vmapped "
+             "program — the reference rebuilds the binary per point")
+    _add_dataclass_args(pt, mc_md_anisotropy.MCTransportConfig)
+    pt.add_argument("--gamma-values", type=str, default=None,
+                    metavar="CSV", help="Gamma grid, e.g. 1,3,10,30")
+    pt.add_argument("--kappa-values", type=str, default=None,
+                    metavar="CSV",
+                    help="kappa grid, same length (zipped) or crossed "
+                         "with --cross")
+    pt.add_argument("--cross", action="store_true",
+                    help="full cartesian product of the given grids")
+    pt.add_argument("--jobs-per-point", type=int, default=1)
+    pt.add_argument("--seed", type=int, default=0)
+    # pump-laser (detuning, om) sweeps for the QT tagging families and
+    # the 3-state toy — per-member traced QTParams in one batched program
+    qt_sweeps = {
+        "frozen-tag-sweep": (frozen_tagging.FrozenTagConfig,
+                             frozen_tagging.run_sweep),
+        "mc-tag-sweep": (mc_qt_tagging.MCTagConfig,
+                         mc_qt_tagging.run_sweep),
+        "three-state-sweep": (three_state.ThreeStateConfig,
+                              three_state.run_sweep),
+    }
+    for name, (cls, _) in qt_sweeps.items():
+        pq = sub.add_parser(
+            name,
+            help="run a (detuning, om) laser grid as ONE batched program "
+                 "— the reference rebuilds the binary per point")
+        _add_dataclass_args(pq, cls)
+        pq.add_argument("--det-values", type=str, default=None,
+                        metavar="CSV", help="detuning grid, e.g. -3,-1,0")
+        pq.add_argument("--om-values", type=str, default=None,
+                        metavar="CSV",
+                        help="Rabi grid, same length (zipped) or crossed "
+                             "with --cross")
+        pq.add_argument("--cross", action="store_true",
+                        help="full cartesian product of the given grids")
+        pq.add_argument("--jobs-per-point", type=int, default=1)
+        pq.add_argument("--seed", type=int, default=0)
 
     ns = parser.parse_args(argv)
     t0 = time.perf_counter()
@@ -148,25 +207,46 @@ def main(argv=None) -> int:
         if not grids:
             parser.error("give at least one of --det-sp-values/"
                          "--det-dp-values/--om-values/--om-dp-values")
-        if ns.cross:
-            points = [{}]
-            for key, vals in grids.items():
-                points = [{**p, key: v} for p in points for v in vals]
-        else:
-            n_pts = max(len(v) for v in grids.values())
-            for key, vals in grids.items():
-                if len(vals) == 1:
-                    grids[key] = vals * n_pts       # broadcast constants
-                elif len(vals) != n_pts:
-                    parser.error("zipped sweep needs equal-length grids "
-                                 "(use --cross for a product)")
-            points = [{k: grids[k][i] for k in grids}
-                      for i in range(n_pts)]
+        points = _sweep_points(parser, grids, ns.cross)
         final, outs, mcfgs = laser_cooling.run_sweep(
             cfg, points, jobs_per_point=ns.jobs_per_point, seed=ns.seed,
             resume=ns.resume)
         print(f"[{ns.cmd}] {len(points)} points x {ns.jobs_per_point} "
               f"jobs in one fold, {time.perf_counter() - t0:.1f}s"
+              + (f" -> {cfg.save_directory}" if cfg.save_directory else ""))
+    elif ns.cmd == "transport-sweep":
+        cfg = _build_cfg(mc_md_anisotropy.MCTransportConfig, ns)
+        grids = {}
+        for key, csv in (("gamma", ns.gamma_values),
+                         ("kappa", ns.kappa_values)):
+            if csv is not None:
+                grids[key] = [float(x) for x in csv.split(",") if x]
+        if not grids:
+            parser.error("give at least one of --gamma-values/"
+                         "--kappa-values")
+        points = _sweep_points(parser, grids, ns.cross)
+        results, mcfgs = mc_md_anisotropy.run_sweep(
+            cfg, points, jobs_per_point=ns.jobs_per_point, seed=ns.seed)
+        print(f"[{ns.cmd}] {len(points)} points x {ns.jobs_per_point} "
+              f"jobs in one vmapped program, "
+              f"{time.perf_counter() - t0:.1f}s"
+              + (f" -> {cfg.save_directory}" if cfg.save_directory else ""))
+    elif ns.cmd in qt_sweeps:
+        cls, sweep_fn = qt_sweeps[ns.cmd]
+        cfg = _build_cfg(cls, ns)
+        grids = {}
+        for key, csv in (("detuning", ns.det_values),
+                         ("om", ns.om_values)):
+            if csv is not None:
+                grids[key] = [float(x) for x in csv.split(",") if x]
+        if not grids:
+            parser.error("give at least one of --det-values/--om-values")
+        points = _sweep_points(parser, grids, ns.cross)
+        sweep_fn(cfg, points, jobs_per_point=ns.jobs_per_point,
+                 seed=ns.seed)
+        print(f"[{ns.cmd}] {len(points)} points x {ns.jobs_per_point} "
+              f"jobs in one batched program, "
+              f"{time.perf_counter() - t0:.1f}s"
               + (f" -> {cfg.save_directory}" if cfg.save_directory else ""))
     elif ns.cmd == "cooling-ensemble":
         cfg = _build_cfg(laser_cooling.CoolingConfig, ns)

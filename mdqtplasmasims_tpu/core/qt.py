@@ -73,6 +73,29 @@ def _categorical_sm(u: jax.Array, cum: jax.Array) -> jax.Array:
     return jnp.sum((u[None, :] >= cum).astype(jnp.int32), axis=0)
 
 
+def sweep_qt_params(scheme_unit: LevelScheme, detuning, om,
+                    rdtype, cdtype) -> QTParams:
+    """QTParams for traced ``(detuning, om)`` — the tagging/toy sweep fold.
+
+    The tagging and toy Hamiltonians are *linear* in both knobs with zero
+    intercept: ``e0 = detuning * e0_unit`` (excited rows are -detuning,
+    levels.py tag408/tag422/three_state) and ``coupling = om * C_unit``
+    (every drive coefficient carries -om/2).  So one QTParams built from
+    the *unit* scheme (``detuning=1, om=1``) serves any sweep point via
+    two scalar multiplies, and a [E]-batched pytree of these vmaps over
+    ensemble members — one compiled program for a whole (detuning, om)
+    grid where the reference rebuilds its binary per point
+    (randomFrozenStartTag422Linear.cpp:55-57 compile-time constants).
+
+    Jump tables and decay rates are detuning/om-independent and pass
+    through.  NOT valid for sr12_cooling (two detunings live on shared
+    rows; the fused-kernel sweep covers it — laser_cooling.run_sweep)."""
+    base = _params(scheme_unit, rdtype, cdtype)
+    det = jnp.asarray(detuning, rdtype)
+    return base._replace(e0=det * base.e0,
+                         coupling=jnp.asarray(om, rdtype) * base.coupling)
+
+
 @dataclasses.dataclass(frozen=True)
 class QTEngine:
     """Jittable quantum-trajectory stepper for one level scheme.
@@ -140,18 +163,27 @@ class QTEngine:
             p.decay_w[:, None] * (phi.real ** 2 + phi.imag ** 2), axis=0)
 
     def step_sm(self, psi: jax.Array, vx: jax.Array, t_part: jax.Array,
-                key: Optional[jax.Array] = None, exp_det=0.0, rolls=None):
+                key: Optional[jax.Array] = None, exp_det=0.0, rolls=None,
+                params: Optional[QTParams] = None, force_scale=None):
         """Advance every ion one quantum tick.  psi: [S,N] (state-major).
 
         Returns ``(psi, vx, t_part)``.  ``exp_det`` is the scalar
         expansion-frame detuning (units of gamma) added to the Doppler
         shift.  Exactly one of ``key`` / ``rolls`` must be given:
         ``rolls`` supplies the [5, N] uniforms (drawn in batch by the
-        scheduler — one RNG call per MD step instead of one per tick)."""
+        scheduler — one RNG call per MD step instead of one per tick).
+
+        ``params`` overrides the scheme-derived QTParams with traced
+        arrays (per-member detuning/om sweeps — see sweep_qt_params);
+        ``force_scale`` scales the Ehrenfest kick by a traced scalar (the
+        toy scheme's force_w is om-linear, so an om sweep passes
+        om/om_base here).  Jump recoils are om-independent (fixed photon
+        momentum) and are never scaled."""
         if key is None and rolls is None:
             raise ValueError("step_sm needs either key= or rolls=")
         rdtype = vx.dtype
-        p = _params(self.scheme, rdtype, psi.dtype)
+        p = (_params(self.scheme, rdtype, psi.dtype)
+             if params is None else params)
         h = jnp.asarray(self.h, rdtype)
         S, n = psi.shape
 
@@ -197,6 +229,8 @@ class QTEngine:
                 kick_nojump = kick_nojump + jnp.asarray(w, rdtype) * (
                     jnp.imag(psi[a, :] * jnp.conj(psi[b, :])))
             kick_nojump = kick_nojump * h
+            if force_scale is not None:
+                kick_nojump = kick_nojump * jnp.asarray(force_scale, rdtype)
 
         # ---- jump branch: collapse ----
         pop = psi.real ** 2 + psi.imag ** 2                # [S,N]
@@ -240,9 +274,12 @@ class QTEngine:
     # ---- ion-major ([N, S]) convenience wrapper -------------------------
 
     def step(self, psi: jax.Array, vx: jax.Array, t_part: jax.Array,
-             key: jax.Array, exp_det=0.0):
+             key: jax.Array, exp_det=0.0, params: Optional[QTParams] = None,
+             force_scale=None):
         """[N,S]-layout wrapper around :meth:`step_sm`."""
-        psi_sm, vx, t_part = self.step_sm(psi.T, vx, t_part, key, exp_det)
+        psi_sm, vx, t_part = self.step_sm(psi.T, vx, t_part, key, exp_det,
+                                          params=params,
+                                          force_scale=force_scale)
         return psi_sm.T, vx, t_part
 
 

@@ -360,6 +360,9 @@ class FrozenTagScheduler:
     ratio: int
     t_pump_start: float
     t_pump_end: float
+    # traced per-member QTParams override (detuning/om sweeps —
+    # core/qt.sweep_qt_params); None -> the engine's static scheme
+    qt_params: Optional[object] = None
 
     def md_step_pure(self, state: SimState) -> SimState:
         """MD step for steps whose ticks are entirely OUTSIDE the pump
@@ -409,7 +412,8 @@ class FrozenTagScheduler:
             def pump(args):
                 psi_sm, tp = args
                 psi2, _, tp2 = self.engine.step_sm(psi_sm, vx, tp,
-                                                   rolls=rolls)
+                                                   rolls=rolls,
+                                                   params=self.qt_params)
                 return psi2, tp2
 
             # outside the pump window time advances with no quantum work
@@ -436,6 +440,7 @@ class MCTagScheduler:
     L: float
     dt: float            # MD timestep (0.005)
     ratio: int
+    qt_params: Optional[object] = None   # see FrozenTagScheduler
 
     def md_step(self, state: SimState) -> SimState:
         n = state.R.shape[0]
@@ -446,7 +451,8 @@ class MCTagScheduler:
 
         def tick(c, rolls):
             psi_sm, tp = c
-            psi_sm, _, tp = self.engine.step_sm(psi_sm, vx, tp, rolls=rolls)
+            psi_sm, _, tp = self.engine.step_sm(psi_sm, vx, tp, rolls=rolls,
+                                                params=self.qt_params)
             return (psi_sm, tp), None
 
         (psi_sm, tp), _ = jax.lax.scan(

@@ -129,13 +129,24 @@ class FrozenTagConfig:
         return tag408(self.detuning, self.om,
                       linear=(self.variant == "408linear"))
 
+    def scheme_unit(self):
+        """The variant's scheme at detuning=om=1 — the base pattern that
+        sweep folds scale per member (core/qt.sweep_qt_params)."""
+        if self.variant == "422linear":
+            return tag422(1.0, 1.0)
+        return tag408(1.0, 1.0, linear=(self.variant == "408linear"))
+
     def spin_up_probability(self, psi):
         if self.variant == "422linear":
             return spin_up_probability_422(psi)
         return spin_up_probability_408(psi)
 
 
-def build_scheduler(cfg: FrozenTagConfig) -> FrozenTagScheduler:
+def build_scheduler(cfg: FrozenTagConfig,
+                    qt_params=None) -> FrozenTagScheduler:
+    """``qt_params``: optional traced QTParams override (one sweep
+    member's detuning/om — core/qt.sweep_qt_params); None uses cfg's
+    static scheme."""
     pu = PlasmaUnits(cfg.density, cfg.ge)
     L = PlasmaUnits.box_length(cfg.n0)
     u = cfg.units
@@ -149,7 +160,8 @@ def build_scheduler(cfg: FrozenTagConfig) -> FrozenTagScheduler:
         forces_fn=best_forces_fn(cfg.n0, L, pu.debye_length,
                                  use_pallas=cfg.use_pallas),
         L=L, qdt=cfg.qdt, ratio=cfg.ratio,
-        t_pump_start=cfg.tstart, t_pump_end=cfg.tend)
+        t_pump_start=cfg.tstart, t_pump_end=cfg.tend,
+        qt_params=qt_params)
 
 
 def initial_state(cfg: FrozenTagConfig, seed: Optional[int] = None) -> SimState:
@@ -184,12 +196,15 @@ def resume_run(directory: str, c0: int, cfg: FrozenTagConfig):
 
 
 @partial(jax.jit, static_argnames=("cfg", "n_md"))
-def run_phase_a(cfg: FrozenTagConfig, state: SimState, n_md: int) -> SimState:
+def run_phase_a(cfg: FrozenTagConfig, state: SimState, n_md: int,
+                qt_params=None) -> SimState:
     """MD up to the pump end.  The pump window [tstart, tend] is static,
     so the loop splits at trace time into [pure MD | windowed MDQT |
     pure MD] — only the handful of MD steps that can overlap the window
-    pay for the quantum tick scan (see scheduler.md_step_pure)."""
-    sched = build_scheduler(cfg)
+    pay for the quantum tick scan (see scheduler.md_step_pure).
+    ``qt_params`` overrides the pump Hamiltonian with traced per-member
+    (detuning, om) tables (run_sweep)."""
+    sched = build_scheduler(cfg, qt_params)
     dt_md = cfg.qdt * cfg.ratio
     k_lo = max(0, min(n_md, int(cfg.tstart / dt_md) - 1))
     k_hi = max(k_lo, min(n_md, int(np.ceil(cfg.tend / dt_md)) + 1))
@@ -327,20 +342,12 @@ def run(cfg: FrozenTagConfig, seed: Optional[int] = None):
     return final, results
 
 
-def run_ensemble(cfg: FrozenTagConfig, n_jobs: int, seed: int = 0):
-    """Batched job array on one device — the TPU-native replacement for
-    the reference's SLURM array over randomFrozenStartTag* jobs
-    (README.md:63: pooled statistics need 10+ jobs).  All three phases
-    vmap over the job axis: one compiled program advances every
-    trajectory's MD + windowed pumping together (the Pallas force kernel
-    batches through vmap's grid-dim lifting; the pump-window QT scan is
-    job-parallel XLA).  Per-job .dat trees land in ``job<k>/`` exactly as
-    the array jobs' would.  Returns the per-job results list."""
-    if not cfg.exact_n:
-        raise NotImplementedError("Poissonian-N tagging ensembles: use "
-                                  "independent runs (cli --jobs) until "
-                                  "masks are threaded through the "
-                                  "tagging output blocks")
+def _run_batched(cfg: FrozenTagConfig, member_cfgs, keys, qt_params=None):
+    """vmap all three phases over the member axis (one compiled program;
+    the Pallas force kernel batches through vmap's grid-dim lifting, the
+    pump-window QT scan is member-parallel XLA), fetch once, write each
+    member's .dat tree under its own param-encoded directory.
+    ``qt_params``: optional [E]-batched QTParams pytree (sweep folds)."""
     cfg_run = dataclasses.replace(cfg, job=1, save_directory=None)
     pu = PlasmaUnits(cfg.density, cfg.ge)
     L = PlasmaUnits.box_length(cfg.n0)
@@ -350,8 +357,6 @@ def run_ensemble(cfg: FrozenTagConfig, n_jobs: int, seed: int = 0):
     remaining = n_md_total - n_md_a - first
     seg_lengths = (first,) + (cfg.sample_freq,) * max(
         0, remaining // cfg.sample_freq)
-
-    keys = jax.random.split(jax.random.PRNGKey(seed), n_jobs)
 
     def init_one(key):
         k_init, k_run = jax.random.split(key)
@@ -368,7 +373,11 @@ def run_ensemble(cfg: FrozenTagConfig, n_jobs: int, seed: int = 0):
     epot0 = jax.jit(jax.vmap(
         lambda R: yukawa_potential(R, L, pu.debye_length)))(states.R)
 
-    states = jax.vmap(lambda s: run_phase_a(cfg_run, s, n_md_a))(states)
+    if qt_params is None:
+        states = jax.vmap(lambda s: run_phase_a(cfg_run, s, n_md_a))(states)
+    else:
+        states = jax.vmap(lambda s, p: run_phase_a(
+            cfg_run, s, n_md_a, qt_params=p))(states, qt_params)
     states, spin_up, vholder = jax.vmap(
         lambda s: measure(cfg_run, s))(states)
     out_tag = jax.vmap(lambda s, u, v, e: tag_instant_output(
@@ -385,21 +394,84 @@ def run_ensemble(cfg: FrozenTagConfig, n_jobs: int, seed: int = 0):
     epot0_np = np.asarray(safe_device_get(epot0))
 
     results = []
-    for j in range(n_jobs):
+    for j, mcfg in enumerate(member_cfgs):
         res = dict(outs=jax.tree.map(lambda a: a[j], outs_np),
                    out_tag=jax.tree.map(lambda a: a[j], out_tag_np),
                    spin_up=spin_np[j], epot0=float(epot0_np[j]),
                    final=jax.tree.map(lambda a: a[j], final_np),
                    n_md_a=n_md_a)
         results.append(res)
-        if cfg.save_directory is not None:
-            d = frozen_tag_dir(cfg.save_directory,
-                               tpump_seconds=cfg.tpump_seconds,
-                               tstart=cfg.tstart, detuning=cfg.detuning,
-                               om=cfg.om, density=cfg.density, ge=cfg.ge,
-                               n0=cfg.n0, job=j + 1)
-            write_outputs(d, cfg, res, n_md_total)
+        if mcfg.save_directory is not None:
+            d = frozen_tag_dir(mcfg.save_directory,
+                               tpump_seconds=mcfg.tpump_seconds,
+                               tstart=mcfg.tstart, detuning=mcfg.detuning,
+                               om=mcfg.om, density=mcfg.density,
+                               ge=mcfg.ge, n0=mcfg.n0, job=mcfg.job)
+            write_outputs(d, mcfg, res, n_md_total)
     return results
+
+
+def run_ensemble(cfg: FrozenTagConfig, n_jobs: int, seed: int = 0):
+    """Batched job array on one device — the TPU-native replacement for
+    the reference's SLURM array over randomFrozenStartTag* jobs
+    (README.md:63: pooled statistics need 10+ jobs).  Per-job .dat trees
+    land in ``job<k>/`` exactly as the array jobs' would.  Returns the
+    per-job results list."""
+    if not cfg.exact_n:
+        raise NotImplementedError("Poissonian-N tagging ensembles: use "
+                                  "independent runs (cli --jobs) until "
+                                  "masks are threaded through the "
+                                  "tagging output blocks")
+    keys = jax.random.split(jax.random.PRNGKey(seed), n_jobs)
+    member_cfgs = [dataclasses.replace(cfg, job=j + 1)
+                   for j in range(n_jobs)]
+    return _run_batched(cfg, member_cfgs, keys)
+
+
+def run_sweep(cfg: FrozenTagConfig, points, jobs_per_point: int = 1,
+              seed: int = 0):
+    """Run a pump-laser (detuning, om) grid as ONE vmapped program.
+
+    The reference compiles the pump detuning and Rabi frequency into each
+    tagging binary (randomFrozenStartTag422Linear.cpp:55-57) and rebuilds
+    per point; mapping the tagged velocity class vs detuning therefore
+    costs a rebuild + SLURM array per point.  Here the pump Hamiltonian
+    is linear in both knobs, so each member carries its own traced
+    QTParams (core/qt.sweep_qt_params: e0 = detuning*e0_unit, coupling =
+    om*C_unit) through the vmapped pump window — every grid point costs
+    one more batched member.
+
+    ``points``: dicts with keys among ``detuning``/``om`` (unset fields
+    keep cfg's value).  ``jobs_per_point`` replicates each point with
+    independent seeds; member order is point-major.  With
+    ``cfg.save_directory`` set, each member writes the full reference
+    .dat tree under its own detuning/om-encoded directory.  Returns
+    ``(results, member_cfgs)``."""
+    if not cfg.exact_n:
+        raise NotImplementedError("sweeps pin N=n0 (exact_n=True)")
+    from ..core.qt import sweep_qt_params
+    allowed = {"detuning", "om"}
+    member_cfgs = []
+    for pt in points:
+        ov = dict(pt)
+        bad = set(ov) - allowed
+        if bad:
+            # only knobs the pump Hamiltonian is linear in can vary
+            # inside one fold; tpump/tstart/n0 shape the traced program
+            raise ValueError(f"sweep points can only override "
+                             f"{sorted(allowed)}, got {sorted(bad)}")
+        for r in range(jobs_per_point):
+            member_cfgs.append(dataclasses.replace(cfg, job=r + 1, **ov))
+    keys = jax.random.split(jax.random.PRNGKey(seed), len(member_cfgs))
+    rdtype = cfg.np_dtype
+    cdtype = jnp.complex64 if cfg.dtype == "float32" else jnp.complex128
+    unit = cfg.scheme_unit()
+    dets = jnp.asarray([m.detuning for m in member_cfgs], rdtype)
+    oms = jnp.asarray([m.om for m in member_cfgs], rdtype)
+    params = jax.vmap(
+        lambda d, o: sweep_qt_params(unit, d, o, rdtype, cdtype))(dets, oms)
+    results = _run_batched(cfg, member_cfgs, keys, qt_params=params)
+    return results, member_cfgs
 
 
 def write_outputs(directory: str, cfg: FrozenTagConfig, res: dict,

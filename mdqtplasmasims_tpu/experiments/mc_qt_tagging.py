@@ -122,6 +122,13 @@ class MCTagConfig:
         return tag408(self.detuning, self.om,
                       linear=(self.variant == "408linear"))
 
+    def scheme_unit(self):
+        """The variant's scheme at detuning=om=1 — the base pattern that
+        sweep folds scale per member (core/qt.sweep_qt_params)."""
+        if self.is_422:
+            return tag422(1.0, 1.0, decay_ratio=DECAY_RATIO_422_MC)
+        return tag408(1.0, 1.0, linear=(self.variant == "408linear"))
+
     def spin_up_probability(self, psi):
         return (spin_up_probability_422(psi) if self.is_422
                 else spin_up_probability_408(psi))
@@ -154,9 +161,12 @@ def md_phase(cfg: MCTagConfig, R, V, A, key, n_steps: int,
 
 
 @partial(jax.jit, static_argnames=("cfg",))
-def pump_phase(cfg: MCTagConfig, R, V, A, psi, t_part, key):
+def pump_phase(cfg: MCTagConfig, R, V, A, psi, t_part, key,
+               qt_params=None):
     """pumpMDTimeSteps x [ratio qsteps; MDStep]
-    (MonteCarlo...408Quad.cpp:1230-1235)."""
+    (MonteCarlo...408Quad.cpp:1230-1235).  ``qt_params`` overrides the
+    pump Hamiltonian with traced per-member (detuning, om) tables
+    (run_sweep)."""
     u = cfg.units
     engine = QTEngine(cfg.scheme(), h=cfg.qdt * u.gamma_to_einstein,
                       dt_plasma=cfg.qdt,
@@ -164,7 +174,8 @@ def pump_phase(cfg: MCTagConfig, R, V, A, psi, t_part, key):
                       gamma_to_einstein=u.gamma_to_einstein,
                       apply_force=False)
     sched = MCTagScheduler(engine=engine, forces_fn=_forces(cfg), L=cfg.L,
-                           dt=cfg.timestep, ratio=cfg.ratio)
+                           dt=cfg.timestep, ratio=cfg.ratio,
+                           qt_params=qt_params)
     state = make_state(R, V, psi, key, dtype=cfg.np_dtype)
     state = state._replace(F=A, t_part=t_part)
     state = jax.lax.fori_loop(0, cfg.pump_md_steps,
@@ -248,22 +259,18 @@ def run(cfg: MCTagConfig, seed: Optional[int] = None) -> dict:
     return results
 
 
-def run_ensemble(cfg: MCTagConfig, n_jobs: int, seed: int = 0):
-    """Batched MC->MD->pump->tag->record job array on one device (the
-    reference's SLURM array over MonteCarloFollowedByQTTagging* jobs).
-    The whole per-job pipeline vmaps over the job axis — every stage
+def _run_batched(cfg: MCTagConfig, member_cfgs, keys, qt_params=None):
+    """vmap the whole per-job pipeline over the member axis — every stage
     (Metropolis equilibration, collisional MD, pump-window QT, projective
-    tag, collisionless recording, FFT autocorrelations) runs job-parallel
-    in one compiled program.  Per-job .dat trees land in ``job<k>/``;
-    returns the per-job results list."""
+    tag, collisionless recording, FFT autocorrelations) runs
+    member-parallel in one compiled program.  ``qt_params``: optional
+    [E]-batched QTParams pytree (sweep folds)."""
     cfg_run = dataclasses.replace(cfg, job=1, save_directory=None)
     dt = cfg.np_dtype
-    keys = jax.random.split(jax.random.PRNGKey(seed), n_jobs)
     mc = MetropolisMC(L=cfg.L, ldeb=1.0 / cfg.kappa, gamma=cfg.gamma)
     forces = _forces(cfg_run)
 
-    @jax.jit
-    def pipeline(key):
+    def pipeline(key, qt_p=None):
         k_lat, k_psi, k_mc, _, k_run = jax.random.split(key, 5)
         R, V = lattice_init(k_lat, cfg.n, cfg.gamma, cfg.L, dtype=dt)
         psi = random_s_superposition(
@@ -275,7 +282,7 @@ def run_ensemble(cfg: MCTagConfig, n_jobs: int, seed: int = 0):
                                   cfg.pre_record_md_steps,
                                   cfg.collision_freq)
         state = pump_phase(cfg_run, R, V, A, psi,
-                           jnp.zeros((cfg.n,), dt), k_run)
+                           jnp.zeros((cfg.n,), dt), k_run, qt_params=qt_p)
         key2, k_meas = jax.random.split(state.key)
         p = cfg_run.spin_up_probability(state.psi)
         tags = jax.random.uniform(k_meas, p.shape, p.dtype) < p
@@ -288,17 +295,74 @@ def run_ensemble(cfg: MCTagConfig, n_jobs: int, seed: int = 0):
                     long_visc=long_visc, v_cube=v_cube,
                     v_fourth=v_fourth, R=R, V=V)
 
-    batched = jax.vmap(pipeline)(keys)
+    if qt_params is None:
+        batched = jax.jit(jax.vmap(pipeline))(keys)
+    else:
+        batched = jax.jit(jax.vmap(pipeline))(keys, qt_params)
     jax.block_until_ready(batched["R"])
     batched_np = {k: safe_device_get(v) for k, v in batched.items()}
 
     results = []
-    for j in range(n_jobs):
+    for j, mcfg in enumerate(member_cfgs):
         res = {k: v[j] for k, v in batched_np.items()}
         results.append(res)
-        if cfg.save_directory is not None:
-            _write_outputs(dataclasses.replace(cfg, job=j + 1), res)
+        if mcfg.save_directory is not None:
+            _write_outputs(mcfg, res)
     return results
+
+
+def run_ensemble(cfg: MCTagConfig, n_jobs: int, seed: int = 0):
+    """Batched MC->MD->pump->tag->record job array on one device (the
+    reference's SLURM array over MonteCarloFollowedByQTTagging* jobs).
+    Per-job .dat trees land in ``job<k>/``; returns the per-job results
+    list."""
+    keys = jax.random.split(jax.random.PRNGKey(seed), n_jobs)
+    member_cfgs = [dataclasses.replace(cfg, job=j + 1)
+                   for j in range(n_jobs)]
+    return _run_batched(cfg, member_cfgs, keys)
+
+
+def run_sweep(cfg: MCTagConfig, points, jobs_per_point: int = 1,
+              seed: int = 0):
+    """Run a pump-laser (detuning, om) grid as ONE vmapped program.
+
+    The reference compiles the pump detuning and Rabi frequency into each
+    tagging binary (MonteCarloFollowedByQTTagging408Quad.cpp:96-100) and
+    rebuilds per point.  Here the pump Hamiltonian is linear in both
+    knobs, so each member carries its own traced QTParams
+    (core/qt.sweep_qt_params) through the vmapped pump phase — every grid
+    point costs one more batched member, and the expensive shared stages
+    (MC anneal, MD, recording, FFT suite) batch with it.
+
+    ``points``: dicts with keys among ``detuning``/``om`` (unset fields
+    keep cfg's value).  ``jobs_per_point`` replicates each point with
+    independent seeds; member order is point-major.  With
+    ``cfg.save_directory`` set, each member writes the full reference
+    .dat tree under its own detuning/om-encoded directory.  Returns
+    ``(results, member_cfgs)``."""
+    from ..core.qt import sweep_qt_params
+    allowed = {"detuning", "om"}
+    member_cfgs = []
+    for pt in points:
+        ov = dict(pt)
+        bad = set(ov) - allowed
+        if bad:
+            # only knobs the pump Hamiltonian is linear in can vary
+            # inside one fold; tpump/n/gamma/kappa shape the program
+            raise ValueError(f"sweep points can only override "
+                             f"{sorted(allowed)}, got {sorted(bad)}")
+        for r in range(jobs_per_point):
+            member_cfgs.append(dataclasses.replace(cfg, job=r + 1, **ov))
+    keys = jax.random.split(jax.random.PRNGKey(seed), len(member_cfgs))
+    rdtype = cfg.np_dtype
+    cdtype = jnp.complex64 if cfg.dtype == "float32" else jnp.complex128
+    unit = cfg.scheme_unit()
+    dets = jnp.asarray([m.detuning for m in member_cfgs], rdtype)
+    oms = jnp.asarray([m.om for m in member_cfgs], rdtype)
+    params = jax.vmap(
+        lambda d, o: sweep_qt_params(unit, d, o, rdtype, cdtype))(dets, oms)
+    results = _run_batched(cfg, member_cfgs, keys, qt_params=params)
+    return results, member_cfgs
 
 
 def _write_outputs(cfg: MCTagConfig, res: dict) -> None:

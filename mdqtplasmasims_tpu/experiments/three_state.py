@@ -58,13 +58,17 @@ def build_engine(cfg: ThreeStateConfig) -> QTEngine:
 
 @partial(jax.jit, static_argnames=("cfg", "n_segments"))
 def run_compiled(cfg: ThreeStateConfig, V, psi, t_part, key,
-                 n_segments: int):
+                 n_segments: int, qt_params=None, force_scale=None):
+    """``qt_params``/``force_scale`` override the Hamiltonian with traced
+    per-member (detuning, om) tables and scale the om-linear Ehrenfest
+    kick (run_sweep); None takes cfg's static scheme."""
     eng = build_engine(cfg)
 
     def tick(c, _):
         V, psi, tp, key = c
         key, sub = jax.random.split(key)
-        psi, vx, tp = eng.step(psi, V[:, 0], tp, sub)
+        psi, vx, tp = eng.step(psi, V[:, 0], tp, sub, params=qt_params,
+                               force_scale=force_scale)
         V = V.at[:, 0].set(vx)
         return (V, psi, tp, key), None
 
@@ -171,6 +175,91 @@ def run_ensemble(cfg: ThreeStateConfig, n_jobs: int, seed: int = 0):
             w.append("energies.dat",
                      np.stack([t_axis, recs[j, :, 0]], -1))
     return results
+
+
+def run_sweep(cfg: ThreeStateConfig, points, jobs_per_point: int = 1,
+              seed: int = 0):
+    """Run a laser (detuning, om) grid as ONE batched QT program.
+
+    The reference compiles detuning/Om into the binary
+    (laserCoolNoPlasmaThreeState.cpp:85-87) and rebuilds per point — e.g.
+    a Doppler-limit-vs-detuning curve costs one build+run each.  Here the
+    toy Hamiltonian is linear in both knobs, so each member carries its
+    own traced QTParams (core/qt.sweep_qt_params) and an om force scale
+    (the Ehrenfest kick is om-linear; jump recoils are fixed at vkick)
+    through the vmapped tick loop.
+
+    ``points``: dicts with keys among ``detuning``/``om``.
+    ``jobs_per_point`` replicates each point with independent seeds;
+    member order is point-major.  Writes each member's energies.dat under
+    its own Om/detuning-encoded directory.  Returns ``(results,
+    member_cfgs)`` with results as in run_ensemble (row-stacked)."""
+    from ..core.qt import sweep_qt_params
+    allowed = {"detuning", "om"}
+    member_cfgs = []
+    for pt in points:
+        ov = dict(pt)
+        bad = set(ov) - allowed
+        if bad:
+            raise ValueError(f"sweep points can only override "
+                             f"{sorted(allowed)}, got {sorted(bad)}")
+        for r in range(jobs_per_point):
+            member_cfgs.append(dataclasses.replace(cfg, job=r + 1, **ov))
+    n_members = len(member_cfgs)
+    base_keys = jax.random.split(jax.random.PRNGKey(seed), n_members)
+    sigma = SQRT_KELVIN_TO_PLASMA_VEL * np.sqrt(cfg.temperature_k)
+    cdt = jnp.complex128 if cfg.dtype == "float64" else jnp.complex64
+    rdtype = cfg.np_dtype
+    unit = three_state(1.0, 1.0, cfg.vkick)
+    dets = jnp.asarray([m.detuning for m in member_cfgs], rdtype)
+    oms = jnp.asarray([m.om for m in member_cfgs], rdtype)
+    params = jax.vmap(
+        lambda d, o: sweep_qt_params(unit, d, o, rdtype, cdt))(dets, oms)
+
+    @jax.jit
+    def init_one(key):
+        kv, krun = jax.random.split(key)
+        V = jax.random.normal(kv, (cfg.n0, 3), rdtype) * jnp.asarray(
+            sigma, rdtype)
+        psi = jnp.zeros((cfg.n0, 3), cdt).at[:, 0].set(1.0)
+        return V, psi, jnp.zeros((cfg.n0,), rdtype), krun
+
+    carry = jax.vmap(init_one)(base_keys)
+    n_segments = int(cfg.tmax / cfg.dt) // cfg.sample_freq
+    cfg_run = dataclasses.replace(cfg, job=1, save_directory=None)
+    group = min(cfg.dispatch_segments or n_segments, n_segments)
+    rec_groups, done = [], 0
+    step = jax.vmap(lambda V, psi, tp, k, g, p, fs: run_compiled(
+        cfg_run, V, psi, tp, k, g, qt_params=p, force_scale=fs),
+        in_axes=(0, 0, 0, 0, None, 0, 0))
+    # the engine's static scheme bakes force_w = vkick*cfg.om; scale it
+    # to each member's om (e0/coupling come absolute from qt_params)
+    if cfg.om == 0.0 and any(m.om != 0.0 for m in member_cfgs):
+        raise ValueError("om sweep needs a nonzero cfg.om base "
+                         "(force_w scales relative to it)")
+    fscales = oms / jnp.asarray(cfg.om if cfg.om != 0.0 else 1.0, rdtype)
+    while done < n_segments:
+        g = min(group, n_segments - done)
+        carry, recs_g = step(*carry, g, params, fscales)
+        rec_groups.append(recs_g)
+        done += g
+    jax.block_until_ready(carry[0])
+    recs = np.concatenate([np.asarray(safe_device_get(r))
+                           for r in rec_groups], axis=1)   # [E, S, 2]
+    t_axis = (np.arange(1, n_segments + 1) * cfg.sample_freq) * cfg.dt
+    results = dict(t=t_axis, ekin_x=recs[:, :, 0],
+                   ground_pop=recs[:, :, 1],
+                   V=np.asarray(safe_device_get(carry[0])))
+    for j, mcfg in enumerate(member_cfgs):
+        if mcfg.save_directory is not None:
+            d = three_state_dir(mcfg.save_directory, om=mcfg.om,
+                                detuning=mcfg.detuning, n0=mcfg.n0,
+                                temperature_k=mcfg.temperature_k,
+                                job=mcfg.job)
+            w = DatWriter(d)
+            w.append("energies.dat",
+                     np.stack([t_axis, recs[j, :, 0]], -1))
+    return results, member_cfgs
 
 
 def doppler_limit_ekin(detuning: float, om: float = 0.0) -> float:

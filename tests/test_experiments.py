@@ -819,3 +819,182 @@ class TestRabiSweep:
         assert any("OmSP50OmDP130" in d for d in dirs)
         for d in dirs:
             assert os.path.exists(os.path.join(d, "job1", "energies.dat"))
+
+
+class TestTransportSweep:
+    """(Gamma, kappa) phase-diagram sweeps folded into one vmapped
+    transport program (run_sweep): Gamma and the screening length enter
+    the traced pipeline as per-member scalars — the force kernel reads
+    1/ldeb from its position operand (ops/yukawa._half_pair_tile) — where
+    the reference rebuilds the binary per (Gamma, kappa) point
+    (MonteCarloFollowedByMDAndTempAnisotropy.cpp:64-65)."""
+
+    BASE = dict(n=27, mc_steps=400, gr_every_mc=200,
+                pre_record_md_steps=10, record_steps=40,
+                gr_every_record=20, instant_aniso_steps=10,
+                reequil_steps=10, aniso_relax_steps=10, aniso_time_us=1.0)
+
+    def test_traced_overrides_match_static_single_step(self):
+        """One MD step with traced (gamma, ldeb) equal to cfg's values
+        reproduces the static-cfg step to f32 rounding tolerance — pins
+        the override plumbing deterministically (longer runs diverge
+        chaotically from the 1-ulp sqrt(1/gamma) rounding difference)."""
+        from mdqtplasmasims_tpu.experiments.mc_md_anisotropy import md_stage
+        cfg = MCTransportConfig(**self.BASE)
+        key = jax.random.PRNGKey(3)
+        kl, kr = jax.random.split(key)
+        from mdqtplasmasims_tpu.core.init import lattice_init
+        R, V = lattice_init(kl, cfg.n, cfg.gamma, cfg.L,
+                            dtype=cfg.np_dtype)
+        from mdqtplasmasims_tpu.experiments.mc_md_anisotropy import _forces
+        A = _forces(cfg)(R)
+        (Rs_, Vs_, As_, _), _ = md_stage(cfg, R, V, A, kr, 1,
+                                         collision_freq=cfg.collision_freq)
+        (Rt_, Vt_, At_, _), _ = md_stage(
+            cfg, R, V, A, kr, 1, collision_freq=cfg.collision_freq,
+            gamma=jnp.asarray(cfg.gamma, cfg.np_dtype),
+            ldeb=jnp.asarray(cfg.ldeb, cfg.np_dtype))
+        np.testing.assert_allclose(np.asarray(Rt_), np.asarray(Rs_),
+                                   rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(Vt_), np.asarray(Vs_),
+                                   rtol=1e-5, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(At_), np.asarray(As_),
+                                   rtol=1e-5, atol=1e-5)
+
+    def test_gamma_sets_member_temperature(self):
+        """Members at different Gamma in ONE fold keep their own thermal
+        scale: recorded <v^2> tracks 1/Gamma per member."""
+        from mdqtplasmasims_tpu.experiments.mc_md_anisotropy import run_sweep
+        cfg = MCTransportConfig(**self.BASE)
+        results, mcfgs = run_sweep(
+            cfg, [{"gamma": 0.5}, {"gamma": 30.0}], seed=5)
+        t_hot = results[0]["temps"].mean()
+        t_cold = results[1]["temps"].mean()
+        assert t_hot > 5 * t_cold, (t_hot, t_cold)
+        # both in the right absolute range (correlation effects shift
+        # <v^2> from 1/Gamma by O(10%), not O(2x))
+        assert 0.8 < t_hot / (1.0 / 0.5) < 1.6, t_hot
+        assert 0.5 < t_cold / (1.0 / 30.0) < 2.5, t_cold
+        assert [m.gamma for m in mcfgs] == [0.5, 30.0]
+
+    def test_kappa_sets_member_screening(self):
+        """Members at different kappa in one fold feel different forces:
+        weak screening (small kappa) at the same Gamma couples harder, so
+        its MC acceptance is lower."""
+        from mdqtplasmasims_tpu.experiments.mc_md_anisotropy import run_sweep
+        cfg = MCTransportConfig(**self.BASE)
+        results, _ = run_sweep(
+            cfg, [{"kappa": 0.3}, {"kappa": 3.0}], seed=6)
+        acc_strong = int(results[0]["mc_accepted"])
+        acc_weak = int(results[1]["mc_accepted"])
+        assert acc_weak > acc_strong, (acc_strong, acc_weak)
+
+    def test_run_sweep_writes_per_point_dirs(self, tmp_path):
+        from mdqtplasmasims_tpu.experiments.mc_md_anisotropy import run_sweep
+        cfg = MCTransportConfig(save_directory=str(tmp_path), **self.BASE)
+        results, mcfgs = run_sweep(
+            cfg, [{"gamma": 1.0, "kappa": 0.5},
+                  {"gamma": 10.0, "kappa": 1.0}],
+            jobs_per_point=2, seed=7)
+        assert len(results) == 4
+        import glob
+        dirs = sorted(os.path.basename(d)
+                      for d in glob.glob(str(tmp_path / "*")))
+        assert set(dirs) == {"Gamma100Kappa50NumIons27",
+                             "Gamma1000Kappa100NumIons27"}
+        for d in dirs:
+            for j in (1, 2):
+                jd = tmp_path / d / f"job{j}"
+                assert (jd / "VAF.dat").exists()
+                assert (jd / "temperature.dat").exists()
+
+    def test_sweep_validation(self):
+        from mdqtplasmasims_tpu.experiments.mc_md_anisotropy import run_sweep
+        cfg = MCTransportConfig(**self.BASE)
+        with pytest.raises(ValueError, match="override"):
+            run_sweep(cfg, [{"n": 64}])
+
+
+class TestTaggingSweeps:
+    """Pump-laser (detuning, om) sweeps folded into one batched program
+    for the tagging families and the 3-state toy: per-member traced
+    QTParams (core/qt.sweep_qt_params) replace the reference's per-point
+    binary rebuild (randomFrozenStartTag422Linear.cpp:55-57,
+    MonteCarloFollowedByQTTagging408Quad.cpp:96-100,
+    laserCoolNoPlasmaThreeState.cpp:85-87)."""
+
+    def test_frozen_sweep_identity_member_matches_ensemble(self):
+        """A sweep member at cfg's own (detuning, om) reproduces the
+        plain ensemble member bit-for-bit (the 422 tables scale exactly:
+        det*(-1) and om*(-om_unit/2) round identically)."""
+        from mdqtplasmasims_tpu.experiments.frozen_tagging import (
+            run_ensemble, run_sweep)
+        cfg = FrozenTagConfig(variant="422linear", n0=48, tstart=1.0,
+                              tmax=3.0, timestep=0.01, sample_freq=20,
+                              tpump_seconds=2e-7)
+        res, mcfgs = run_sweep(
+            cfg, [{"detuning": cfg.detuning, "om": cfg.om},
+                  {"detuning": -6.0}], seed=2)
+        ens = run_ensemble(cfg, 1, seed=2)
+        np.testing.assert_array_equal(res[0]["outs"]["moments"],
+                                      ens[0]["outs"]["moments"])
+        np.testing.assert_array_equal(res[0]["spin_up"], ens[0]["spin_up"])
+        assert [m.detuning for m in mcfgs] == [cfg.detuning, -6.0]
+
+    def test_frozen_sweep_detuning_changes_pumping(self, tmp_path):
+        """Far-detuned pump moves the spin-up fraction toward the
+        unpumped 50/50 baseline; near-resonant pumping polarizes away
+        from it.  Each point writes its own detuning-encoded .dat tree."""
+        from mdqtplasmasims_tpu.experiments.frozen_tagging import run_sweep
+        cfg = FrozenTagConfig(variant="422linear", n0=128, tstart=1.0,
+                              tmax=3.0, timestep=0.01, sample_freq=20,
+                              tpump_seconds=2e-7,
+                              save_directory=str(tmp_path))
+        res, _ = run_sweep(cfg, [{"detuning": -1.0}, {"detuning": -12.0}],
+                           seed=3)
+        near = abs(res[0]["spin_up"].mean() - 0.5)
+        far = abs(res[1]["spin_up"].mean() - 0.5)
+        assert near > far + 0.02, (near, far)
+        import glob
+        dirs = glob.glob(str(tmp_path / "*"))
+        assert len(dirs) == 2
+        for d in dirs:
+            assert os.path.exists(os.path.join(d, "job1", "energies.dat"))
+
+    def test_mctag_sweep_identity_and_om_effect(self):
+        from mdqtplasmasims_tpu.experiments.mc_qt_tagging import (
+            run_ensemble, run_sweep)
+        cfg = MCTagConfig(variant="408quad", n=27, mc_steps=300,
+                          pre_record_md_steps=10, record_steps=40,
+                          gr_every_record=20)
+        res, mcfgs = run_sweep(
+            cfg, [{"detuning": cfg.detuning, "om": cfg.om},
+                  {"om": 0.05}], seed=9)
+        ens = run_ensemble(cfg, 1, seed=9)
+        np.testing.assert_array_equal(res[0]["moments"], ens[0]["moments"])
+        np.testing.assert_array_equal(res[0]["tags"], ens[0]["tags"])
+        # om=2 (reference value) pumps the tagged class nearly empty;
+        # om=0.05 barely pumps, leaving ~the initial 50/50 superposition
+        assert res[0]["tags"].mean() < 0.15
+        assert res[1]["tags"].mean() > 0.3
+        with pytest.raises(ValueError, match="override"):
+            run_sweep(cfg, [{"gamma": 1.0}])
+
+    def test_three_state_sweep_identity_and_doppler_trend(self, tmp_path):
+        from mdqtplasmasims_tpu.experiments.three_state import (
+            run_ensemble, run_sweep)
+        cfg = ThreeStateConfig(n0=64, tmax=50.0, sample_freq=100,
+                               dispatch_segments=10,
+                               save_directory=str(tmp_path))
+        res, mcfgs = run_sweep(
+            cfg, [{"detuning": cfg.detuning, "om": cfg.om},
+                  {"detuning": -2.0, "om": 1.0}], seed=4)
+        ens = run_ensemble(cfg, 1, seed=4)
+        np.testing.assert_array_equal(res["ekin_x"][0], ens["ekin_x"][0])
+        import glob
+        # layout: Om<om*100>/Det<det*100>.../job<j>/energies.dat
+        files = sorted(glob.glob(str(tmp_path / "Om*" / "Det*" / "job1"
+                                     / "energies.dat")))
+        assert len(files) == 2, files
+        assert any("Om50/" in f for f in files), files     # cfg.om = 0.5
+        assert any("Om100/" in f for f in files), files    # swept om = 1.0

@@ -217,3 +217,73 @@ class TestPooledStatistics:
         assert compare_job_pools(refs, same, ("x",))
         assert not compare_job_pools(refs, far, ("x",))
         assert "observable" in capsys.readouterr().out
+
+
+class TestSweepTable:
+    def test_pools_point_major_replicas(self):
+        import dataclasses
+        from mdqtplasmasims_tpu.analysis import sweep_table
+
+        @dataclasses.dataclass(frozen=True)
+        class C:
+            detuning: float
+            om: float
+            job: int
+
+        # 2 points x 2 reps, point-major (run_sweep's member order)
+        cfgs = [C(-1.0, 0.5, 1), C(-1.0, 0.5, 2),
+                C(-2.0, 0.5, 1), C(-2.0, 0.5, 2)]
+        rows = sweep_table(cfgs, [1.0, 3.0, 10.0, 10.0], keys=("detuning",))
+        assert rows == [
+            dict(detuning=-1.0, mean=2.0, sd=np.sqrt(2.0), n=2),
+            dict(detuning=-2.0, mean=10.0, sd=0.0, n=2)]
+
+    def test_multi_key_single_rep(self):
+        import dataclasses
+        from mdqtplasmasims_tpu.analysis import sweep_table
+
+        @dataclasses.dataclass(frozen=True)
+        class C:
+            gamma: float
+            kappa: float
+
+        cfgs = [C(1.0, 0.5), C(1.0, 1.0), C(3.0, 0.5)]
+        rows = sweep_table(cfgs, [0.1, 0.2, 0.3], keys=("gamma", "kappa"))
+        assert [r["mean"] for r in rows] == [0.1, 0.2, 0.3]
+        assert rows[1] == dict(gamma=1.0, kappa=1.0, mean=0.2, sd=0.0, n=1)
+
+
+class TestSweepPointsParsing:
+    """cli._sweep_points: zipped grids broadcast length-1 entries and
+    reject ragged lengths; --cross takes the cartesian product."""
+
+    def _parser(self):
+        import argparse
+
+        class P(argparse.ArgumentParser):
+            def error(self, message):
+                raise ValueError(message)
+        return P()
+
+    def test_zip_with_broadcast(self):
+        from mdqtplasmasims_tpu.cli import _sweep_points
+        pts = _sweep_points(self._parser(),
+                            {"detuning": [-1.0, -2.0], "om": [0.5]},
+                            cross=False)
+        assert pts == [{"detuning": -1.0, "om": 0.5},
+                       {"detuning": -2.0, "om": 0.5}]
+
+    def test_cross_product(self):
+        from mdqtplasmasims_tpu.cli import _sweep_points
+        pts = _sweep_points(self._parser(),
+                            {"gamma": [1.0, 3.0], "kappa": [0.5, 1.0]},
+                            cross=True)
+        assert len(pts) == 4
+        assert {"gamma": 3.0, "kappa": 0.5} in pts
+
+    def test_ragged_zip_rejected(self):
+        from mdqtplasmasims_tpu.cli import _sweep_points
+        with pytest.raises(ValueError, match="equal-length"):
+            _sweep_points(self._parser(),
+                          {"a": [1.0, 2.0], "b": [1.0, 2.0, 3.0]},
+                          cross=False)

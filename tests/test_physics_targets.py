@@ -345,3 +345,34 @@ class TestFullScaleSoak:
         # ...and lands within an O(1) factor of the textbook two-level
         # limit (the 3-level scheme differs O(1); three_state.py:112)
         assert 0.3 < s["ekin_x_final"] / s["doppler_limit"] < 5.0
+
+
+class TestTaggedVelocityClass:
+    """The tagging family's reason to exist: the pump detuning selects
+    which velocity class gets spin-tagged (Doppler condition u = v + det
+    on resonance; SURVEY.md 3.4).  Swept across detuning in one batched
+    program, the projectively-measured spin-up ions' mean velocity must
+    be antisymmetric in detuning and cross zero on resonance — the
+    curve the reference maps with one binary rebuild per point."""
+
+    def test_tagged_vx_antisymmetric_in_detuning(self):
+        from mdqtplasmasims_tpu.analysis import sweep_table
+        from mdqtplasmasims_tpu.experiments.frozen_tagging import (
+            FrozenTagConfig, run_sweep)
+        cfg = FrozenTagConfig(variant="422linear", n0=512, tstart=2.0,
+                              tmax=2.5, timestep=0.01, sample_freq=40,
+                              tpump_seconds=3e-7)
+        dets = [-1.0, 0.0, 1.0]
+        res, mcfgs = run_sweep(cfg, [{"detuning": d} for d in dets],
+                               jobs_per_point=2, seed=1)
+        rows = sweep_table(mcfgs,
+                           [r["out_tag"]["moments"][0] for r in res],
+                           keys=("detuning",))
+        vx = {r["detuning"]: r["mean"] for r in rows}
+        # class selection: red pump tags the +v class and vice versa
+        assert vx[-1.0] > 0.1, vx
+        assert vx[1.0] < -0.1, vx
+        # resonance: no class preference (scatter at N0=512 x 2 ~ 0.04)
+        assert abs(vx[0.0]) < 0.12, vx
+        # antisymmetry of the selection (same seeds both signs)
+        assert abs(vx[-1.0] + vx[1.0]) < 0.5 * abs(vx[-1.0] - vx[1.0]), vx

@@ -396,3 +396,54 @@ class TestRandomSuperposition:
         assert pop[:, 2:].max() == 0.0
         assert np.allclose(pop.sum(-1), 1.0, atol=1e-12)
         assert abs(pop[:, 0].mean() - 0.5) < 0.01
+
+
+class TestSweepQTParams:
+    """sweep_qt_params builds one QTParams from the unit scheme
+    (detuning=om=1) and scales it with traced scalars; it must reproduce
+    _params of the directly-constructed scheme for every tagging/toy
+    variant (the Hamiltonians are linear in both knobs)."""
+
+    def test_matches_direct_scheme(self):
+        from mdqtplasmasims_tpu.core.qt import _params, sweep_qt_params
+        from mdqtplasmasims_tpu.levels import tag408, tag422, three_state
+        cases = [
+            (tag422(1.0, 1.0), tag422(-3.5, 0.8)),
+            (tag408(1.0, 1.0, linear=True), tag408(2.0, 1.7, linear=True)),
+            (tag408(1.0, 1.0, linear=False), tag408(-0.5, 2.2,
+                                                    linear=False)),
+            (three_state(1.0, 1.0), three_state(-2.0, 0.3)),
+        ]
+        for unit, direct in cases:
+            det, om = {"tag422_linear": (-3.5, 0.8),
+                       "tag408_linear": (2.0, 1.7),
+                       "tag408_quad": (-0.5, 2.2),
+                       "three_state": (-2.0, 0.3)}[direct.name]
+            got = sweep_qt_params(unit, jnp.asarray(det), jnp.asarray(om),
+                                  jnp.float64, jnp.complex128)
+            want = _params(direct, jnp.float64, jnp.complex128)
+            for field in want._fields:
+                np.testing.assert_allclose(
+                    np.asarray(getattr(got, field)),
+                    np.asarray(getattr(want, field)),
+                    rtol=1e-14, atol=1e-15,
+                    err_msg=f"{direct.name}.{field}")
+
+    def test_step_sm_params_override_identity(self):
+        """step_sm(params=unit-derived tables at the scheme's own values)
+        is bit-identical to the scheme-derived default path."""
+        from mdqtplasmasims_tpu.core.qt import sweep_qt_params
+        scheme = tag422(-1.0, 1.3)
+        unit = tag422(1.0, 1.0)
+        eng = QTEngine(scheme, h=0.01, dt_plasma=0.01, apply_force=False)
+        psi = random_s_superposition(jax.random.PRNGKey(1), 32, 5,
+                                     jnp.complex128).T
+        vx = jnp.linspace(-1, 1, 32)
+        tp = jnp.zeros((32,))
+        rolls = jax.random.uniform(jax.random.PRNGKey(5), (5, 32))
+        a = eng.step_sm(psi, vx, tp, rolls=rolls)
+        p = sweep_qt_params(unit, -1.0, 1.3, vx.dtype, psi.dtype)
+        b = eng.step_sm(psi, vx, tp, rolls=rolls, params=p)
+        for x, y in zip(a, b):
+            np.testing.assert_allclose(np.array(x), np.array(y),
+                                       rtol=1e-14, atol=1e-15)
