@@ -287,3 +287,19 @@ class TestSweepPointsParsing:
             _sweep_points(self._parser(),
                           {"a": [1.0, 2.0], "b": [1.0, 2.0, 3.0]},
                           cross=False)
+
+
+class TestSweepCLI:
+    def test_three_state_sweep_end_to_end(self, tmp_path):
+        """The cheapest family end-to-end through the CLI sweep path:
+        grid parsing, run_sweep dispatch, per-point directory writes."""
+        from mdqtplasmasims_tpu.cli import main
+        rc = main(["three-state-sweep", "--n0", "16", "--tmax", "10",
+                   "--sample-freq", "100", "--dispatch-segments", "5",
+                   "--det-values=-0.5,-2.0", "--om-values", "1.0",
+                   "--save-directory", str(tmp_path)])
+        assert not rc
+        import glob
+        files = glob.glob(str(tmp_path / "Om*" / "Det*" / "job1"
+                              / "energies.dat"))
+        assert len(files) == 2, files
