@@ -342,12 +342,15 @@ def run(cfg: FrozenTagConfig, seed: Optional[int] = None):
     return final, results
 
 
-def _run_batched(cfg: FrozenTagConfig, member_cfgs, keys, qt_params=None):
+def _run_batched(cfg: FrozenTagConfig, member_cfgs, keys, qt_params=None,
+                 mesh=None):
     """vmap all three phases over the member axis (one compiled program;
     the Pallas force kernel batches through vmap's grid-dim lifting, the
     pump-window QT scan is member-parallel XLA), fetch once, write each
     member's .dat tree under its own param-encoded directory.
-    ``qt_params``: optional [E]-batched QTParams pytree (sweep folds)."""
+    ``qt_params``: optional [E]-batched QTParams pytree (sweep folds).
+    ``mesh`` shards the member axis over the mesh's ``ens`` devices
+    (parallel/ensemble.member_sharded — zero collectives)."""
     cfg_run = dataclasses.replace(cfg, job=1, save_directory=None)
     pu = PlasmaUnits(cfg.density, cfg.ge)
     L = PlasmaUnits.box_length(cfg.n0)
@@ -370,21 +373,21 @@ def _run_batched(cfg: FrozenTagConfig, member_cfgs, keys, qt_params=None):
         return st._replace(F=F)
 
     states = jax.jit(jax.vmap(init_one))(keys)
-    epot0 = jax.jit(jax.vmap(
-        lambda R: yukawa_potential(R, L, pu.debye_length)))(states.R)
 
-    if qt_params is None:
-        states = jax.vmap(lambda s: run_phase_a(cfg_run, s, n_md_a))(states)
-    else:
-        states = jax.vmap(lambda s, p: run_phase_a(
-            cfg_run, s, n_md_a, qt_params=p))(states, qt_params)
-    states, spin_up, vholder = jax.vmap(
-        lambda s: measure(cfg_run, s))(states)
-    out_tag = jax.vmap(lambda s, u, v, e: tag_instant_output(
-        cfg_run, s, u, v, e))(states, spin_up, vholder, epot0)
-    states, outs = jax.vmap(lambda s, u, v, e: run_phase_b(
-        cfg_run, s, u, v, e, seg_lengths))(states, spin_up, vholder,
-                                           epot0)
+    def member(s, p=None):
+        e = yukawa_potential(s.R, L, pu.debye_length)
+        s = run_phase_a(cfg_run, s, n_md_a, qt_params=p)
+        s, spin_up, vholder = measure(cfg_run, s)
+        out_tag = tag_instant_output(cfg_run, s, spin_up, vholder, e)
+        s, outs = run_phase_b(cfg_run, s, spin_up, vholder, e, seg_lengths)
+        return s, spin_up, e, out_tag, outs
+
+    fn = jax.vmap(member)
+    args = (states,) if qt_params is None else (states, qt_params)
+    if mesh is not None:
+        from ..parallel.ensemble import member_sharded
+        fn = member_sharded(fn, mesh)
+    states, spin_up, epot0, out_tag, outs = jax.jit(fn)(*args)
     jax.block_until_ready(states)
 
     outs_np = safe_device_get(outs)
@@ -411,12 +414,14 @@ def _run_batched(cfg: FrozenTagConfig, member_cfgs, keys, qt_params=None):
     return results
 
 
-def run_ensemble(cfg: FrozenTagConfig, n_jobs: int, seed: int = 0):
-    """Batched job array on one device — the TPU-native replacement for
-    the reference's SLURM array over randomFrozenStartTag* jobs
+def run_ensemble(cfg: FrozenTagConfig, n_jobs: int, seed: int = 0,
+                 mesh=None):
+    """Batched job array — the TPU-native replacement for the
+    reference's SLURM array over randomFrozenStartTag* jobs
     (README.md:63: pooled statistics need 10+ jobs).  Per-job .dat trees
     land in ``job<k>/`` exactly as the array jobs' would.  Returns the
-    per-job results list."""
+    per-job results list.  ``mesh`` spreads jobs over the mesh's ``ens``
+    devices."""
     if not cfg.exact_n:
         raise NotImplementedError("Poissonian-N tagging ensembles: use "
                                   "independent runs (cli --jobs) until "
@@ -425,11 +430,11 @@ def run_ensemble(cfg: FrozenTagConfig, n_jobs: int, seed: int = 0):
     keys = jax.random.split(jax.random.PRNGKey(seed), n_jobs)
     member_cfgs = [dataclasses.replace(cfg, job=j + 1)
                    for j in range(n_jobs)]
-    return _run_batched(cfg, member_cfgs, keys)
+    return _run_batched(cfg, member_cfgs, keys, mesh=mesh)
 
 
 def run_sweep(cfg: FrozenTagConfig, points, jobs_per_point: int = 1,
-              seed: int = 0):
+              seed: int = 0, mesh=None):
     """Run a pump-laser (detuning, om) grid as ONE vmapped program.
 
     The reference compiles the pump detuning and Rabi frequency into each
@@ -470,7 +475,8 @@ def run_sweep(cfg: FrozenTagConfig, points, jobs_per_point: int = 1,
     oms = jnp.asarray([m.om for m in member_cfgs], rdtype)
     params = jax.vmap(
         lambda d, o: sweep_qt_params(unit, d, o, rdtype, cdtype))(dets, oms)
-    results = _run_batched(cfg, member_cfgs, keys, qt_params=params)
+    results = _run_batched(cfg, member_cfgs, keys, qt_params=params,
+                           mesh=mesh)
     return results, member_cfgs
 
 

@@ -313,17 +313,23 @@ def _pipeline(cfg: MCTransportConfig, key, gamma=None, ldeb=None) -> dict:
 
 
 def _run_batched(cfg: MCTransportConfig, member_cfgs, keys,
-                 gammas=None, ldebs=None):
+                 gammas=None, ldebs=None, mesh=None):
     """vmap _pipeline over the member axis, fetch once, write each
-    member's .dat tree under its own param-encoded directory."""
+    member's .dat tree under its own param-encoded directory.  ``mesh``
+    shards the member axis over the mesh's ``ens`` devices
+    (parallel/ensemble.member_sharded — zero collectives)."""
     cfg_run = dataclasses.replace(cfg, job=1, save_directory=None)
     if gammas is None:
-        batched = jax.jit(jax.vmap(
-            lambda k: _pipeline(cfg_run, k)))(keys)
+        fn = jax.vmap(lambda k: _pipeline(cfg_run, k))
+        args = (keys,)
     else:
-        batched = jax.jit(jax.vmap(
-            lambda k, g, ld: _pipeline(cfg_run, k, gamma=g, ldeb=ld)))(
-                keys, gammas, ldebs)
+        fn = jax.vmap(lambda k, g, ld: _pipeline(cfg_run, k, gamma=g,
+                                                 ldeb=ld))
+        args = (keys, gammas, ldebs)
+    if mesh is not None:
+        from ..parallel.ensemble import member_sharded
+        fn = member_sharded(fn, mesh)
+    batched = jax.jit(fn)(*args)
     jax.block_until_ready(batched["R"])
     batched_np = {k: safe_device_get(v) for k, v in batched.items()}
 
@@ -336,22 +342,24 @@ def _run_batched(cfg: MCTransportConfig, member_cfgs, keys,
     return results
 
 
-def run_ensemble(cfg: MCTransportConfig, n_jobs: int, seed: int = 0):
+def run_ensemble(cfg: MCTransportConfig, n_jobs: int, seed: int = 0,
+                 mesh=None):
     """Batched job array for the MC transport pipeline (the reference's
     SLURM array over MonteCarloFollowedByMDAndTempAnisotropy jobs): the
     full staged pipeline — MC equilibration with g(r) snapshots,
     collisional MD, classical tagging, collisionless recording, FFT
     autocorrelations, both anisotropy drives — vmapped over the job axis
     as one compiled program.  Per-job .dat trees in ``job<k>/``; returns
-    the per-job results list."""
+    the per-job results list.  ``mesh`` spreads jobs over the mesh's
+    ``ens`` devices (n_jobs must divide evenly)."""
     keys = jax.random.split(jax.random.PRNGKey(seed), n_jobs)
     member_cfgs = [dataclasses.replace(cfg, job=j + 1)
                    for j in range(n_jobs)]
-    return _run_batched(cfg, member_cfgs, keys)
+    return _run_batched(cfg, member_cfgs, keys, mesh=mesh)
 
 
 def run_sweep(cfg: MCTransportConfig, points, jobs_per_point: int = 1,
-              seed: int = 0):
+              seed: int = 0, mesh=None):
     """Run a (Gamma, kappa) phase-diagram grid as ONE vmapped program.
 
     The reference explores the Yukawa phase diagram by editing the
@@ -387,7 +395,8 @@ def run_sweep(cfg: MCTransportConfig, points, jobs_per_point: int = 1,
     keys = jax.random.split(jax.random.PRNGKey(seed), len(member_cfgs))
     gammas = jnp.asarray([m.gamma for m in member_cfgs], cfg.np_dtype)
     ldebs = jnp.asarray([m.ldeb for m in member_cfgs], cfg.np_dtype)
-    results = _run_batched(cfg, member_cfgs, keys, gammas, ldebs)
+    results = _run_batched(cfg, member_cfgs, keys, gammas, ldebs,
+                           mesh=mesh)
     return results, member_cfgs
 
 

@@ -259,12 +259,15 @@ def run(cfg: MCTagConfig, seed: Optional[int] = None) -> dict:
     return results
 
 
-def _run_batched(cfg: MCTagConfig, member_cfgs, keys, qt_params=None):
+def _run_batched(cfg: MCTagConfig, member_cfgs, keys, qt_params=None,
+                 mesh=None):
     """vmap the whole per-job pipeline over the member axis — every stage
     (Metropolis equilibration, collisional MD, pump-window QT, projective
     tag, collisionless recording, FFT autocorrelations) runs
     member-parallel in one compiled program.  ``qt_params``: optional
-    [E]-batched QTParams pytree (sweep folds)."""
+    [E]-batched QTParams pytree (sweep folds).  ``mesh`` shards the
+    member axis over the mesh's ``ens`` devices
+    (parallel/ensemble.member_sharded — zero collectives)."""
     cfg_run = dataclasses.replace(cfg, job=1, save_directory=None)
     dt = cfg.np_dtype
     mc = MetropolisMC(L=cfg.L, ldeb=1.0 / cfg.kappa, gamma=cfg.gamma)
@@ -295,10 +298,12 @@ def _run_batched(cfg: MCTagConfig, member_cfgs, keys, qt_params=None):
                     long_visc=long_visc, v_cube=v_cube,
                     v_fourth=v_fourth, R=R, V=V)
 
-    if qt_params is None:
-        batched = jax.jit(jax.vmap(pipeline))(keys)
-    else:
-        batched = jax.jit(jax.vmap(pipeline))(keys, qt_params)
+    fn = jax.vmap(pipeline)
+    args = (keys,) if qt_params is None else (keys, qt_params)
+    if mesh is not None:
+        from ..parallel.ensemble import member_sharded
+        fn = member_sharded(fn, mesh)
+    batched = jax.jit(fn)(*args)
     jax.block_until_ready(batched["R"])
     batched_np = {k: safe_device_get(v) for k, v in batched.items()}
 
@@ -311,19 +316,19 @@ def _run_batched(cfg: MCTagConfig, member_cfgs, keys, qt_params=None):
     return results
 
 
-def run_ensemble(cfg: MCTagConfig, n_jobs: int, seed: int = 0):
-    """Batched MC->MD->pump->tag->record job array on one device (the
-    reference's SLURM array over MonteCarloFollowedByQTTagging* jobs).
-    Per-job .dat trees land in ``job<k>/``; returns the per-job results
-    list."""
+def run_ensemble(cfg: MCTagConfig, n_jobs: int, seed: int = 0, mesh=None):
+    """Batched MC->MD->pump->tag->record job array (the reference's
+    SLURM array over MonteCarloFollowedByQTTagging* jobs).  Per-job .dat
+    trees land in ``job<k>/``; returns the per-job results list.
+    ``mesh`` spreads jobs over the mesh's ``ens`` devices."""
     keys = jax.random.split(jax.random.PRNGKey(seed), n_jobs)
     member_cfgs = [dataclasses.replace(cfg, job=j + 1)
                    for j in range(n_jobs)]
-    return _run_batched(cfg, member_cfgs, keys)
+    return _run_batched(cfg, member_cfgs, keys, mesh=mesh)
 
 
 def run_sweep(cfg: MCTagConfig, points, jobs_per_point: int = 1,
-              seed: int = 0):
+              seed: int = 0, mesh=None):
     """Run a pump-laser (detuning, om) grid as ONE vmapped program.
 
     The reference compiles the pump detuning and Rabi frequency into each
@@ -361,7 +366,8 @@ def run_sweep(cfg: MCTagConfig, points, jobs_per_point: int = 1,
     oms = jnp.asarray([m.om for m in member_cfgs], rdtype)
     params = jax.vmap(
         lambda d, o: sweep_qt_params(unit, d, o, rdtype, cdtype))(dets, oms)
-    results = _run_batched(cfg, member_cfgs, keys, qt_params=params)
+    results = _run_batched(cfg, member_cfgs, keys, qt_params=params,
+                           mesh=mesh)
     return results, member_cfgs
 
 

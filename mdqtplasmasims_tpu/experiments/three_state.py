@@ -128,12 +128,14 @@ def run(cfg: ThreeStateConfig, seed: Optional[int] = None):
     return results
 
 
-def run_ensemble(cfg: ThreeStateConfig, n_jobs: int, seed: int = 0):
+def run_ensemble(cfg: ThreeStateConfig, n_jobs: int, seed: int = 0,
+                 mesh=None):
     """Batched job array for the QT-only toy: per-job (V, psi, t_part,
     key) carries vmap over the job axis through the same grouped-dispatch
     loop as run() (ions are already independent, so this is one bigger
     QT program with per-job output rows).  Writes each job's
-    energies.dat; returns the stacked results dict."""
+    energies.dat; returns the stacked results dict.  ``mesh`` spreads
+    jobs over the mesh's ``ens`` devices."""
     base_keys = jax.random.split(jax.random.PRNGKey(seed), n_jobs)
     sigma = SQRT_KELVIN_TO_PLASMA_VEL * np.sqrt(cfg.temperature_k)
     cdt = jnp.complex128 if cfg.dtype == "float64" else jnp.complex64
@@ -151,11 +153,21 @@ def run_ensemble(cfg: ThreeStateConfig, n_jobs: int, seed: int = 0):
     cfg_run = dataclasses.replace(cfg, job=1, save_directory=None)
     group = min(cfg.dispatch_segments or n_segments, n_segments)
     rec_groups, done = [], 0
-    step = jax.vmap(lambda V, psi, tp, k, g: run_compiled(
-        cfg_run, V, psi, tp, k, g), in_axes=(0, 0, 0, 0, None))
+
+    def make_step(g):
+        fn = jax.vmap(lambda V, psi, tp, k: run_compiled(
+            cfg_run, V, psi, tp, k, g))
+        if mesh is not None:
+            from ..parallel.ensemble import member_sharded
+            fn = member_sharded(fn, mesh)
+        return fn
+
+    steps = {}   # at most two distinct group lengths -> two programs
     while done < n_segments:
         g = min(group, n_segments - done)
-        carry, recs_g = step(*carry, g)
+        if g not in steps:
+            steps[g] = make_step(g)
+        carry, recs_g = steps[g](*carry)
         rec_groups.append(recs_g)
         done += g
     jax.block_until_ready(carry[0])
@@ -178,7 +190,7 @@ def run_ensemble(cfg: ThreeStateConfig, n_jobs: int, seed: int = 0):
 
 
 def run_sweep(cfg: ThreeStateConfig, points, jobs_per_point: int = 1,
-              seed: int = 0):
+              seed: int = 0, mesh=None):
     """Run a laser (detuning, om) grid as ONE batched QT program.
 
     The reference compiles detuning/Om into the binary
@@ -229,18 +241,27 @@ def run_sweep(cfg: ThreeStateConfig, points, jobs_per_point: int = 1,
     cfg_run = dataclasses.replace(cfg, job=1, save_directory=None)
     group = min(cfg.dispatch_segments or n_segments, n_segments)
     rec_groups, done = [], 0
-    step = jax.vmap(lambda V, psi, tp, k, g, p, fs: run_compiled(
-        cfg_run, V, psi, tp, k, g, qt_params=p, force_scale=fs),
-        in_axes=(0, 0, 0, 0, None, 0, 0))
     # the engine's static scheme bakes force_w = vkick*cfg.om; scale it
     # to each member's om (e0/coupling come absolute from qt_params)
     if cfg.om == 0.0 and any(m.om != 0.0 for m in member_cfgs):
         raise ValueError("om sweep needs a nonzero cfg.om base "
                          "(force_w scales relative to it)")
     fscales = oms / jnp.asarray(cfg.om if cfg.om != 0.0 else 1.0, rdtype)
+
+    def make_step(g):
+        fn = jax.vmap(lambda V, psi, tp, k, p, fs: run_compiled(
+            cfg_run, V, psi, tp, k, g, qt_params=p, force_scale=fs))
+        if mesh is not None:
+            from ..parallel.ensemble import member_sharded
+            fn = member_sharded(fn, mesh)
+        return fn
+
+    steps = {}
     while done < n_segments:
         g = min(group, n_segments - done)
-        carry, recs_g = step(*carry, g, params, fscales)
+        if g not in steps:
+            steps[g] = make_step(g)
+        carry, recs_g = steps[g](*carry, params, fscales)
         rec_groups.append(recs_g)
         done += g
     jax.block_until_ready(carry[0])

@@ -233,3 +233,35 @@ def shard_keys(base_key: jax.Array, n_ens: int, n_ion_shards: int) -> jax.Array:
     def per_ens(k):
         return jax.random.split(k, n_ion_shards)
     return jax.vmap(per_ens)(ens_keys)
+
+
+def member_sharded(fn, mesh):
+    """Multi-chip form of a batched job array for the share-nothing
+    families (transport, tagging, 3-state toy): wrap an [E]-batched
+    member function — every input and output pytree leaf carries the
+    member axis leading — so members shard over the mesh's ``ens`` axis.
+    Pure data parallelism, zero collectives (SURVEY.md §2 parallelism
+    axis 2: the reference's SLURM array, spread over chips).
+
+    These families keep whole members on one device (their production N
+    fits comfortably), so a mesh with an ion axis would only replicate
+    work; ask for ``make_mesh(n_ions=1)`` instead."""
+    if ION_AXIS in mesh.shape and mesh.shape[ION_AXIS] != 1:
+        raise ValueError(
+            "member_sharded shards members only; use make_mesh(n_ions=1) "
+            f"(got {mesh.shape[ION_AXIS]} ion shards)")
+    n_ens = mesh.shape[ENS_AXIS]
+    spec = P(ENS_AXIS)
+
+    def wrapped(*args):
+        e = jax.tree.leaves(args[0])[0].shape[0]
+        if e % n_ens:
+            raise ValueError(f"{e} members do not divide over "
+                             f"{n_ens} ens-axis devices")
+        # check_vma=False: scan carries inside the pipelines start as
+        # replicated constants and become varying when combined with the
+        # sharded member data (same waiver as make_sharded_fused_step)
+        return shard_map(fn, mesh=mesh, in_specs=(spec,) * len(args),
+                         out_specs=spec, check_vma=False)(*args)
+
+    return wrapped

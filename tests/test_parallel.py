@@ -204,3 +204,92 @@ def test_ensemble_members_independent():
     states = batched_initial_states(_init_one(
         CoolingConfig(n0=48, use_pallas=False, dtype="float64")), keys)
     assert not np.allclose(np.asarray(states.R[0]), np.asarray(states.R[1]))
+
+
+@needs_devices
+class TestMemberShardedFamilies:
+    """Every batched family spreads its job array / sweep over the
+    mesh's ens axis bit-exactly (parallel/ensemble.member_sharded —
+    SURVEY.md §2 parallelism axis 2, the SLURM array over chips)."""
+
+    def test_transport_ensemble_and_sweep(self):
+        from mdqtplasmasims_tpu.experiments.mc_md_anisotropy import (
+            MCTransportConfig, run_ensemble, run_sweep)
+        cfg = MCTransportConfig(
+            n=27, mc_steps=400, gr_every_mc=200, pre_record_md_steps=10,
+            record_steps=40, gr_every_record=20, instant_aniso_steps=10,
+            reequil_steps=10, aniso_relax_steps=10, aniso_time_us=1.0)
+        mesh = make_mesh(n_ens=8, n_ions=1)
+        a = run_ensemble(cfg, 8, seed=3)
+        b = run_ensemble(cfg, 8, seed=3, mesh=mesh)
+        for j in range(8):
+            for k in a[j]:
+                np.testing.assert_array_equal(np.asarray(a[j][k]),
+                                              np.asarray(b[j][k]))
+        ra, _ = run_sweep(cfg, [{"gamma": g} for g in (0.5, 1, 3, 30)],
+                          jobs_per_point=2, seed=5)
+        rb, _ = run_sweep(cfg, [{"gamma": g} for g in (0.5, 1, 3, 30)],
+                          jobs_per_point=2, seed=5, mesh=mesh)
+        for j in range(8):
+            np.testing.assert_array_equal(ra[j]["temps"], rb[j]["temps"])
+
+    def test_frozen_tag_ensemble_and_sweep(self):
+        from mdqtplasmasims_tpu.experiments.frozen_tagging import (
+            FrozenTagConfig, run_ensemble, run_sweep)
+        cfg = FrozenTagConfig(variant="422linear", n0=48, tstart=1.0,
+                              tmax=3.0, timestep=0.01, sample_freq=20,
+                              tpump_seconds=2e-7)
+        mesh = make_mesh(n_ens=8, n_ions=1)
+        a = run_ensemble(cfg, 8, seed=2)
+        b = run_ensemble(cfg, 8, seed=2, mesh=mesh)
+        for j in range(8):
+            np.testing.assert_array_equal(a[j]["outs"]["moments"],
+                                          b[j]["outs"]["moments"])
+            np.testing.assert_array_equal(a[j]["spin_up"], b[j]["spin_up"])
+        ra, _ = run_sweep(cfg, [{"detuning": d} for d in (-4, -2, -1, 0)],
+                          jobs_per_point=2, seed=3)
+        rb, _ = run_sweep(cfg, [{"detuning": d} for d in (-4, -2, -1, 0)],
+                          jobs_per_point=2, seed=3, mesh=mesh)
+        for j in range(8):
+            np.testing.assert_array_equal(ra[j]["spin_up"],
+                                          rb[j]["spin_up"])
+
+    def test_mc_tag_ensemble(self):
+        from mdqtplasmasims_tpu.experiments.mc_qt_tagging import (
+            MCTagConfig, run_ensemble)
+        cfg = MCTagConfig(variant="408quad", n=27, mc_steps=300,
+                          pre_record_md_steps=10, record_steps=40,
+                          gr_every_record=20)
+        mesh = make_mesh(n_ens=8, n_ions=1)
+        a = run_ensemble(cfg, 8, seed=9)
+        b = run_ensemble(cfg, 8, seed=9, mesh=mesh)
+        for j in range(8):
+            np.testing.assert_array_equal(a[j]["moments"], b[j]["moments"])
+            np.testing.assert_array_equal(a[j]["tags"], b[j]["tags"])
+
+    def test_three_state_ensemble_and_sweep(self):
+        from mdqtplasmasims_tpu.experiments.three_state import (
+            ThreeStateConfig, run_ensemble, run_sweep)
+        cfg = ThreeStateConfig(n0=64, tmax=50.0, sample_freq=100,
+                               dispatch_segments=3)
+        mesh = make_mesh(n_ens=8, n_ions=1)
+        a = run_ensemble(cfg, 8, seed=4)
+        b = run_ensemble(cfg, 8, seed=4, mesh=mesh)
+        np.testing.assert_array_equal(a["ekin_x"], b["ekin_x"])
+        ra, _ = run_sweep(cfg, [{"detuning": d} for d in (-0.5, -1, -2,
+                                                          -4)],
+                          jobs_per_point=2, seed=4)
+        rb, _ = run_sweep(cfg, [{"detuning": d} for d in (-0.5, -1, -2,
+                                                          -4)],
+                          jobs_per_point=2, seed=4, mesh=mesh)
+        np.testing.assert_array_equal(ra["ekin_x"], rb["ekin_x"])
+
+    def test_guards(self):
+        from mdqtplasmasims_tpu.experiments.three_state import (
+            ThreeStateConfig, run_ensemble)
+        cfg = ThreeStateConfig(n0=16, tmax=5.0, sample_freq=100,
+                               dispatch_segments=2)
+        with pytest.raises(ValueError, match="ion shards"):
+            run_ensemble(cfg, 8, mesh=make_mesh(n_ens=4, n_ions=2))
+        with pytest.raises(ValueError, match="divide"):
+            run_ensemble(cfg, 6, mesh=make_mesh(n_ens=8, n_ions=1))
