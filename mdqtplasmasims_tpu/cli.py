@@ -14,7 +14,9 @@ dataclass:
     python -m mdqtplasmasims_tpu.cli cooling-ensemble --jobs 16 ...
 
 ``--job N`` replaces the SLURM array index (exampleSlurmFile.slurm:16); an
-ensemble subcommand batches trajectories on-device instead.
+ensemble subcommand batches trajectories on-device instead.  ``--mesh-ens
+K`` spreads a batched job array / sweep over K devices of a mesh (plus
+``--mesh-ions I`` ion sharding for the cooling family's large-N mode).
 """
 
 from __future__ import annotations
@@ -76,6 +78,28 @@ def _sweep_points(parser, grids: dict, cross: bool):
     return [{k: grids[k][i] for k in grids} for i in range(n_pts)]
 
 
+def _add_mesh_args(parser: argparse.ArgumentParser,
+                   ions: bool = False) -> None:
+    parser.add_argument("--mesh-ens", type=int, default=0, metavar="K",
+                        help="spread members over a K-device mesh ens "
+                             "axis (multi-chip job array; members must "
+                             "divide evenly)")
+    if ions:
+        parser.add_argument("--mesh-ions", type=int, default=1,
+                            metavar="I",
+                            help="additionally shard each member's ion "
+                                 "axis over I devices (mesh uses K*I "
+                                 "devices; large-N only)")
+
+
+def _mesh_from_flags(ns: argparse.Namespace):
+    k = getattr(ns, "mesh_ens", 0)
+    if not k:
+        return None
+    from .parallel.mesh import make_mesh
+    return make_mesh(n_ens=k, n_ions=getattr(ns, "mesh_ions", 1))
+
+
 def _build_cfg(cls, ns: argparse.Namespace):
     kwargs = {}
     for f in dataclasses.fields(cls):
@@ -123,6 +147,7 @@ def main(argv=None) -> int:
                            metavar="K",
                            help="run K jobs batched on-device in one "
                                 "vmapped program (vs --jobs sequential)")
+            _add_mesh_args(p)
     pe = sub.add_parser("cooling-ensemble")
     _add_dataclass_args(pe, laser_cooling.CoolingConfig)
     pe.add_argument("--jobs", type=int, default=8)
@@ -130,6 +155,7 @@ def main(argv=None) -> int:
     pe.add_argument("--resume", action="store_true",
                     help="rebuild the fold from the newest checkpoint "
                          "common to all job directories")
+    _add_mesh_args(pe, ions=True)
     ps = sub.add_parser(
         "cooling-sweep",
         help="run a laser-parameter grid (detSP/detDP/OmSP/OmDP) as ONE "
@@ -151,6 +177,7 @@ def main(argv=None) -> int:
     ps.add_argument("--jobs-per-point", type=int, default=1)
     ps.add_argument("--seed", type=int, default=0)
     ps.add_argument("--resume", action="store_true")
+    _add_mesh_args(ps, ions=True)
     pt = sub.add_parser(
         "transport-sweep",
         help="run a (Gamma, kappa) phase-diagram grid as ONE vmapped "
@@ -166,6 +193,7 @@ def main(argv=None) -> int:
                     help="full cartesian product of the given grids")
     pt.add_argument("--jobs-per-point", type=int, default=1)
     pt.add_argument("--seed", type=int, default=0)
+    _add_mesh_args(pt)
     # pump-laser (detuning, om) sweeps for the QT tagging families and
     # the 3-state toy — per-member traced QTParams in one batched program
     qt_sweeps = {
@@ -192,6 +220,7 @@ def main(argv=None) -> int:
                         help="full cartesian product of the given grids")
         pq.add_argument("--jobs-per-point", type=int, default=1)
         pq.add_argument("--seed", type=int, default=0)
+        _add_mesh_args(pq)
 
     ns = parser.parse_args(argv)
     t0 = time.perf_counter()
@@ -210,7 +239,7 @@ def main(argv=None) -> int:
         points = _sweep_points(parser, grids, ns.cross)
         final, outs, mcfgs = laser_cooling.run_sweep(
             cfg, points, jobs_per_point=ns.jobs_per_point, seed=ns.seed,
-            resume=ns.resume)
+            resume=ns.resume, mesh=_mesh_from_flags(ns))
         print(f"[{ns.cmd}] {len(points)} points x {ns.jobs_per_point} "
               f"jobs in one fold, {time.perf_counter() - t0:.1f}s"
               + (f" -> {cfg.save_directory}" if cfg.save_directory else ""))
@@ -226,7 +255,8 @@ def main(argv=None) -> int:
                          "--kappa-values")
         points = _sweep_points(parser, grids, ns.cross)
         results, mcfgs = mc_md_anisotropy.run_sweep(
-            cfg, points, jobs_per_point=ns.jobs_per_point, seed=ns.seed)
+            cfg, points, jobs_per_point=ns.jobs_per_point, seed=ns.seed,
+            mesh=_mesh_from_flags(ns))
         print(f"[{ns.cmd}] {len(points)} points x {ns.jobs_per_point} "
               f"jobs in one vmapped program, "
               f"{time.perf_counter() - t0:.1f}s"
@@ -243,7 +273,7 @@ def main(argv=None) -> int:
             parser.error("give at least one of --det-values/--om-values")
         points = _sweep_points(parser, grids, ns.cross)
         sweep_fn(cfg, points, jobs_per_point=ns.jobs_per_point,
-                 seed=ns.seed)
+                 seed=ns.seed, mesh=_mesh_from_flags(ns))
         print(f"[{ns.cmd}] {len(points)} points x {ns.jobs_per_point} "
               f"jobs in one batched program, "
               f"{time.perf_counter() - t0:.1f}s"
@@ -251,7 +281,8 @@ def main(argv=None) -> int:
     elif ns.cmd == "cooling-ensemble":
         cfg = _build_cfg(laser_cooling.CoolingConfig, ns)
         final, outs = laser_cooling.run_ensemble(cfg, ns.jobs, ns.seed,
-                                                 resume=ns.resume)
+                                                 resume=ns.resume,
+                                                 mesh=_mesh_from_flags(ns))
         n_samp = 0 if outs is None else outs["t"].shape[1]
         print(f"[{ns.cmd}] {ns.jobs} trajectories, "
               f"{n_samp} samples each, "
@@ -260,7 +291,8 @@ def main(argv=None) -> int:
         cls, runner = families[ns.cmd]
         cfg = _build_cfg(cls, ns)
         if getattr(ns, "batch_jobs", 0) > 1:
-            batched[ns.cmd](cfg, ns.batch_jobs)
+            batched[ns.cmd](cfg, ns.batch_jobs,
+                            mesh=_mesh_from_flags(ns))
             print(f"[{ns.cmd}] {ns.batch_jobs} batched trajectories in "
                   f"{time.perf_counter() - t0:.1f}s"
                   + (f" -> {cfg.save_directory}"

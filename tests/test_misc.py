@@ -303,3 +303,24 @@ class TestSweepCLI:
         files = glob.glob(str(tmp_path / "Om*" / "Det*" / "job1"
                               / "energies.dat"))
         assert len(files) == 2, files
+
+    def test_mesh_flag_end_to_end(self, tmp_path):
+        """--mesh-ens routes the sweep through member_sharded: same
+        outputs as the single-device path, bit-exact."""
+        import glob
+        import numpy as np
+        from mdqtplasmasims_tpu.cli import main
+        argv = ["three-state-sweep", "--n0", "16", "--tmax", "10",
+                "--sample-freq", "100", "--dispatch-segments", "5",
+                "--det-values=-0.5,-2.0", "--om-values", "1.0"]
+        a, b = tmp_path / "a", tmp_path / "b"
+        assert not main(argv + ["--save-directory", str(a)])
+        assert not main(argv + ["--save-directory", str(b),
+                                "--mesh-ens", "2"])
+        fa = sorted(glob.glob(str(a / "Om*" / "Det*" / "job1"
+                                  / "energies.dat")))
+        fb = sorted(glob.glob(str(b / "Om*" / "Det*" / "job1"
+                                  / "energies.dat")))
+        assert len(fa) == len(fb) == 2
+        for x, y in zip(fa, fb):
+            np.testing.assert_array_equal(np.loadtxt(x), np.loadtxt(y))
