@@ -13,6 +13,10 @@ set -euo pipefail
 JOBS="${1:-16}"
 OUT="${2:-dataLaserCool}"
 
+# On a pod slice, add --mesh-ens <n_chips> to spread the jobs over the
+# mesh's ens axis (--mesh-ions shards each member's ions for large N);
+# the share-nothing families take the same flag on their batched/sweep
+# subcommands.
 python -m mdqtplasmasims_tpu.cli cooling-ensemble \
     --jobs "$JOBS" \
     --n0 3500 --tmax 30 --save-directory "$OUT"
