@@ -28,6 +28,10 @@ N_MD_TOTAL = 15000                  # tmax=30 at dt=0.002
 def main():
     import jax.numpy as jnp
 
+    if jax.default_backend() == "cpu":
+        # never record a silent CPU-fallback number as a TPU bench
+        raise RuntimeError("no TPU backend (cpu fallback)")
+
     cfg = CoolingConfig(n0=3500, tmax=30.0, sample_freq=40)
     state = initial_state(cfg)
     cfg = canonical_run_cfg(cfg)
@@ -97,7 +101,7 @@ def _emit_failure(reason: str) -> None:
     }))
 
 
-if __name__ == "__main__":
+def _child() -> None:
     import signal
     import sys
 
@@ -108,7 +112,7 @@ if __name__ == "__main__":
         os._exit(0)
 
     signal.signal(signal.SIGALRM, _alarm)
-    signal.alarm(1500)   # the axon service is intermittently flaky
+    signal.alarm(700)    # per-attempt budget; the parent retries
     try:
         main()
     except Exception as e:  # noqa: BLE001
@@ -117,3 +121,49 @@ if __name__ == "__main__":
         # disarm: a relay stall during interpreter teardown must not fire
         # the alarm and print a second, contradictory JSON line
         signal.alarm(0)
+
+
+def _parent() -> None:
+    """Run the measurement in child processes with retries.
+
+    The axon compile/fetch service is intermittently flaky: backend init
+    or the first compile can hang for many minutes and then fail, while a
+    fresh process minutes later succeeds (process-independent outages
+    that recover by themselves — CLAUDE.md).  A failed backend is cached
+    for the life of a process, so each retry must be a new interpreter."""
+    import subprocess
+    import sys
+    import time
+
+    deadline = time.monotonic() + 1500
+    last = None
+    while True:
+        budget = deadline - time.monotonic()
+        if budget <= 60:
+            break
+        try:
+            out = subprocess.run(
+                [sys.executable, __file__, "--child"],
+                stdout=subprocess.PIPE, timeout=budget + 30,
+                text=True).stdout
+        except subprocess.TimeoutExpired:
+            out = ""
+        for line in reversed(out.splitlines()):
+            try:
+                rec = json.loads(line)
+            except ValueError:
+                continue
+            if rec.get("metric"):
+                last = line
+                break
+        if last is not None and json.loads(last)["value"] > 0:
+            print(last)
+            return
+        time.sleep(min(60.0, max(0.0, deadline - time.monotonic())))
+    print(last) if last else _emit_failure(
+        "all attempts failed: TPU service unreachable")
+
+
+if __name__ == "__main__":
+    import sys
+    _child() if "--child" in sys.argv else _parent()
