@@ -400,8 +400,13 @@ class FrozenTagScheduler:
 
         n = state.R.shape[0]
         key, sub = jax.random.split(state.key)
-        all_rolls = jax.random.uniform(sub, (self.ratio, 5, n),
-                                       state.R.dtype)
+        # lane-major draw: threefry counters are row-major, so each ion's
+        # (ratio*5) rolls are a contiguous counter block independent of n.
+        # A member padded to a larger lane count (the Poissonian-N fold)
+        # then reproduces its exact-shape run bit-for-bit whenever the
+        # force path also pads both shapes to the same tile.
+        all_rolls = jax.random.uniform(sub, (n, self.ratio, 5),
+                                       state.R.dtype).transpose(1, 2, 0)
         vx = V[:, 0]
 
         def tick(c, rolls):

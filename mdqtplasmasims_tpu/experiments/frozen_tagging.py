@@ -142,11 +142,13 @@ class FrozenTagConfig:
         return spin_up_probability_408(psi)
 
 
-def build_scheduler(cfg: FrozenTagConfig,
-                    qt_params=None) -> FrozenTagScheduler:
+def build_scheduler(cfg: FrozenTagConfig, qt_params=None,
+                    mask=None) -> FrozenTagScheduler:
     """``qt_params``: optional traced QTParams override (one sweep
     member's detuning/om — core/qt.sweep_qt_params); None uses cfg's
-    static scheme."""
+    static scheme.  ``mask``: traced real-ion marker for padded members
+    (Poissonian-N fold) — the pair kernels gate both sides of every
+    pair, so padded R=V=0 lanes stay exactly inert."""
     pu = PlasmaUnits(cfg.density, cfg.ge)
     L = PlasmaUnits.box_length(cfg.n0)
     u = cfg.units
@@ -157,7 +159,7 @@ def build_scheduler(cfg: FrozenTagConfig,
                       apply_force=False)
     return FrozenTagScheduler(
         engine=engine,
-        forces_fn=best_forces_fn(cfg.n0, L, pu.debye_length,
+        forces_fn=best_forces_fn(cfg.n0, L, pu.debye_length, mask=mask,
                                  use_pallas=cfg.use_pallas),
         L=L, qdt=cfg.qdt, ratio=cfg.ratio,
         t_pump_start=cfg.tstart, t_pump_end=cfg.tend,
@@ -197,14 +199,15 @@ def resume_run(directory: str, c0: int, cfg: FrozenTagConfig):
 
 @partial(jax.jit, static_argnames=("cfg", "n_md"))
 def run_phase_a(cfg: FrozenTagConfig, state: SimState, n_md: int,
-                qt_params=None) -> SimState:
+                qt_params=None, mask=None) -> SimState:
     """MD up to the pump end.  The pump window [tstart, tend] is static,
     so the loop splits at trace time into [pure MD | windowed MDQT |
     pure MD] — only the handful of MD steps that can overlap the window
     pay for the quantum tick scan (see scheduler.md_step_pure).
     ``qt_params`` overrides the pump Hamiltonian with traced per-member
-    (detuning, om) tables (run_sweep)."""
-    sched = build_scheduler(cfg, qt_params)
+    (detuning, om) tables (run_sweep); ``mask`` marks real ions for
+    padded members (Poissonian-N fold)."""
+    sched = build_scheduler(cfg, qt_params, mask=mask)
     dt_md = cfg.qdt * cfg.ratio
     k_lo = max(0, min(n_md, int(cfg.tstart / dt_md) - 1))
     k_hi = max(k_lo, min(n_md, int(np.ceil(cfg.tend / dt_md)) + 1))
@@ -226,15 +229,19 @@ def measure(cfg: FrozenTagConfig, state: SimState):
     return state._replace(key=key), spin_up, vholder
 
 
-def _output_block(cfg, state, spin_up, vholder, epot0, L, ldeb, bins):
-    """One post-tag output (reference output() + Zfunc/LongKin)."""
-    ekx, eky, ekz, _ = kinetic_energies(state.V)
-    epot = yukawa_potential(state.R, L, ldeb)
+def _output_block(cfg, state, spin_up, vholder, epot0, L, ldeb, bins,
+                  mask=None):
+    """One post-tag output (reference output() + Zfunc/LongKin).
+    ``mask`` marks real ions for padded members: every 1/N normalization
+    uses the real count (padded lanes are V=0, psi=0 -> untagged, so
+    they never enter the sums themselves)."""
+    ekx, eky, ekz, _ = kinetic_energies(state.V, mask=mask)
+    epot = yukawa_potential(state.R, L, ldeb, mask=mask)
     w = spin_up.astype(state.V.dtype)
     pvel_x = gaussian_kde(state.V[:, 0], bins, folded=False, weights=w)
     moments = tagged_moments(state.V[:, 0], spin_up)
-    vaf = streaming_vaf(state.V[:, 0], vholder, x_only=True)
-    long_kin = streaming_long_kin(state.V[:, 0], vholder)
+    vaf = streaming_vaf(state.V[:, 0], vholder, x_only=True, mask=mask)
+    long_kin = streaming_long_kin(state.V[:, 0], vholder, mask=mask)
     return dict(t=state.t,
                 energies=jnp.stack([ekx, eky, ekz, epot,
                                     ekx + eky + ekz + epot - epot0]),
@@ -244,7 +251,7 @@ def _output_block(cfg, state, spin_up, vholder, epot0, L, ldeb, bins):
 
 @partial(jax.jit, static_argnames=("cfg",))
 def tag_instant_output(cfg: FrozenTagConfig, state: SimState, spin_up,
-                       vholder, epot0):
+                       vholder, epot0, mask=None):
     """Output block at the tag instant itself.  The reference emits it
     the moment ``t >= tendV0``: the 422 variant writes only the tau=0
     VAF row (measureSpinUps(); Zfunc(0); printVAF —
@@ -257,17 +264,17 @@ def tag_instant_output(cfg: FrozenTagConfig, state: SimState, spin_up,
     L = PlasmaUnits.box_length(cfg.n0)
     bins = centered_bins(cfg.np_dtype)
     return _output_block(cfg, state, spin_up, vholder, epot0, L,
-                         pu.debye_length, bins)
+                         pu.debye_length, bins, mask=mask)
 
 
 @partial(jax.jit, static_argnames=("cfg", "seg_lengths"))
 def run_phase_b(cfg: FrozenTagConfig, state: SimState, spin_up, vholder,
-                epot0, seg_lengths: tuple):
+                epot0, seg_lengths: tuple, mask=None):
     """Post-tag MD with an output block after each segment.  seg_lengths
     must all be equal (one scan) except possibly the first (alignment)."""
     pu = PlasmaUnits(cfg.density, cfg.ge)
     L = PlasmaUnits.box_length(cfg.n0)
-    sched = build_scheduler(cfg)
+    sched = build_scheduler(cfg, mask=mask)
     bins = centered_bins(cfg.np_dtype)
 
     outs = []
@@ -276,7 +283,7 @@ def run_phase_b(cfg: FrozenTagConfig, state: SimState, spin_up, vholder,
     state = jax.lax.fori_loop(0, first,
                               lambda i, s: sched.md_step_pure(s), state)
     out0 = _output_block(cfg, state, spin_up, vholder, epot0, L,
-                         pu.debye_length, bins)
+                         pu.debye_length, bins, mask=mask)
 
     if rest:
         n_rest = len(rest)
@@ -286,7 +293,7 @@ def run_phase_b(cfg: FrozenTagConfig, state: SimState, spin_up, vholder,
             state = jax.lax.fori_loop(
                 0, rest[0], lambda i, s: sched.md_step_pure(s), state)
             return state, _output_block(cfg, state, spin_up, vholder, epot0,
-                                        L, pu.debye_length, bins)
+                                        L, pu.debye_length, bins, mask=mask)
 
         state, outs = jax.lax.scan(segment, state, None, length=n_rest)
         # prepend the first (alignment) output
@@ -343,14 +350,25 @@ def run(cfg: FrozenTagConfig, seed: Optional[int] = None):
 
 
 def _run_batched(cfg: FrozenTagConfig, member_cfgs, keys, qt_params=None,
-                 mesh=None):
+                 mesh=None, mask=None):
     """vmap all three phases over the member axis (one compiled program;
     the Pallas force kernel batches through vmap's grid-dim lifting, the
     pump-window QT scan is member-parallel XLA), fetch once, write each
     member's .dat tree under its own param-encoded directory.
     ``qt_params``: optional [E]-batched QTParams pytree (sweep folds).
     ``mesh`` shards the member axis over the mesh's ``ens`` devices
-    (parallel/ensemble.member_sharded — zero collectives)."""
+    (parallel/ensemble.member_sharded — zero collectives).
+    ``mask [E, n_arr]`` gives each member its own Poissonian ion count
+    inside the fixed-shape fold (reference init draws a fresh N per
+    array job, randomFrozenStartTag422Linear.cpp:245-303): members are
+    padded to the largest draw, padded lanes start R=V=psi=0 and stay
+    exactly inert (both-side pair-kernel masking; dp=0 never jumps), and
+    every 1/N normalization uses the member's real count.  Lane-major
+    roll draws (scheduler.md_step) keep each ion's RNG stream independent
+    of the padded lane count, so a member reproduces its exact-shape run
+    bit-for-bit whenever the force path pads both shapes to the same
+    tile (the Pallas kernels; the CPU chunked kernel reduces over the
+    lane count and differs at f32 rounding)."""
     cfg_run = dataclasses.replace(cfg, job=1, save_directory=None)
     pu = PlasmaUnits(cfg.density, cfg.ge)
     L = PlasmaUnits.box_length(cfg.n0)
@@ -360,30 +378,56 @@ def _run_batched(cfg: FrozenTagConfig, member_cfgs, keys, qt_params=None,
     remaining = n_md_total - n_md_a - first
     seg_lengths = (first,) + (cfg.sample_freq,) * max(
         0, remaining // cfg.sample_freq)
+    n_arr = cfg.n0 if mask is None else mask.shape[1]
 
-    def init_one(key):
+    def init_one(key, mk=None):
         k_init, k_run = jax.random.split(key)
-        R, V, psi, _ = frozen_gas_init(k_init, cfg.n0,
-                                       n_states=cfg.n_states,
-                                       exact_n=True, dtype=cfg.np_dtype)
+        if mk is None:
+            R, V, psi, _ = frozen_gas_init(k_init, cfg.n0,
+                                           n_states=cfg.n_states,
+                                           exact_n=True, dtype=cfg.np_dtype)
+        else:
+            # frozen_gas_init's draw layout at the padded lane count, with
+            # padded lanes zeroed (same L: the cell is set by N0, the
+            # member's count fluctuates inside it as in the reference)
+            from ..core.init import frozen_gas_positions
+            from ..core.qt import random_s_superposition
+            kr, kp = jax.random.split(k_init)
+            mc = mk.astype(cfg.np_dtype)[:, None]
+            R = frozen_gas_positions(kr, n_arr, L, cfg.np_dtype) * mc
+            V = jnp.zeros((n_arr, 3), cfg.np_dtype)
+            cdtype = (jnp.complex64 if cfg.np_dtype == jnp.float32
+                      else jnp.complex128)
+            psi = random_s_superposition(kp, n_arr, cfg.n_states,
+                                         cdtype) * mc
         st = make_state(R, V, psi, k_run, dtype=cfg.np_dtype)
-        forces_fn = best_forces_fn(cfg.n0, L, pu.debye_length,
+        forces_fn = best_forces_fn(n_arr, L, pu.debye_length, mask=mk,
                                    use_pallas=cfg.use_pallas)
         F, _ = forces_fn(st.R)
         return st._replace(F=F)
 
-    states = jax.jit(jax.vmap(init_one))(keys)
+    if mask is None:
+        states = jax.jit(jax.vmap(init_one))(keys)
+    else:
+        states = jax.jit(jax.vmap(init_one))(keys, mask)
 
-    def member(s, p=None):
-        e = yukawa_potential(s.R, L, pu.debye_length)
-        s = run_phase_a(cfg_run, s, n_md_a, qt_params=p)
+    def member(s, p=None, mk=None):
+        e = yukawa_potential(s.R, L, pu.debye_length, mask=mk)
+        s = run_phase_a(cfg_run, s, n_md_a, qt_params=p, mask=mk)
         s, spin_up, vholder = measure(cfg_run, s)
-        out_tag = tag_instant_output(cfg_run, s, spin_up, vholder, e)
-        s, outs = run_phase_b(cfg_run, s, spin_up, vholder, e, seg_lengths)
+        out_tag = tag_instant_output(cfg_run, s, spin_up, vholder, e,
+                                     mask=mk)
+        s, outs = run_phase_b(cfg_run, s, spin_up, vholder, e, seg_lengths,
+                              mask=mk)
         return s, spin_up, e, out_tag, outs
 
-    fn = jax.vmap(member)
-    args = (states,) if qt_params is None else (states, qt_params)
+    if mask is None:
+        fn = jax.vmap(member)
+        args = (states,) if qt_params is None else (states, qt_params)
+    else:
+        # sweeps pin N (run_sweep guard), so qt_params and mask never mix
+        fn = jax.vmap(lambda s, mk: member(s, mk=mk))
+        args = (states, mask)
     if mesh is not None:
         from ..parallel.ensemble import member_sharded
         fn = member_sharded(fn, mesh)
@@ -395,6 +439,8 @@ def _run_batched(cfg: FrozenTagConfig, member_cfgs, keys, qt_params=None,
     final_np = safe_device_get(states)
     spin_np = np.asarray(safe_device_get(spin_up))
     epot0_np = np.asarray(safe_device_get(epot0))
+    n_js = (None if mask is None
+            else np.asarray(mask).sum(axis=1).astype(int))
 
     results = []
     for j, mcfg in enumerate(member_cfgs):
@@ -403,6 +449,14 @@ def _run_batched(cfg: FrozenTagConfig, member_cfgs, keys, qt_params=None,
                    spin_up=spin_np[j], epot0=float(epot0_np[j]),
                    final=jax.tree.map(lambda a: a[j], final_np),
                    n_md_a=n_md_a)
+        if n_js is not None:
+            # checkpoints and the spin list carry the member's real N
+            nj = int(n_js[j])
+            res["final"] = jax.tree.map(
+                lambda a: a[:nj] if getattr(a, "ndim", 0) and
+                a.shape[0] == n_arr else a, res["final"])
+            res["spin_up"] = res["spin_up"][:nj]
+            res["n_ions"] = nj
         results.append(res)
         if mcfg.save_directory is not None:
             d = frozen_tag_dir(mcfg.save_directory,
@@ -421,16 +475,23 @@ def run_ensemble(cfg: FrozenTagConfig, n_jobs: int, seed: int = 0,
     (README.md:63: pooled statistics need 10+ jobs).  Per-job .dat trees
     land in ``job<k>/`` exactly as the array jobs' would.  Returns the
     per-job results list.  ``mesh`` spreads jobs over the mesh's ``ens``
-    devices."""
-    if not cfg.exact_n:
-        raise NotImplementedError("Poissonian-N tagging ensembles: use "
-                                  "independent runs (cli --jobs) until "
-                                  "masks are threaded through the "
-                                  "tagging output blocks")
+    devices.  With ``cfg.exact_n=False`` every member draws its own
+    Poissonian ion count as the reference's array jobs do
+    (randomFrozenStartTag422Linear.cpp:245-303), carried as per-member
+    masks inside one fixed-shape fold (see _run_batched)."""
     keys = jax.random.split(jax.random.PRNGKey(seed), n_jobs)
     member_cfgs = [dataclasses.replace(cfg, job=j + 1)
                    for j in range(n_jobs)]
-    return _run_batched(cfg, member_cfgs, keys, mesh=mesh)
+    mask = None
+    if not cfg.exact_n:
+        from ..core.init import sample_cell_count
+        rng = np.random.default_rng(seed)
+        n_js = [sample_cell_count(rng, cfg.n0) for _ in range(n_jobs)]
+        m = np.zeros((n_jobs, max(n_js)), np.float32)
+        for j, nj in enumerate(n_js):
+            m[j, :nj] = 1.0
+        mask = jnp.asarray(m)
+    return _run_batched(cfg, member_cfgs, keys, mesh=mesh, mask=mask)
 
 
 def run_sweep(cfg: FrozenTagConfig, points, jobs_per_point: int = 1,

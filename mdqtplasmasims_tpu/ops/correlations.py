@@ -79,21 +79,35 @@ def power_autocorr_direct(vstore: jax.Array, power: int, gamma: float = 1.0
 
 def streaming_vaf(v_now: jax.Array, v_interval_start: jax.Array,
                   x_only: bool = False,
-                  weights: Optional[jax.Array] = None) -> jax.Array:
+                  weights: Optional[jax.Array] = None,
+                  mask: Optional[jax.Array] = None) -> jax.Array:
     """Zfunc: (1/N) sum_i v_i(t0).v_i(t), optionally x-only and/or
-    restricted to a weighted subset (spin-up ions)."""
+    restricted to a weighted subset (spin-up ions).  ``mask`` marks the
+    member's real ions when the arrays carry padded lanes (the
+    Poissonian-N fold): N becomes the real count (padded lanes are
+    V=0 so they never contribute to the sum)."""
     if x_only:
         prod = v_interval_start * v_now
     else:
         prod = jnp.sum(v_interval_start * v_now, axis=-1)
     if weights is not None:
         prod = prod * weights
-    return jnp.mean(prod) if weights is None else jnp.sum(prod) / v_now.shape[0]
+    n_eff = v_now.shape[0] if mask is None else jnp.sum(mask)
+    return jnp.sum(prod) / n_eff
 
 
-def streaming_long_kin(vx_now: jax.Array, vx_start: jax.Array) -> jax.Array:
+def streaming_long_kin(vx_now: jax.Array, vx_start: jax.Array,
+                       mask: Optional[jax.Array] = None) -> jax.Array:
     """LongKin (randomFrozenStartTag408Quad.cpp:944-967): the v^2
     autocorrelation with the *current* mean-square subtracted:
-    (1/N) sum (vx0^2 - <vx^2>)(vx^2 - <vx^2>)."""
-    avg = jnp.mean(vx_now * vx_now)
-    return jnp.mean((vx_start * vx_start - avg) * (vx_now * vx_now - avg))
+    (1/N) sum (vx0^2 - <vx^2>)(vx^2 - <vx^2>).  ``mask``: real-ion
+    marker for padded folds — both the mean-square and the sum run over
+    real lanes only (padded vx=0 lanes would bias <vx^2> low and add
+    spurious (0-avg)^2 terms)."""
+    vv_now, vv_start = vx_now * vx_now, vx_start * vx_start
+    if mask is None:
+        avg = jnp.mean(vv_now)
+        return jnp.mean((vv_start - avg) * (vv_now - avg))
+    n_eff = jnp.sum(mask)
+    avg = jnp.sum(vv_now * mask) / n_eff
+    return jnp.sum((vv_start - avg) * (vv_now - avg) * mask) / n_eff
