@@ -424,10 +424,12 @@ def _run_batched(cfg: FrozenTagConfig, member_cfgs, keys, qt_params=None,
     if mask is None:
         fn = jax.vmap(member)
         args = (states,) if qt_params is None else (states, qt_params)
-    else:
-        # sweeps pin N (run_sweep guard), so qt_params and mask never mix
+    elif qt_params is None:
         fn = jax.vmap(lambda s, mk: member(s, mk=mk))
         args = (states, mask)
+    else:                      # Poissonian-N sweep members
+        fn = jax.vmap(lambda s, p, mk: member(s, p, mk))
+        args = (states, qt_params, mask)
     if mesh is not None:
         from ..parallel.ensemble import member_sharded
         fn = member_sharded(fn, mesh)
@@ -482,16 +484,20 @@ def run_ensemble(cfg: FrozenTagConfig, n_jobs: int, seed: int = 0,
     keys = jax.random.split(jax.random.PRNGKey(seed), n_jobs)
     member_cfgs = [dataclasses.replace(cfg, job=j + 1)
                    for j in range(n_jobs)]
-    mask = None
-    if not cfg.exact_n:
-        from ..core.init import sample_cell_count
-        rng = np.random.default_rng(seed)
-        n_js = [sample_cell_count(rng, cfg.n0) for _ in range(n_jobs)]
-        m = np.zeros((n_jobs, max(n_js)), np.float32)
-        for j, nj in enumerate(n_js):
-            m[j, :nj] = 1.0
-        mask = jnp.asarray(m)
+    mask = None if cfg.exact_n else _poisson_mask(cfg.n0, n_jobs, seed)
     return _run_batched(cfg, member_cfgs, keys, mesh=mesh, mask=mask)
+
+
+def _poisson_mask(n0: int, n_members: int, seed: int) -> jax.Array:
+    """[E, max(N_j)] real-ion mask with per-member Poissonian counts
+    (the reference's per-job init draw, SURVEY.md L2)."""
+    from ..core.init import sample_cell_count
+    rng = np.random.default_rng(seed)
+    n_js = [sample_cell_count(rng, n0) for _ in range(n_members)]
+    m = np.zeros((n_members, max(n_js)), np.float32)
+    for j, nj in enumerate(n_js):
+        m[j, :nj] = 1.0
+    return jnp.asarray(m)
 
 
 def run_sweep(cfg: FrozenTagConfig, points, jobs_per_point: int = 1,
@@ -511,10 +517,10 @@ def run_sweep(cfg: FrozenTagConfig, points, jobs_per_point: int = 1,
     keep cfg's value).  ``jobs_per_point`` replicates each point with
     independent seeds; member order is point-major.  With
     ``cfg.save_directory`` set, each member writes the full reference
-    .dat tree under its own detuning/om-encoded directory.  Returns
+    .dat tree under its own detuning/om-encoded directory.  With
+    ``cfg.exact_n=False`` every member additionally draws its own
+    Poissonian ion count (per-member masks, as run_ensemble).  Returns
     ``(results, member_cfgs)``."""
-    if not cfg.exact_n:
-        raise NotImplementedError("sweeps pin N=n0 (exact_n=True)")
     from ..core.qt import sweep_qt_params
     allowed = {"detuning", "om"}
     member_cfgs = []
@@ -536,8 +542,10 @@ def run_sweep(cfg: FrozenTagConfig, points, jobs_per_point: int = 1,
     oms = jnp.asarray([m.om for m in member_cfgs], rdtype)
     params = jax.vmap(
         lambda d, o: sweep_qt_params(unit, d, o, rdtype, cdtype))(dets, oms)
+    mask = (None if cfg.exact_n
+            else _poisson_mask(cfg.n0, len(member_cfgs), seed))
     results = _run_batched(cfg, member_cfgs, keys, qt_params=params,
-                           mesh=mesh)
+                           mesh=mesh, mask=mask)
     return results, member_cfgs
 
 

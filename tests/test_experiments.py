@@ -567,6 +567,28 @@ class TestFrozenTagPoissonEnsemble:
         for k in ("moments", "energies", "vaf", "long_kin"):
             assert np.isfinite(out[k]).all(), k
 
+    def test_sweep_with_poisson_counts(self):
+        """exact_n=False sweeps combine per-member QTParams (detuning
+        grid) with per-member Poissonian masks in one fold.  A sweep at
+        cfg's own (detuning, om) with the same seed draws the same masks
+        as run_ensemble and must reproduce it bit-for-bit (the 422
+        tables scale exactly under the unit-scheme identity)."""
+        from mdqtplasmasims_tpu.experiments.frozen_tagging import (
+            run_ensemble, run_sweep)
+        cfg = FrozenTagConfig(**{**self.CFG, "n0": 64}, exact_n=False)
+        res, mcfgs = run_sweep(
+            cfg, [{"detuning": cfg.detuning, "om": cfg.om}],
+            jobs_per_point=3, seed=13)
+        ens = run_ensemble(cfg, 3, seed=13)
+        n_js = [r["n_ions"] for r in res]
+        assert n_js == [r["n_ions"] for r in ens] and len(set(n_js)) > 1
+        for j in range(3):
+            assert res[j]["spin_up"].shape[0] == n_js[j]
+            np.testing.assert_array_equal(res[j]["outs"]["moments"],
+                                          ens[j]["outs"]["moments"])
+            np.testing.assert_array_equal(res[j]["spin_up"],
+                                          ens[j]["spin_up"])
+
     def test_run_ensemble_poisson_end_to_end(self, tmp_path):
         """exact_n=False tagging ensembles draw spread Poissonian counts,
         write per-job trees sized to each member's real N, and produce
