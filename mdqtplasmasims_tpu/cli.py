@@ -137,10 +137,12 @@ def main(argv=None) -> int:
                        help="run jobs 1..K sequentially in-process (the "
                             "SLURM-array replacement; the compiled program "
                             "is shared across jobs)")
-        if name == "cooling":
+        if name in ("cooling", "frozen-tag"):
             p.add_argument("--resume", action="store_true",
-                           help="continue from the newest native checkpoint "
-                                "(the reference's newRun=0 walltime chaining)")
+                           help="continue from the newest checkpoint "
+                                "(the reference's newRun=0 walltime "
+                                "chaining; frozen-tag resumes post-tag "
+                                "recording)")
         if name in ("frozen-tag", "mc-tag", "transport",
                     "three-state"):
             p.add_argument("--batch-jobs", type=int, default=0,

@@ -304,7 +304,15 @@ def run_phase_b(cfg: FrozenTagConfig, state: SimState, spin_up, vholder,
     return state, outs
 
 
-def run(cfg: FrozenTagConfig, seed: Optional[int] = None):
+def run(cfg: FrozenTagConfig, seed: Optional[int] = None,
+        resume: bool = False):
+    """One frozen-tag job.  ``resume=True`` continues the newest
+    checkpoint in the job's directory through tmax (the reference's
+    newRun=0 walltime chaining, randomFrozenStartTag422Linear.cpp:
+    987-995; post-tag only — the reference never persists wavefunctions
+    for this family, so a mid-pump restart has no state to continue)."""
+    if resume:
+        return _resume_continue(cfg)
     state = initial_state(cfg, seed)
     pu = PlasmaUnits(cfg.density, cfg.ge)
     L = PlasmaUnits.box_length(cfg.n0)
@@ -337,7 +345,8 @@ def run(cfg: FrozenTagConfig, seed: Optional[int] = None):
     final = safe_device_get(state)
     spin_up_np = np.asarray(safe_device_get(spin_up))
     results = dict(outs=outs, out_tag=out_tag, spin_up=spin_up_np,
-                   epot0=float(epot0), final=final, n_md_a=n_md_a)
+                   epot0=float(epot0), final=final, n_md_a=n_md_a,
+                   vholder=np.asarray(safe_device_get(vholder)))
 
     if cfg.save_directory is not None:
         d = frozen_tag_dir(cfg.save_directory,
@@ -346,6 +355,122 @@ def run(cfg: FrozenTagConfig, seed: Optional[int] = None):
                            om=cfg.om, density=cfg.density, ge=cfg.ge,
                            n0=cfg.n0, job=cfg.job)
         write_outputs(d, cfg, results, n_md_total)
+    return final, results
+
+
+def _resume_continue(cfg: FrozenTagConfig):
+    """Continue a frozen-tag job from its newest checkpoint through tmax.
+
+    The reference restart (newRun=0) restores N/counter, SpinUpList and
+    R|V, sets recordedSpinUps=1, and keeps emitting post-tag output
+    blocks until the (possibly extended) tmax
+    (randomFrozenStartTag422Linear.cpp:987-995,1000-1014).  From a
+    native .npz checkpoint this also restores psi, the tag-instant
+    velocity snapshot (so the streaming VAF/LongKin rows continue
+    against the true vholder), and epot0 for the energy-audit column;
+    from the ASCII schema those default to zero exactly as the
+    reference's globals do after readConditions."""
+    import glob
+    import os
+    import re
+    if cfg.save_directory is None:
+        raise ValueError("resume needs cfg.save_directory")
+    d = frozen_tag_dir(cfg.save_directory, tpump_seconds=cfg.tpump_seconds,
+                       tstart=cfg.tstart, detuning=cfg.detuning, om=cfg.om,
+                       density=cfg.density, ge=cfg.ge, n0=cfg.n0,
+                       job=cfg.job)
+    from .laser_cooling import latest_checkpoint
+    c0 = latest_checkpoint(d)
+    native = None
+    if c0 is not None:
+        native = ckpt.load_native(d, c0)
+    else:
+        cs = [int(m.group(1))
+              for p in glob.glob(os.path.join(d, "ions_timestep*.dat"))
+              if (m := re.search(r"ions_timestep(\d+)\.dat$", p))]
+        if not cs:
+            raise FileNotFoundError(f"no checkpoint under {d}")
+        c0 = max(cs)
+
+    n_md_a = int(np.ceil(cfg.tend / cfg.timestep))
+    n_md_total = int(round(cfg.tmax / cfg.timestep))
+    if c0 < n_md_a:
+        raise ValueError(
+            f"checkpoint c0={c0} precedes the pump end (MD step "
+            f"{n_md_a}); the frozen-tag schema never persists mid-pump "
+            "wavefunctions (reference parity) so only post-tag resume "
+            "is possible")
+    f = cfg.sample_freq
+    first = f - (n_md_a % f)
+    l0 = n_md_a + first - 1
+    n_lab = (n_md_total - 1 - l0) // f + 1
+    labels = [l0 + k * f for k in range(max(0, (c0 - l0) // f + 1), n_lab)]
+    if not labels:
+        raise ValueError(f"checkpoint c0={c0} already covers "
+                         f"tmax={cfg.tmax}; extend tmax to continue")
+
+    rdt = cfg.np_dtype
+    cdt = jnp.complex64 if cfg.dtype == "float32" else jnp.complex128
+    if native is not None:
+        R, V = native["R"], native["V"]
+        n = R.shape[0]
+        psi = native.get("psi", np.zeros((n, cfg.n_states), np.complex64))
+        spin_up = native["spin_up"].astype(bool)
+        vholder = native.get("vholder", np.zeros(n))
+        epot0 = float(native.get("epot0", 0.0))
+        counter = int(native["counter"])
+    else:
+        R, V = ckpt.read_conditions(d, c0)
+        n = R.shape[0]
+        psi = np.zeros((n, cfg.n_states), np.complex64)
+        spin_up = ckpt.read_spinup_list(d, c0).astype(bool)
+        vholder = np.zeros(n)
+        epot0 = 0.0
+        _, counter = ckpt.read_ions(d, c0)
+
+    key = jax.random.PRNGKey(cfg.job * 7919 + c0)
+    st = make_state(jnp.asarray(R, rdt), jnp.asarray(V, rdt),
+                    jnp.asarray(psi, cdt), key, dtype=cfg.np_dtype,
+                    t=(c0 + 1) * cfg.timestep)
+    st = st._replace(tick=jnp.asarray((c0 + 1) * cfg.ratio, jnp.int32))
+    spin_up = jnp.asarray(spin_up)
+    vholder = jnp.asarray(vholder, rdt)
+
+    cfg_run = dataclasses.replace(cfg, job=1, save_directory=None)
+    segs = (labels[0] - c0,) + (f,) * (len(labels) - 1)
+    st, outs = run_phase_b(cfg_run, st, spin_up, vholder, epot0,
+                           tuple(segs))
+    jax.block_until_ready(st)
+
+    outs = safe_device_get(outs)
+    final = safe_device_get(st)
+    spin_np = np.asarray(safe_device_get(spin_up))
+    results = dict(outs=outs, spin_up=spin_np, epot0=epot0, final=final,
+                   n_md_a=n_md_a, labels=labels,
+                   vholder=np.asarray(safe_device_get(vholder)))
+
+    w = DatWriter(d)
+    bins = (np.arange(4001) - 2000) * 0.0025
+    energies = np.concatenate([outs["t"][:, None], outs["energies"]],
+                              axis=1)
+    w.append("energies.dat", energies)
+    moments = np.concatenate([outs["t"][:, None], outs["moments"]], axis=1)
+    w.append("taggedMoments.dat", moments)
+    ac = outs["long_kin" if cfg.variant == "408quad" else "vaf"]
+    w.append("vSquareAutoCorr.dat" if cfg.variant == "408quad"
+             else "VAF.dat", np.stack([outs["t"], ac], -1))
+    for k, lab in enumerate(labels):
+        w.write(f"vel_distX_timestep{lab:06d}.dat",
+                np.stack([bins, outs["pvel_x"][k]], -1))
+    c0f = n_md_total - 1
+    new_counter = counter + len(labels)
+    ckpt.write_ions(d, c0f, n, new_counter)
+    ckpt.write_conditions(d, c0f, np.asarray(final.R), np.asarray(final.V))
+    ckpt.write_spinup_list(d, c0f, spin_np.astype(int))
+    ckpt.save_native(d, c0f, R=final.R, V=final.V, psi=final.psi,
+                     counter=new_counter, spin_up=spin_np,
+                     vholder=results["vholder"],
+                     extra={"epot0": epot0})
     return final, results
 
 
@@ -419,7 +544,7 @@ def _run_batched(cfg: FrozenTagConfig, member_cfgs, keys, qt_params=None,
                                      mask=mk)
         s, outs = run_phase_b(cfg_run, s, spin_up, vholder, e, seg_lengths,
                               mask=mk)
-        return s, spin_up, e, out_tag, outs
+        return s, spin_up, e, out_tag, outs, vholder
 
     if mask is None:
         fn = jax.vmap(member)
@@ -433,7 +558,7 @@ def _run_batched(cfg: FrozenTagConfig, member_cfgs, keys, qt_params=None,
     if mesh is not None:
         from ..parallel.ensemble import member_sharded
         fn = member_sharded(fn, mesh)
-    states, spin_up, epot0, out_tag, outs = jax.jit(fn)(*args)
+    states, spin_up, epot0, out_tag, outs, vholder = jax.jit(fn)(*args)
     jax.block_until_ready(states)
 
     outs_np = safe_device_get(outs)
@@ -441,6 +566,7 @@ def _run_batched(cfg: FrozenTagConfig, member_cfgs, keys, qt_params=None,
     final_np = safe_device_get(states)
     spin_np = np.asarray(safe_device_get(spin_up))
     epot0_np = np.asarray(safe_device_get(epot0))
+    vhold_np = np.asarray(safe_device_get(vholder))
     n_js = (None if mask is None
             else np.asarray(mask).sum(axis=1).astype(int))
 
@@ -450,7 +576,7 @@ def _run_batched(cfg: FrozenTagConfig, member_cfgs, keys, qt_params=None,
                    out_tag=jax.tree.map(lambda a: a[j], out_tag_np),
                    spin_up=spin_np[j], epot0=float(epot0_np[j]),
                    final=jax.tree.map(lambda a: a[j], final_np),
-                   n_md_a=n_md_a)
+                   n_md_a=n_md_a, vholder=vhold_np[j])
         if n_js is not None:
             # checkpoints and the spin list carry the member's real N
             nj = int(n_js[j])
@@ -458,6 +584,7 @@ def _run_batched(cfg: FrozenTagConfig, member_cfgs, keys, qt_params=None,
                 lambda a: a[:nj] if getattr(a, "ndim", 0) and
                 a.shape[0] == n_arr else a, res["final"])
             res["spin_up"] = res["spin_up"][:nj]
+            res["vholder"] = res["vholder"][:nj]
             res["n_ions"] = nj
         results.append(res)
         if mcfg.save_directory is not None:
@@ -607,4 +734,6 @@ def write_outputs(directory: str, cfg: FrozenTagConfig, res: dict,
     ckpt.write_spinup_list(directory, c0, res["spin_up"].astype(int))
     ckpt.save_native(directory, c0, R=res["final"].R, V=res["final"].V,
                      psi=res["final"].psi, counter=n_samples,
-                     spin_up=res["spin_up"])
+                     spin_up=res["spin_up"],
+                     vholder=res.get("vholder"),
+                     extra={"epot0": res["epot0"]})

@@ -210,6 +210,57 @@ class TestFrozenTagging:
         np.testing.assert_array_equal(np.asarray(spin_up),
                                       res["spin_up"])
 
+    def test_resume_continue_matches_uninterrupted(self, tmp_path):
+        """run(resume=True) with an extended tmax reproduces the
+        uninterrupted run: continued energies/taggedMoments/VAF rows
+        match bit-for-bit (native checkpoint restores the exact f32
+        state incl. vholder and epot0, and post-tag MD is
+        deterministic), per-timestep vel_dist files appear, and the
+        terminal checkpoint advances."""
+        import dataclasses as dc
+        from mdqtplasmasims_tpu.experiments.frozen_tagging import (
+            frozen_tag_dir)
+        base = dict(variant="422linear", n0=48, tstart=1.0,
+                    timestep=0.01, sample_freq=20, tpump_seconds=2e-7,
+                    use_pallas=False)
+        cfg1 = FrozenTagConfig(**base, tmax=3.0,
+                               save_directory=str(tmp_path / "chained"))
+        run_frozen(cfg1)
+        cfg2 = dc.replace(cfg1, tmax=5.0)
+        final2, res2 = run_frozen(cfg2, resume=True)
+        cfg_full = FrozenTagConfig(**base, tmax=5.0,
+                                   save_directory=str(tmp_path / "full"))
+        run_frozen(cfg_full)
+
+        def tree(root):
+            return frozen_tag_dir(str(root), tpump_seconds=cfg1.tpump_seconds,
+                                  tstart=cfg1.tstart, detuning=cfg1.detuning,
+                                  om=cfg1.om, density=cfg1.density,
+                                  ge=cfg1.ge, n0=cfg1.n0, job=1)
+        dc_dir, full_dir = tree(tmp_path / "chained"), tree(tmp_path / "full")
+        for fname in ("energies.dat", "taggedMoments.dat", "VAF.dat"):
+            a = np.loadtxt(os.path.join(dc_dir, fname))
+            b = np.loadtxt(os.path.join(full_dir, fname))
+            np.testing.assert_array_equal(a, b, err_msg=fname)
+        for lab in res2["labels"]:
+            assert os.path.exists(os.path.join(
+                dc_dir, f"vel_distX_timestep{lab:06d}.dat")), lab
+        c0f = int(round(cfg2.tmax / cfg2.timestep)) - 1
+        n_chain, counter_chain = __import__(
+            "mdqtplasmasims_tpu.io.checkpoint", fromlist=["read_ions"]
+        ).read_ions(dc_dir, c0f)
+        assert n_chain == cfg1.n0
+        n_rows = np.loadtxt(os.path.join(full_dir, "energies.dat")).shape[0]
+        assert counter_chain == n_rows
+
+    def test_resume_before_tag_rejected(self, tmp_path):
+        cfg = FrozenTagConfig(variant="422linear", n0=32, tstart=2.0,
+                              tmax=3.0, timestep=0.01, sample_freq=20,
+                              tpump_seconds=2e-7,
+                              save_directory=str(tmp_path))
+        with pytest.raises(FileNotFoundError):
+            run_frozen(cfg, resume=True)
+
     def test_pump_window_gating(self):
         """Wavefunctions must be frozen outside the pump window."""
         cfg = FrozenTagConfig(variant="422linear", n0=32, tstart=5.0,
