@@ -293,8 +293,9 @@ def main(argv=None) -> int:
         cls, runner = families[ns.cmd]
         cfg = _build_cfg(cls, ns)
         if getattr(ns, "batch_jobs", 0) > 1:
+            kw = ({"resume": True} if getattr(ns, "resume", False) else {})
             batched[ns.cmd](cfg, ns.batch_jobs,
-                            mesh=_mesh_from_flags(ns))
+                            mesh=_mesh_from_flags(ns), **kw)
             print(f"[{ns.cmd}] {ns.batch_jobs} batched trajectories in "
                   f"{time.perf_counter() - t0:.1f}s"
                   + (f" -> {cfg.save_directory}"

@@ -598,7 +598,7 @@ def _run_batched(cfg: FrozenTagConfig, member_cfgs, keys, qt_params=None,
 
 
 def run_ensemble(cfg: FrozenTagConfig, n_jobs: int, seed: int = 0,
-                 mesh=None):
+                 mesh=None, resume: bool = False):
     """Batched job array — the TPU-native replacement for the
     reference's SLURM array over randomFrozenStartTag* jobs
     (README.md:63: pooled statistics need 10+ jobs).  Per-job .dat trees
@@ -607,7 +607,16 @@ def run_ensemble(cfg: FrozenTagConfig, n_jobs: int, seed: int = 0,
     devices.  With ``cfg.exact_n=False`` every member draws its own
     Poissonian ion count as the reference's array jobs do
     (randomFrozenStartTag422Linear.cpp:245-303), carried as per-member
-    masks inside one fixed-shape fold (see _run_batched)."""
+    masks inside one fixed-shape fold (see _run_batched).
+
+    ``resume=True`` continues every job's newest checkpoint through an
+    extended tmax (per-job newRun=0 chaining, see _resume_continue);
+    the jitted continuation canonicalizes job away, so all exact-N jobs
+    share one compiled program."""
+    if resume:
+        return [
+            run(dataclasses.replace(cfg, job=j + 1), resume=True)[1]
+            for j in range(n_jobs)]
     keys = jax.random.split(jax.random.PRNGKey(seed), n_jobs)
     member_cfgs = [dataclasses.replace(cfg, job=j + 1)
                    for j in range(n_jobs)]

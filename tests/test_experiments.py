@@ -253,6 +253,31 @@ class TestFrozenTagging:
         n_rows = np.loadtxt(os.path.join(full_dir, "energies.dat")).shape[0]
         assert counter_chain == n_rows
 
+    def test_ensemble_resume_chains_every_job(self, tmp_path):
+        """run_ensemble(resume=True) continues every job directory of a
+        batched array through an extended tmax: full row counts and an
+        advanced terminal checkpoint per job."""
+        import dataclasses as dc
+        from mdqtplasmasims_tpu.experiments.frozen_tagging import (
+            run_ensemble)
+        from mdqtplasmasims_tpu.io.checkpoint import read_ions
+        cfg1 = FrozenTagConfig(variant="422linear", n0=48, tstart=1.0,
+                               tmax=3.0, timestep=0.01, sample_freq=20,
+                               tpump_seconds=2e-7,
+                               save_directory=str(tmp_path))
+        run_ensemble(cfg1, 3, seed=4)
+        cfg2 = dc.replace(cfg1, tmax=4.0)
+        res = run_ensemble(cfg2, 3, resume=True)
+        assert len(res) == 3
+        job_dirs = sorted(str(p.parent)
+                          for p in tmp_path.rglob("energies.dat"))
+        assert len(job_dirs) == 3
+        c0f = int(round(cfg2.tmax / cfg2.timestep)) - 1
+        for d in job_dirs:
+            e = np.loadtxt(os.path.join(d, "energies.dat"))
+            n, counter = read_ions(d, c0f)
+            assert n == cfg1.n0 and counter == e.shape[0]
+
     def test_resume_before_tag_rejected(self, tmp_path):
         cfg = FrozenTagConfig(variant="422linear", n0=32, tstart=2.0,
                               tmax=3.0, timestep=0.01, sample_freq=20,
