@@ -142,9 +142,13 @@ def _parent() -> None:
         if budget <= 60:
             break
         try:
+            # cap each attempt: the child's own 700 s SIGALRM can be
+            # deferred indefinitely while backend init blocks inside a
+            # native call, and an uncapped wait would eat the whole
+            # budget without ever retrying in a fresh interpreter
             out = subprocess.run(
                 [sys.executable, __file__, "--child"],
-                stdout=subprocess.PIPE, timeout=budget + 30,
+                stdout=subprocess.PIPE, timeout=min(budget, 700) + 30,
                 text=True).stdout
         except subprocess.TimeoutExpired:
             out = ""

@@ -42,6 +42,22 @@ def frozen_gas_positions(key: jax.Array, n: int, L: float,
     return jax.random.uniform(key, (n, 3), dtype, minval=0.0, maxval=L)
 
 
+def poisson_member_mask(n0: int, n_members: int, seed: int,
+                        round_to: int = 1):
+    """[E, n_arr] real-ion mask with per-member Poissonian counts — the
+    fixed-shape ensemble fold's stand-in for the reference's per-job
+    init draw (one ``sample_cell_count`` per array job).  ``round_to``
+    rounds the padded lane count up so a sharded ion axis divides
+    evenly.  Returns ``(mask float32 ndarray, counts list)``."""
+    rng = np.random.default_rng(seed)
+    n_js = [sample_cell_count(rng, n0) for _ in range(n_members)]
+    n_arr = -(-max(n_js) // round_to) * round_to
+    m = np.zeros((n_members, n_arr), np.float32)
+    for j, nj in enumerate(n_js):
+        m[j, :nj] = 1.0
+    return m, n_js
+
+
 def frozen_gas_init(key: jax.Array, n0: int, *, n_states: int = 0,
                     exact_n: bool = True, dtype=jnp.float32,
                     seed_for_count: Optional[int] = None):

@@ -404,9 +404,13 @@ class FrozenTagScheduler:
         # (ratio*5) rolls are a contiguous counter block independent of n.
         # A member padded to a larger lane count (the Poissonian-N fold)
         # then reproduces its exact-shape run bit-for-bit whenever the
-        # force path also pads both shapes to the same tile.
-        all_rolls = jax.random.uniform(sub, (n, self.ratio, 5),
-                                       state.R.dtype).transpose(1, 2, 0)
+        # force path also pads both shapes to the same tile.  Drawn as
+        # [n, ratio*5] (minor dim ~128) and reshaped after the transpose
+        # — a [.., ratio, 5] intermediate would pad 5 lanes to 128
+        # (CLAUDE.md lane-padding rule); the bits are identical.
+        all_rolls = (jax.random.uniform(sub, (n, self.ratio * 5),
+                                        state.R.dtype)
+                     .T.reshape(self.ratio, 5, n))
         vx = V[:, 0]
 
         def tick(c, rolls):

@@ -42,7 +42,7 @@ from ..io.datfiles import DatWriter
 from ..io.dirs import frozen_tag_dir
 from ..levels import tag408, tag422
 from ..ops.correlations import streaming_long_kin, streaming_vaf
-from ..ops.kde import centered_bins, gaussian_kde
+from ..ops.kde import centered_bins, centered_bins_np, gaussian_kde
 from ..ops.yukawa import best_forces_fn, yukawa_potential
 from ..util import safe_device_get
 from ..state import SimState, make_state
@@ -267,11 +267,14 @@ def tag_instant_output(cfg: FrozenTagConfig, state: SimState, spin_up,
                          pu.debye_length, bins, mask=mask)
 
 
-@partial(jax.jit, static_argnames=("cfg", "seg_lengths"))
+@partial(jax.jit, static_argnames=("cfg", "seg_lengths", "tail"))
 def run_phase_b(cfg: FrozenTagConfig, state: SimState, spin_up, vholder,
-                epot0, seg_lengths: tuple, mask=None):
+                epot0, seg_lengths: tuple, mask=None, tail: int = 0):
     """Post-tag MD with an output block after each segment.  seg_lengths
-    must all be equal (one scan) except possibly the first (alignment)."""
+    must all be equal (one scan) except possibly the first (alignment).
+    ``tail``: MD steps past the last sample gate up to tmax — the
+    reference keeps stepping to tmax regardless of the sample grid, so
+    the terminal checkpoint (labeled n_md_total-1) must include them."""
     pu = PlasmaUnits(cfg.density, cfg.ge)
     L = PlasmaUnits.box_length(cfg.n0)
     sched = build_scheduler(cfg, mask=mask)
@@ -301,6 +304,9 @@ def run_phase_b(cfg: FrozenTagConfig, state: SimState, spin_up, vholder,
                             out0, outs)
     else:
         outs = jax.tree.map(lambda a: a[None], out0)
+    if tail:
+        state = jax.lax.fori_loop(0, tail,
+                                  lambda i, s: sched.md_step_pure(s), state)
     return state, outs
 
 
@@ -336,8 +342,9 @@ def run(cfg: FrozenTagConfig, seed: Optional[int] = None,
     remaining = n_md_total - n_md_a - first
     n_full = max(0, remaining // cfg.sample_freq)
     seg_lengths = (first,) + (cfg.sample_freq,) * n_full
+    tail = n_md_total - n_md_a - first - n_full * cfg.sample_freq
     state, outs = run_phase_b(cfg_run, state, spin_up, vholder, epot0,
-                              seg_lengths)
+                              seg_lengths, tail=tail)
     jax.block_until_ready(state)
 
     outs = safe_device_get(outs)
@@ -438,8 +445,9 @@ def _resume_continue(cfg: FrozenTagConfig):
 
     cfg_run = dataclasses.replace(cfg, job=1, save_directory=None)
     segs = (labels[0] - c0,) + (f,) * (len(labels) - 1)
+    tail = n_md_total - (labels[-1] + 1)
     st, outs = run_phase_b(cfg_run, st, spin_up, vholder, epot0,
-                           tuple(segs))
+                           tuple(segs), tail=tail)
     jax.block_until_ready(st)
 
     outs = safe_device_get(outs)
@@ -450,7 +458,7 @@ def _resume_continue(cfg: FrozenTagConfig):
                    vholder=np.asarray(safe_device_get(vholder)))
 
     w = DatWriter(d)
-    bins = (np.arange(4001) - 2000) * 0.0025
+    bins = centered_bins_np()
     energies = np.concatenate([outs["t"][:, None], outs["energies"]],
                               axis=1)
     w.append("energies.dat", energies)
@@ -501,8 +509,9 @@ def _run_batched(cfg: FrozenTagConfig, member_cfgs, keys, qt_params=None,
     n_md_total = int(round(cfg.tmax / cfg.timestep))
     first = cfg.sample_freq - (n_md_a % cfg.sample_freq)
     remaining = n_md_total - n_md_a - first
-    seg_lengths = (first,) + (cfg.sample_freq,) * max(
-        0, remaining // cfg.sample_freq)
+    n_full = max(0, remaining // cfg.sample_freq)
+    seg_lengths = (first,) + (cfg.sample_freq,) * n_full
+    tail = n_md_total - n_md_a - first - n_full * cfg.sample_freq
     n_arr = cfg.n0 if mask is None else mask.shape[1]
 
     def init_one(key, mk=None):
@@ -543,7 +552,7 @@ def _run_batched(cfg: FrozenTagConfig, member_cfgs, keys, qt_params=None,
         out_tag = tag_instant_output(cfg_run, s, spin_up, vholder, e,
                                      mask=mk)
         s, outs = run_phase_b(cfg_run, s, spin_up, vholder, e, seg_lengths,
-                              mask=mk)
+                              mask=mk, tail=tail)
         return s, spin_up, e, out_tag, outs, vholder
 
     if mask is None:
@@ -627,12 +636,8 @@ def run_ensemble(cfg: FrozenTagConfig, n_jobs: int, seed: int = 0,
 def _poisson_mask(n0: int, n_members: int, seed: int) -> jax.Array:
     """[E, max(N_j)] real-ion mask with per-member Poissonian counts
     (the reference's per-job init draw, SURVEY.md L2)."""
-    from ..core.init import sample_cell_count
-    rng = np.random.default_rng(seed)
-    n_js = [sample_cell_count(rng, n0) for _ in range(n_members)]
-    m = np.zeros((n_members, max(n_js)), np.float32)
-    for j, nj in enumerate(n_js):
-        m[j, :nj] = 1.0
+    from ..core.init import poisson_member_mask
+    m, _ = poisson_member_mask(n0, n_members, seed)
     return jnp.asarray(m)
 
 
@@ -690,7 +695,7 @@ def write_outputs(directory: str, cfg: FrozenTagConfig, res: dict,
     w = DatWriter(directory)
     outs = res["outs"]
     out_tag = res["out_tag"]
-    bins = (np.arange(4001) - 2000) * 0.0025
+    bins = centered_bins_np()
 
     # tag-instant emission: the VAF/LongKin tau=0 normalization row for
     # every variant; the 408 variants additionally call output() there

@@ -39,7 +39,7 @@ from ..io import checkpoint as ckpt
 from ..io.datfiles import DatWriter
 from ..io.dirs import cooling_dir
 from ..levels import sr12_cooling, with_recoil
-from ..ops.kde import folded_bins, gaussian_kde
+from ..ops.kde import folded_bins, folded_bins_np, gaussian_kde
 from ..ops.yukawa import (best_forces_fn, yukawa_forces_potential,
                           yukawa_potential)
 from ..util import safe_device_get
@@ -921,14 +921,9 @@ def _poisson_member_states(cfg: CoolingConfig, n_jobs: int, seed: int,
     draw; padded lanes start at R=V=psi=0 and stay exactly inert (see
     run_compiled_ensemble).  Returns (states [E, n_arr, ...],
     mask [E, n_arr], counts)."""
-    from ..core.init import sample_cell_count
-    rng = np.random.default_rng(seed)
-    n_js = [sample_cell_count(rng, cfg.n0) for _ in range(n_jobs)]
-    # round the padded size up so a sharded ion axis divides evenly
-    n_arr = -(-max(n_js) // round_to) * round_to
-    m = np.zeros((n_jobs, n_arr), np.float32)
-    for j, nj in enumerate(n_js):
-        m[j, :nj] = 1.0
+    from ..core.init import poisson_member_mask
+    m, n_js = poisson_member_mask(cfg.n0, n_jobs, seed, round_to=round_to)
+    n_arr = m.shape[1]
     mask = jnp.asarray(m)
     keys = jax.random.split(jax.random.PRNGKey(seed), n_jobs)
 
@@ -979,7 +974,7 @@ def write_outputs(directory: str, cfg: CoolingConfig, outs, epot0: float,
     rows — the group-streaming mode of run()/run_ensemble, which the
     reference matches by appending output() rows at every sample."""
     w = DatWriter(directory)
-    bins = np.arange(2001) * 0.0025
+    bins = folded_bins_np()
     n_samples = outs["t"].shape[0]
     # ``n_actual`` slices off padded lanes when the member carries a
     # Poissonian ion count inside a fixed-shape ensemble fold — emitted

@@ -33,7 +33,7 @@ from ..io.datfiles import DatWriter
 from ..io.dirs import mc_tag_dir
 from ..levels import DECAY_RATIO_422_MC, tag408, tag422
 from ..ops.correlations import autocorr_suite
-from ..ops.kde import centered_bins, gaussian_kde
+from ..ops.kde import centered_bins, centered_bins_np, gaussian_kde
 from ..ops.structure import pair_correlation
 
 from ..util import safe_device_get
@@ -381,7 +381,7 @@ def _write_outputs(cfg: MCTagConfig, res: dict) -> None:
                    job=cfg.job, date_stamp=stamp)
     w = DatWriter(d)
     t_axis = np.arange(cfg.record_steps) * cfg.timestep
-    bins = (np.arange(4001) - 2000) * 0.0025
+    bins = centered_bins_np()
     w.append("taggedMoments.dat",
              np.concatenate([t_axis[:, None], res["moments"]], axis=1))
     for k in range(0, cfg.record_steps, cfg.dist_every):

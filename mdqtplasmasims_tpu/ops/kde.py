@@ -18,6 +18,18 @@ KDE_WIDTH = 0.002          # gaussian width (both families)
 KDE_NORM = 6.0 * np.sqrt(2.0 * np.pi * KDE_WIDTH * KDE_WIDTH)
 
 
+def folded_bins_np():
+    """Host (float64) copy of :func:`folded_bins` for the .dat writers."""
+    import numpy as np
+    return np.arange(2001) * 0.0025
+
+
+def centered_bins_np():
+    """Host (float64) copy of :func:`centered_bins` for the .dat writers."""
+    import numpy as np
+    return (np.arange(4001) - 2000) * 0.0025
+
+
 def folded_bins(dtype=jnp.float32) -> jax.Array:
     """2001 bins at 0.0025 spacing over [0, 5]
     (laserCooling...SpeedUp.cpp:340-344)."""

@@ -220,15 +220,20 @@ class TestFrozenTagging:
         import dataclasses as dc
         from mdqtplasmasims_tpu.experiments.frozen_tagging import (
             frozen_tag_dir)
+        # tmax values deliberately NOT on the sample grid (310 % 20 = 10,
+        # 530 % 20 = 10): both windows end with tail MD steps past the
+        # last sample gate, which the checkpoint (labeled n_md_total-1)
+        # must include — the original implementation skipped them and
+        # every resumed row came out 10 MD steps behind
         base = dict(variant="422linear", n0=48, tstart=1.0,
                     timestep=0.01, sample_freq=20, tpump_seconds=2e-7,
                     use_pallas=False)
-        cfg1 = FrozenTagConfig(**base, tmax=3.0,
+        cfg1 = FrozenTagConfig(**base, tmax=3.1,
                                save_directory=str(tmp_path / "chained"))
         run_frozen(cfg1)
-        cfg2 = dc.replace(cfg1, tmax=5.0)
+        cfg2 = dc.replace(cfg1, tmax=5.3)
         final2, res2 = run_frozen(cfg2, resume=True)
-        cfg_full = FrozenTagConfig(**base, tmax=5.0,
+        cfg_full = FrozenTagConfig(**base, tmax=5.3,
                                    save_directory=str(tmp_path / "full"))
         run_frozen(cfg_full)
 
@@ -279,11 +284,27 @@ class TestFrozenTagging:
             assert n == cfg1.n0 and counter == e.shape[0]
 
     def test_resume_before_tag_rejected(self, tmp_path):
+        from mdqtplasmasims_tpu.experiments.frozen_tagging import (
+            frozen_tag_dir)
+        from mdqtplasmasims_tpu.io import checkpoint as ckpt
         cfg = FrozenTagConfig(variant="422linear", n0=32, tstart=2.0,
                               tmax=3.0, timestep=0.01, sample_freq=20,
                               tpump_seconds=2e-7,
                               save_directory=str(tmp_path))
         with pytest.raises(FileNotFoundError):
+            run_frozen(cfg, resume=True)
+        # a checkpoint from before the pump end must be refused: the
+        # schema never persists mid-pump wavefunctions
+        d = frozen_tag_dir(cfg.save_directory,
+                           tpump_seconds=cfg.tpump_seconds,
+                           tstart=cfg.tstart, detuning=cfg.detuning,
+                           om=cfg.om, density=cfg.density, ge=cfg.ge,
+                           n0=cfg.n0, job=cfg.job)
+        os.makedirs(d, exist_ok=True)
+        ckpt.save_native(d, 50, R=np.zeros((32, 3)), V=np.zeros((32, 3)),
+                         psi=np.zeros((32, 5), np.complex64), counter=0,
+                         spin_up=np.zeros(32, np.int64))
+        with pytest.raises(ValueError, match="pump end"):
             run_frozen(cfg, resume=True)
 
     def test_pump_window_gating(self):
