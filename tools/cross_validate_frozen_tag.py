@@ -42,7 +42,8 @@ def main(ref_job_dir: str) -> int:
     # the reference's earliest vel_distX file is its first post-tag
     # sample; compare the framework's matching sample (the spin-up-
     # weighted KDE), not the end-of-run velocities 0.8 omega_p^-1 later
-    bins = (np.arange(4001) - 2000) * 0.0025
+    from mdqtplasmasims_tpu.ops.kde import centered_bins_np
+    bins = centered_bins_np()
     w_fw = np.asarray(res["outs"]["pvel_x"][0], np.float64)
     fw_mean = (bins * w_fw).sum() / w_fw.sum()
     print(f"tag fraction: ref-file dir vs mine {up.mean():.3f}")
