@@ -310,6 +310,28 @@ def run_phase_b(cfg: FrozenTagConfig, state: SimState, spin_up, vholder,
     return state, outs
 
 
+def _phase_b_plan(cfg: FrozenTagConfig):
+    """Shared post-tag schedule: (n_md_a, n_md_total, seg_lengths, tail).
+
+    ``seg_lengths`` aligns output blocks to the global sample grid (the
+    reference's (c0+1)%sampleFreq==0 gate first fires at
+    c0 = n_md_a + first - 1); ``tail`` is the MD steps past the last
+    gate up to tmax, which the terminal checkpoint must include."""
+    n_md_a = int(np.ceil(cfg.tend / cfg.timestep))
+    n_md_total = int(round(cfg.tmax / cfg.timestep))
+    first = cfg.sample_freq - (n_md_a % cfg.sample_freq)
+    if n_md_total < n_md_a + first:
+        raise ValueError(
+            f"tmax={cfg.tmax} ends before the first post-tag sample gate "
+            f"(MD step {n_md_a + first - 1}); extend tmax past "
+            f"{(n_md_a + first) * cfg.timestep:g}")
+    remaining = n_md_total - n_md_a - first
+    n_full = remaining // cfg.sample_freq
+    seg_lengths = (first,) + (cfg.sample_freq,) * n_full
+    tail = remaining - n_full * cfg.sample_freq
+    return n_md_a, n_md_total, seg_lengths, tail
+
+
 def run(cfg: FrozenTagConfig, seed: Optional[int] = None,
         resume: bool = False):
     """One frozen-tag job.  ``resume=True`` continues the newest
@@ -328,21 +350,10 @@ def run(cfg: FrozenTagConfig, seed: Optional[int] = None,
     # program — strip them so sequential jobs (cli --jobs) share one
     # compiled program (recompiles can be minutes-slow on this backend)
     cfg_run = dataclasses.replace(cfg, job=1, save_directory=None)
-    n_md_a = int(np.ceil(cfg.tend / cfg.timestep))
-    n_md_total = int(round(cfg.tmax / cfg.timestep))
+    n_md_a, n_md_total, seg_lengths, tail = _phase_b_plan(cfg)
     state = run_phase_a(cfg_run, state, n_md_a)
     state, spin_up, vholder = measure(cfg_run, state)
     out_tag = tag_instant_output(cfg_run, state, spin_up, vholder, epot0)
-
-    # phase B segment lengths: align to the global sample_freq grid (the
-    # reference's (c0+1)%sampleFreq==0 gate first fires at
-    # c0 = n_md_a + first - 1; when n_md_a is already on the grid the
-    # first segment is a full sample_freq)
-    first = cfg.sample_freq - (n_md_a % cfg.sample_freq)
-    remaining = n_md_total - n_md_a - first
-    n_full = max(0, remaining // cfg.sample_freq)
-    seg_lengths = (first,) + (cfg.sample_freq,) * n_full
-    tail = n_md_total - n_md_a - first - n_full * cfg.sample_freq
     state, outs = run_phase_b(cfg_run, state, spin_up, vholder, epot0,
                               seg_lengths, tail=tail)
     jax.block_until_ready(state)
@@ -412,7 +423,7 @@ def _resume_continue(cfg: FrozenTagConfig):
     l0 = n_md_a + first - 1
     n_lab = (n_md_total - 1 - l0) // f + 1
     labels = [l0 + k * f for k in range(max(0, (c0 - l0) // f + 1), n_lab)]
-    if not labels:
+    if not labels and n_md_total <= c0 + 1:
         raise ValueError(f"checkpoint c0={c0} already covers "
                          f"tmax={cfg.tmax}; extend tmax to continue")
 
@@ -444,13 +455,24 @@ def _resume_continue(cfg: FrozenTagConfig):
     vholder = jnp.asarray(vholder, rdt)
 
     cfg_run = dataclasses.replace(cfg, job=1, save_directory=None)
-    segs = (labels[0] - c0,) + (f,) * (len(labels) - 1)
-    tail = n_md_total - (labels[-1] + 1)
-    st, outs = run_phase_b(cfg_run, st, spin_up, vholder, epot0,
-                           tuple(segs), tail=tail)
+    if labels:
+        segs = (labels[0] - c0,) + (f,) * (len(labels) - 1)
+        tail = n_md_total - (labels[-1] + 1)
+        st, outs = run_phase_b(cfg_run, st, spin_up, vholder, epot0,
+                               tuple(segs), tail=tail)
+    else:
+        # tail-only extension: no sample gate fits in the new window, but
+        # the reference binary would still step to tmax and republish its
+        # terminal conditions — advance without output rows
+        outs = None
+        sched = build_scheduler(cfg_run)
+        st = jax.jit(lambda s: jax.lax.fori_loop(
+            0, n_md_total - (c0 + 1),
+            lambda i, x: sched.md_step_pure(x), s))(st)
     jax.block_until_ready(st)
 
-    outs = safe_device_get(outs)
+    if outs is not None:
+        outs = safe_device_get(outs)
     final = safe_device_get(st)
     spin_np = np.asarray(safe_device_get(spin_up))
     results = dict(outs=outs, spin_up=spin_np, epot0=epot0, final=final,
@@ -458,18 +480,20 @@ def _resume_continue(cfg: FrozenTagConfig):
                    vholder=np.asarray(safe_device_get(vholder)))
 
     w = DatWriter(d)
-    bins = centered_bins_np()
-    energies = np.concatenate([outs["t"][:, None], outs["energies"]],
-                              axis=1)
-    w.append("energies.dat", energies)
-    moments = np.concatenate([outs["t"][:, None], outs["moments"]], axis=1)
-    w.append("taggedMoments.dat", moments)
-    ac = outs["long_kin" if cfg.variant == "408quad" else "vaf"]
-    w.append("vSquareAutoCorr.dat" if cfg.variant == "408quad"
-             else "VAF.dat", np.stack([outs["t"], ac], -1))
-    for k, lab in enumerate(labels):
-        w.write(f"vel_distX_timestep{lab:06d}.dat",
-                np.stack([bins, outs["pvel_x"][k]], -1))
+    if outs is not None:
+        bins = centered_bins_np()
+        energies = np.concatenate([outs["t"][:, None], outs["energies"]],
+                                  axis=1)
+        w.append("energies.dat", energies)
+        moments = np.concatenate([outs["t"][:, None], outs["moments"]],
+                                 axis=1)
+        w.append("taggedMoments.dat", moments)
+        ac = outs["long_kin" if cfg.variant == "408quad" else "vaf"]
+        w.append("vSquareAutoCorr.dat" if cfg.variant == "408quad"
+                 else "VAF.dat", np.stack([outs["t"], ac], -1))
+        for k, lab in enumerate(labels):
+            w.write(f"vel_distX_timestep{lab:06d}.dat",
+                    np.stack([bins, outs["pvel_x"][k]], -1))
     c0f = n_md_total - 1
     new_counter = counter + len(labels)
     ckpt.write_ions(d, c0f, n, new_counter)
@@ -505,13 +529,7 @@ def _run_batched(cfg: FrozenTagConfig, member_cfgs, keys, qt_params=None,
     cfg_run = dataclasses.replace(cfg, job=1, save_directory=None)
     pu = PlasmaUnits(cfg.density, cfg.ge)
     L = PlasmaUnits.box_length(cfg.n0)
-    n_md_a = int(np.ceil(cfg.tend / cfg.timestep))
-    n_md_total = int(round(cfg.tmax / cfg.timestep))
-    first = cfg.sample_freq - (n_md_a % cfg.sample_freq)
-    remaining = n_md_total - n_md_a - first
-    n_full = max(0, remaining // cfg.sample_freq)
-    seg_lengths = (first,) + (cfg.sample_freq,) * n_full
-    tail = n_md_total - n_md_a - first - n_full * cfg.sample_freq
+    n_md_a, n_md_total, seg_lengths, tail = _phase_b_plan(cfg)
     n_arr = cfg.n0 if mask is None else mask.shape[1]
 
     def init_one(key, mk=None):

@@ -20,13 +20,11 @@ KDE_NORM = 6.0 * np.sqrt(2.0 * np.pi * KDE_WIDTH * KDE_WIDTH)
 
 def folded_bins_np():
     """Host (float64) copy of :func:`folded_bins` for the .dat writers."""
-    import numpy as np
     return np.arange(2001) * 0.0025
 
 
 def centered_bins_np():
     """Host (float64) copy of :func:`centered_bins` for the .dat writers."""
-    import numpy as np
     return (np.arange(4001) - 2000) * 0.0025
 
 

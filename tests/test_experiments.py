@@ -283,6 +283,35 @@ class TestFrozenTagging:
             n, counter = read_ions(d, c0f)
             assert n == cfg1.n0 and counter == e.shape[0]
 
+    def test_resume_tail_only_extension(self, tmp_path):
+        """A tmax extension that adds no new sample gate still advances
+        the state and republishes the terminal checkpoint (the reference
+        binary would step to the new tmax regardless of the grid); a
+        no-op extension still raises."""
+        import dataclasses as dc
+        from mdqtplasmasims_tpu.experiments.frozen_tagging import (
+            frozen_tag_dir)
+        from mdqtplasmasims_tpu.io.checkpoint import read_ions
+        cfg1 = FrozenTagConfig(variant="422linear", n0=48, tstart=1.0,
+                               tmax=3.1, timestep=0.01, sample_freq=20,
+                               tpump_seconds=2e-7, use_pallas=False,
+                               save_directory=str(tmp_path))
+        run_frozen(cfg1)
+        d = frozen_tag_dir(cfg1.save_directory,
+                           tpump_seconds=cfg1.tpump_seconds,
+                           tstart=cfg1.tstart, detuning=cfg1.detuning,
+                           om=cfg1.om, density=cfg1.density, ge=cfg1.ge,
+                           n0=cfg1.n0, job=1)
+        rows1 = np.loadtxt(os.path.join(d, "energies.dat")).shape[0]
+        final2, res2 = run_frozen(dc.replace(cfg1, tmax=3.15), resume=True)
+        assert res2["labels"] == [] and res2["outs"] is None
+        assert np.loadtxt(os.path.join(d, "energies.dat")).shape[0] == rows1
+        c0f = int(round(3.15 / cfg1.timestep)) - 1
+        n, counter = read_ions(d, c0f)
+        assert n == cfg1.n0
+        with pytest.raises(ValueError, match="already covers"):
+            run_frozen(dc.replace(cfg1, tmax=3.15), resume=True)
+
     def test_resume_before_tag_rejected(self, tmp_path):
         from mdqtplasmasims_tpu.experiments.frozen_tagging import (
             frozen_tag_dir)

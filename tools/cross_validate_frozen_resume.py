@@ -102,9 +102,11 @@ def grid_ok(e: np.ndarray, label: str) -> bool:
     differ by up to one MD step: the reference emits one quantum tick
     into the sampling MD step while the framework emits at MD-step
     completion (PARITY.md documented delta #2), so handing off between
-    the codes shifts that single interval by dt - qdt = 0.0019."""
+    the codes shifts that single interval by dt - qdt = 0.0019.  The
+    tolerance sits BETWEEN that offset and one full MD step (0.002), so
+    a genuinely dropped or duplicated step at the splice still fails."""
     dt_rows = np.diff(e[:, 0])
-    ok = bool(np.all(np.abs(dt_rows - 0.08) < 0.0025))
+    ok = bool(np.all(np.abs(dt_rows - 0.08) < 0.00195))
     print(f"  {label}: row spacing {dt_rows.min():.4f}..{dt_rows.max():.4f}"
           f" (want 0.0800 +- one MD step at the splice)")
     return ok
