@@ -715,6 +715,24 @@ class TestFrozenTagPoissonEnsemble:
             np.testing.assert_array_equal(res[j]["spin_up"],
                                           ens[j]["spin_up"])
 
+    def test_poisson_fold_over_mesh(self):
+        """Poissonian masks compose with member_sharded: the masked fold
+        spread over the mesh's ens axis is bit-exact vs single-device."""
+        from mdqtplasmasims_tpu.experiments.frozen_tagging import (
+            run_ensemble)
+        from mdqtplasmasims_tpu.parallel.mesh import make_mesh
+        if jax.device_count() < 8:
+            pytest.skip("needs 8 virtual devices")
+        cfg = FrozenTagConfig(**{**self.CFG, "n0": 64}, exact_n=False)
+        a = run_ensemble(cfg, 8, seed=21)
+        b = run_ensemble(cfg, 8, seed=21,
+                         mesh=make_mesh(n_ens=8, n_ions=1))
+        for j in range(8):
+            assert a[j]["n_ions"] == b[j]["n_ions"]
+            np.testing.assert_array_equal(a[j]["outs"]["moments"],
+                                          b[j]["outs"]["moments"])
+            np.testing.assert_array_equal(a[j]["spin_up"], b[j]["spin_up"])
+
     def test_run_ensemble_poisson_end_to_end(self, tmp_path):
         """exact_n=False tagging ensembles draw spread Poissonian counts,
         write per-job trees sized to each member's real N, and produce
