@@ -96,6 +96,38 @@ def sweep_qt_params(scheme_unit: LevelScheme, detuning, om,
                          coupling=jnp.asarray(om, rdtype) * base.coupling)
 
 
+def sweep_member_params(cfg, points, jobs_per_point: int,
+                        scheme_unit: LevelScheme, rdtype, cdtype):
+    """Shared front half of every family's ``run_sweep``: validate the
+    grid, build point-major member configs, and vmap
+    :func:`sweep_qt_params` over the members' (detuning, om).
+
+    ``points`` are dicts with keys among ``detuning``/``om`` (unset
+    fields keep ``cfg``'s value); only these knobs can vary inside one
+    fold — everything else (tpump, tstart, n0, ...) shapes the traced
+    program.  ``jobs_per_point`` replicates each point with independent
+    seeds (member order is point-major, job numbers restart at 1 per
+    point).  Returns ``(member_cfgs, params)`` with ``params`` an
+    [E]-batched QTParams pytree."""
+    import dataclasses as _dc
+    allowed = {"detuning", "om"}
+    member_cfgs = []
+    for pt in points:
+        ov = dict(pt)
+        bad = set(ov) - allowed
+        if bad:
+            raise ValueError(f"sweep points can only override "
+                             f"{sorted(allowed)}, got {sorted(bad)}")
+        for r in range(jobs_per_point):
+            member_cfgs.append(_dc.replace(cfg, job=r + 1, **ov))
+    dets = jnp.asarray([m.detuning for m in member_cfgs], rdtype)
+    oms = jnp.asarray([m.om for m in member_cfgs], rdtype)
+    params = jax.vmap(
+        lambda d, o: sweep_qt_params(scheme_unit, d, o, rdtype, cdtype))(
+            dets, oms)
+    return member_cfgs, params
+
+
 @dataclasses.dataclass(frozen=True)
 class QTEngine:
     """Jittable quantum-trajectory stepper for one level scheme.
@@ -267,6 +299,10 @@ class QTEngine:
         if self.renormalize:
             norm = jnp.sqrt(jnp.sum(psi_new.real ** 2 + psi_new.imag ** 2,
                                     axis=0, keepdims=True))
+            # guard: padded Poissonian lanes carry psi == 0 (norm == 0) and
+            # must stay exactly zero rather than 0/0 -> NaN (the fused kernel
+            # applies the same guard in qt_fused.py)
+            norm = jnp.where(norm > 0, norm, jnp.ones_like(norm))
             psi_new = psi_new / norm.astype(psi.dtype)
 
         return psi_new, vx, t_part

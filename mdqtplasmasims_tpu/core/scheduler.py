@@ -55,6 +55,31 @@ def check_uniform_tick(tick) -> None:
             "different checkpoints")
 
 
+def fold_sweep_lanes(fused_spec, npad: int, sweep_e0=None, sweep_om=None):
+    """Fold per-member sweep tables into the fused kernel's lane layout.
+
+    ``sweep_e0`` [E, S] member diagonal energies -> [SP, E*npad];
+    ``sweep_om`` [E, 2] member (om, om_dp) -> [2, E*npad].  The lane
+    order is E-major blocks of npad, which must exactly match
+    ``fused_substeps_ensemble``'s member fold — this helper is the single
+    source of that layout for every caller.  The result is
+    loop-invariant, so XLA hoists the fold out of the surrounding scan.
+    Returns ``(e0_lanes, om_lanes)`` (each None when its input is)."""
+    e0p = omp = None
+    if sweep_e0 is not None:
+        E, S = sweep_e0.shape
+        SP = fused_spec.SP
+        e0p = jnp.zeros((E, SP, npad), jnp.float32).at[:, :S, :].set(
+            sweep_e0.astype(jnp.float32)[:, :, None])
+        e0p = jnp.swapaxes(e0p, 0, 1).reshape(SP, E * npad)
+    if sweep_om is not None:
+        E = sweep_om.shape[0]
+        omp = jnp.repeat(
+            jnp.swapaxes(sweep_om.astype(jnp.float32), 0, 1)[:, :, None],
+            npad, axis=2).reshape(2, E * npad)
+    return e0p, omp
+
+
 def auto_qt_tile(n: int) -> int:
     """Fused-kernel ion tile: among the candidate widths with the least
     padding, prefer the largest one that still leaves >= 2 grid steps.

@@ -398,17 +398,23 @@ def _resume_continue(cfg: FrozenTagConfig):
                        density=cfg.density, ge=cfg.ge, n0=cfg.n0,
                        job=cfg.job)
     from .laser_cooling import latest_checkpoint
-    c0 = latest_checkpoint(d)
+    c0_native = latest_checkpoint(d)
+    cs = [int(m.group(1))
+          for p in glob.glob(os.path.join(d, "ions_timestep*.dat"))
+          if (m := re.search(r"ions_timestep(\d+)\.dat$", p))]
+    c0_ascii = max(cs) if cs else None
+    if c0_native is None and c0_ascii is None:
+        raise FileNotFoundError(f"no checkpoint under {d}")
+    # newest checkpoint wins across formats: after the reference binary
+    # continues a framework run (interop chaining) only ASCII
+    # conditions_/spinUpIonsList_ files advance, and resuming from a
+    # stale native .npz would replay covered steps and duplicate rows
     native = None
-    if c0 is not None:
+    if c0_native is not None and (c0_ascii is None or c0_native >= c0_ascii):
+        c0 = c0_native
         native = ckpt.load_native(d, c0)
     else:
-        cs = [int(m.group(1))
-              for p in glob.glob(os.path.join(d, "ions_timestep*.dat"))
-              if (m := re.search(r"ions_timestep(\d+)\.dat$", p))]
-        if not cs:
-            raise FileNotFoundError(f"no checkpoint under {d}")
-        c0 = max(cs)
+        c0 = c0_ascii
 
     n_md_a = int(np.ceil(cfg.tend / cfg.timestep))
     n_md_total = int(round(cfg.tmax / cfg.timestep))
@@ -641,6 +647,16 @@ def run_ensemble(cfg: FrozenTagConfig, n_jobs: int, seed: int = 0,
     the jitted continuation canonicalizes job away, so all exact-N jobs
     share one compiled program."""
     if resume:
+        if mesh is not None:
+            # each job continues from its own checkpoint (formats and ion
+            # counts can differ per job), which does not fold into one
+            # fixed-shape mesh program — be loud rather than silently
+            # serializing what the caller asked to spread over devices
+            import warnings
+            warnings.warn(
+                "frozen-tag run_ensemble(resume=True) continues jobs "
+                "sequentially on the default device; the mesh argument "
+                "is ignored on resume", stacklevel=2)
         return [
             run(dataclasses.replace(cfg, job=j + 1), resume=True)[1]
             for j in range(n_jobs)]
@@ -680,27 +696,12 @@ def run_sweep(cfg: FrozenTagConfig, points, jobs_per_point: int = 1,
     ``cfg.exact_n=False`` every member additionally draws its own
     Poissonian ion count (per-member masks, as run_ensemble).  Returns
     ``(results, member_cfgs)``."""
-    from ..core.qt import sweep_qt_params
-    allowed = {"detuning", "om"}
-    member_cfgs = []
-    for pt in points:
-        ov = dict(pt)
-        bad = set(ov) - allowed
-        if bad:
-            # only knobs the pump Hamiltonian is linear in can vary
-            # inside one fold; tpump/tstart/n0 shape the traced program
-            raise ValueError(f"sweep points can only override "
-                             f"{sorted(allowed)}, got {sorted(bad)}")
-        for r in range(jobs_per_point):
-            member_cfgs.append(dataclasses.replace(cfg, job=r + 1, **ov))
-    keys = jax.random.split(jax.random.PRNGKey(seed), len(member_cfgs))
-    rdtype = cfg.np_dtype
+    from ..core.qt import sweep_member_params
     cdtype = jnp.complex64 if cfg.dtype == "float32" else jnp.complex128
-    unit = cfg.scheme_unit()
-    dets = jnp.asarray([m.detuning for m in member_cfgs], rdtype)
-    oms = jnp.asarray([m.om for m in member_cfgs], rdtype)
-    params = jax.vmap(
-        lambda d, o: sweep_qt_params(unit, d, o, rdtype, cdtype))(dets, oms)
+    member_cfgs, params = sweep_member_params(
+        cfg, points, jobs_per_point, cfg.scheme_unit(), cfg.np_dtype,
+        cdtype)
+    keys = jax.random.split(jax.random.PRNGKey(seed), len(member_cfgs))
     mask = (None if cfg.exact_n
             else _poisson_mask(cfg.n0, len(member_cfgs), seed))
     results = _run_batched(cfg, member_cfgs, keys, qt_params=params,

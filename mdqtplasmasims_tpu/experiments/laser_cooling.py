@@ -34,7 +34,8 @@ import numpy as np
 from ..core.init import frozen_gas_init
 from ..core.md import kinetic_energies
 from ..core.qt import QTEngine, state_populations
-from ..core.scheduler import CoolingScheduler, auto_qt_tile
+from ..core.scheduler import (CoolingScheduler, auto_qt_tile,
+                              fold_sweep_lanes)
 from ..io import checkpoint as ckpt
 from ..io.datfiles import DatWriter
 from ..io.dirs import cooling_dir
@@ -379,19 +380,8 @@ def run_compiled_ensemble(cfg: CoolingConfig, states: SimState,
                 Rp, mask_rows, E, L, pu.debye_length,
                 interpret=sched.interpret)
 
-        e0p = omp = None
-        if sweep_e0 is not None:
-            # fold [E, S] member energies into the kernel's lane layout
-            # once; loop-invariant, so XLA hoists it out of the scan
-            SP = sched.fused_spec.SP
-            S = sweep_e0.shape[1]
-            e0p = jnp.zeros((E, SP, npad), jnp.float32).at[:, :S, :].set(
-                sweep_e0.astype(jnp.float32)[:, :, None])
-            e0p = jnp.swapaxes(e0p, 0, 1).reshape(SP, E * npad)
-        if sweep_om is not None:
-            omp = jnp.repeat(
-                jnp.swapaxes(sweep_om.astype(jnp.float32), 0, 1)[:, :, None],
-                npad, axis=2).reshape(2, E * npad)
+        e0p, omp = fold_sweep_lanes(sched.fused_spec, npad,
+                                    sweep_e0=sweep_e0, sweep_om=sweep_om)
 
         def segment(states, _):
             carry = jax.lax.fori_loop(
@@ -545,7 +535,29 @@ def run(cfg: CoolingConfig, seed: Optional[int] = None,
     save_dir = _save_dir(cfg) if cfg.save_directory is not None else None
     if resume and save_dir is not None and state is None:
         c0_last = latest_checkpoint(save_dir)
-        if c0_last is not None:
+        # newest checkpoint wins across formats: after the reference
+        # binary continues a framework run (interop chaining) only the
+        # ASCII conditions_/wvFns_/ions_ files advance, and resuming
+        # from a stale native .npz would replay covered steps and
+        # append duplicate .dat rows
+        import glob
+        import os
+        import re
+        cs_ascii = [int(m.group(1)) for p in glob.glob(
+            os.path.join(save_dir, "ions_timestep*.dat"))
+            if (m := re.search(r"ions_timestep(\d+)\.dat$", p))]
+        c0_ascii = max(cs_ascii) if cs_ascii else None
+        if c0_ascii is not None and (c0_last is None or c0_ascii > c0_last):
+            state = resume_state(save_dir, c0_ascii, cfg)
+            _, done = ckpt.read_ions(save_dir, c0_ascii)
+            if vholder0 is None and cfg.vaf_intervals:
+                vholder0 = resume_vholder(save_dir, c0_ascii)
+            # the ASCII schema does not carry Epot0; the reference's
+            # global stays 0.0 on a newRun=0 restart (SpeedUp.cpp:119,
+            # 346 — assigned only in init()), so the audit column
+            # continues with Epot0=0 exactly as the reference's does
+            epot0_resume = 0.0
+        elif c0_last is not None:
             z = ckpt.load_native(save_dir, c0_last)
             # continue the checkpointed RNG stream when available; fall
             # back to a deterministic reseed for pre-round-3 checkpoints
@@ -557,6 +569,9 @@ def run(cfg: CoolingConfig, seed: Optional[int] = None,
             state = state._replace(tick=jnp.asarray(tick, jnp.int32),
                                    t=jnp.asarray(tick * cfg.qdt,
                                                  cfg.np_dtype))
+            if "t_part" in z:      # lossless native resume (see save)
+                state = state._replace(
+                    t_part=jnp.asarray(z["t_part"], cfg.np_dtype))
             done = int(z["counter"])
             # the t=0 potential rides the checkpoint: the energies.dat
             # total-change column is Ekin+Epot-Epot0 with Epot0 from
@@ -611,11 +626,22 @@ def run(cfg: CoolingConfig, seed: Optional[int] = None,
                                      terminal=(done == n_segments))
             if done < n_segments:
                 c0 = done * cfg.sample_freq - 1
+                extra = {"epot0": epot0_f}
+                key = getattr(state, "key", None)
+                if key is not None:
+                    # carry the RNG stream so a crash-resume continues the
+                    # checkpointed trajectory rather than reseeding
+                    extra["key"] = _key_payload(key)
+                # the native format is lossless (unlike the reference's
+                # ASCII schema, which drops tPart on restart —
+                # SpeedUp.cpp:333 is the only assignment): carry the
+                # per-ion quantum clock so a native resume is bit-exact
+                extra["t_part"] = st.t_part
                 ckpt.save_native(
                     save_dir, c0, R=st.R, V=st.V, psi=st.psi,
                     counter=done,
                     vholder=vh_carry if cfg.vaf_intervals else None,
-                    extra={"epot0": epot0_f})
+                    extra=extra)
 
     if not outs_groups:           # resume found nothing left to do
         final_np = safe_device_get(state)
@@ -735,6 +761,13 @@ def run_ensemble(cfg: CoolingConfig, n_jobs: int, seed: int = 0,
             tick = (c0 + 1) * cfg.ratio
             n_js = [int(z["R"].shape[0]) for z in zs]
             n_arr = max(n_js)
+            if mesh is not None:
+                # the sharded stepper splits the ion axis evenly across
+                # the mesh's ion shards — round the padded lane count up
+                # (matches _poisson_member_states' round_to on fresh runs)
+                from ..parallel.mesh import ION_AXIS
+                shards = mesh.shape[ION_AXIS]
+                n_arr = -(-n_arr // shards) * shards
 
             def member(z, j):
                 key = (_key_restore(z["key"]) if "key" in z
@@ -746,12 +779,15 @@ def run_ensemble(cfg: CoolingConfig, n_jobs: int, seed: int = 0,
                     return out
                 st = make_state(pad(z["R"]), pad(z["V"]), pad(z["psi"]),
                                 key, dtype=cfg.np_dtype)
+                if "t_part" in z:  # lossless native resume (see save)
+                    st = st._replace(t_part=jnp.asarray(
+                        pad(z["t_part"]), cfg.np_dtype))
                 return st._replace(tick=jnp.asarray(tick, jnp.int32),
                                    t=jnp.asarray(tick * cfg.qdt,
                                                  cfg.np_dtype))
             members = [member(z, j) for j, z in enumerate(zs)]
             states = jax.tree.map(lambda *xs: jnp.stack(xs), *members)
-            if len(set(n_js)) > 1:
+            if any(nj != n_arr for nj in n_js):
                 m = np.zeros((n_jobs, n_arr), np.float32)
                 for j, nj in enumerate(n_js):
                     m[j, :nj] = 1.0
@@ -846,7 +882,8 @@ def run_ensemble(cfg: CoolingConfig, n_jobs: int, seed: int = 0,
                         vholder=(vholders[j] if cfg.vaf_intervals
                                  else None),
                         extra={"epot0": float(epot0_np[j]),
-                               "key": key_payload[j]})
+                               "key": key_payload[j],
+                               "t_part": final_j.t_part[:nw]})
 
     final_np = safe_device_get(states)
     if not outs_groups:           # resume found nothing left to do
@@ -938,12 +975,15 @@ def _poisson_member_states(cfg: CoolingConfig, n_jobs: int, seed: int,
 
 
 def _interval_vholder(cfg: CoolingConfig, outs, n: int,
-                      vholder0=None) -> np.ndarray:
+                      vholder0=None, sample_offset: int = 0) -> np.ndarray:
     """[>=13, N, 3] VAF-interval velocity snapshots (the reference's
     Vholder, SpeedUp.cpp:133): rows restored from a previous window
     (``vholder0``, the readConditions VZERO restore at :901-909) plus
     snapshots for intervals whose start falls inside this window's
-    samples."""
+    samples.  An interval starting before the run's very first output
+    sample (``sample_offset == 0``) snaps its origin to sample 0 rather
+    than being dropped — the nearest-sample convention applied at the
+    grid edge."""
     m = max(13, len(cfg.vaf_intervals))
     vholder = np.zeros((m, n, 3))
     if vholder0 is not None:
@@ -952,9 +992,14 @@ def _interval_vholder(cfg: CoolingConfig, outs, n: int,
     if cfg.vaf_intervals and "V" in outs:
         t_arr = np.asarray(outs["t"], np.float64)
         for k, tstart in enumerate(cfg.vaf_intervals):
-            if tstart < t_arr[0] - 1e-9 or tstart > t_arr[-1] + 1e-9:
-                continue       # started earlier (restored row) or later
-            idx = int(np.argmin(np.abs(t_arr - tstart)))
+            if tstart > t_arr[-1] + 1e-9:
+                continue                     # starts in a later window
+            if tstart < t_arr[0] - 1e-9:
+                if sample_offset != 0 or np.any(vholder[k]):
+                    continue   # started earlier: restored row (or gone)
+                idx = 0        # fresh run: snap to the first sample
+            else:
+                idx = int(np.argmin(np.abs(t_arr - tstart)))
             vholder[k] = np.asarray(outs["V"][idx], np.float64)[:n]
     return vholder
 
@@ -1012,7 +1057,8 @@ def write_outputs(directory: str, cfg: CoolingConfig, outs, epot0: float,
     # (reference: readConditions re-reads VZERO into Vholder,
     # SpeedUp.cpp:901-909); without a restored snapshot they are skipped
     # (their pre-crash rows are already on disk).
-    vholder = _interval_vholder(cfg, outs, n, vholder0)
+    vholder = _interval_vholder(cfg, outs, n, vholder0,
+                                sample_offset=sample_offset)
     if cfg.vaf_intervals and "V" in outs:
         t_arr = np.asarray(outs["t"], np.float64)
         for k, tstart in enumerate(cfg.vaf_intervals):
@@ -1064,6 +1110,11 @@ def write_outputs(directory: str, cfg: CoolingConfig, outs, epot0: float,
     key = getattr(final, "key", None)
     if key is not None:
         extra["key"] = _key_payload(key)
+    t_part = getattr(final, "t_part", None)
+    if t_part is not None:
+        # lossless native resume; the ASCII schema stays reference-parity
+        # (tPart resets on a newRun=0 restart, SpeedUp.cpp:333)
+        extra["t_part"] = np.asarray(t_part)[:n]
     ckpt.save_native(directory, c0, R=np.asarray(final.R)[:n],
                      V=np.asarray(final.V)[:n],
                      psi=np.asarray(final.psi)[:n],

@@ -345,27 +345,12 @@ def run_sweep(cfg: MCTagConfig, points, jobs_per_point: int = 1,
     ``cfg.save_directory`` set, each member writes the full reference
     .dat tree under its own detuning/om-encoded directory.  Returns
     ``(results, member_cfgs)``."""
-    from ..core.qt import sweep_qt_params
-    allowed = {"detuning", "om"}
-    member_cfgs = []
-    for pt in points:
-        ov = dict(pt)
-        bad = set(ov) - allowed
-        if bad:
-            # only knobs the pump Hamiltonian is linear in can vary
-            # inside one fold; tpump/n/gamma/kappa shape the program
-            raise ValueError(f"sweep points can only override "
-                             f"{sorted(allowed)}, got {sorted(bad)}")
-        for r in range(jobs_per_point):
-            member_cfgs.append(dataclasses.replace(cfg, job=r + 1, **ov))
-    keys = jax.random.split(jax.random.PRNGKey(seed), len(member_cfgs))
-    rdtype = cfg.np_dtype
+    from ..core.qt import sweep_member_params
     cdtype = jnp.complex64 if cfg.dtype == "float32" else jnp.complex128
-    unit = cfg.scheme_unit()
-    dets = jnp.asarray([m.detuning for m in member_cfgs], rdtype)
-    oms = jnp.asarray([m.om for m in member_cfgs], rdtype)
-    params = jax.vmap(
-        lambda d, o: sweep_qt_params(unit, d, o, rdtype, cdtype))(dets, oms)
+    member_cfgs, params = sweep_member_params(
+        cfg, points, jobs_per_point, cfg.scheme_unit(), cfg.np_dtype,
+        cdtype)
+    keys = jax.random.split(jax.random.PRNGKey(seed), len(member_cfgs))
     results = _run_batched(cfg, member_cfgs, keys, qt_params=params,
                            mesh=mesh)
     return results, member_cfgs

@@ -206,27 +206,15 @@ def run_sweep(cfg: ThreeStateConfig, points, jobs_per_point: int = 1,
     member order is point-major.  Writes each member's energies.dat under
     its own Om/detuning-encoded directory.  Returns ``(results,
     member_cfgs)`` with results as in run_ensemble (row-stacked)."""
-    from ..core.qt import sweep_qt_params
-    allowed = {"detuning", "om"}
-    member_cfgs = []
-    for pt in points:
-        ov = dict(pt)
-        bad = set(ov) - allowed
-        if bad:
-            raise ValueError(f"sweep points can only override "
-                             f"{sorted(allowed)}, got {sorted(bad)}")
-        for r in range(jobs_per_point):
-            member_cfgs.append(dataclasses.replace(cfg, job=r + 1, **ov))
+    from ..core.qt import sweep_member_params
+    cdt = jnp.complex128 if cfg.dtype == "float64" else jnp.complex64
+    rdtype = cfg.np_dtype
+    member_cfgs, params = sweep_member_params(
+        cfg, points, jobs_per_point, three_state(1.0, 1.0, cfg.vkick),
+        rdtype, cdt)
     n_members = len(member_cfgs)
     base_keys = jax.random.split(jax.random.PRNGKey(seed), n_members)
     sigma = SQRT_KELVIN_TO_PLASMA_VEL * np.sqrt(cfg.temperature_k)
-    cdt = jnp.complex128 if cfg.dtype == "float64" else jnp.complex64
-    rdtype = cfg.np_dtype
-    unit = three_state(1.0, 1.0, cfg.vkick)
-    dets = jnp.asarray([m.detuning for m in member_cfgs], rdtype)
-    oms = jnp.asarray([m.om for m in member_cfgs], rdtype)
-    params = jax.vmap(
-        lambda d, o: sweep_qt_params(unit, d, o, rdtype, cdt))(dets, oms)
 
     @jax.jit
     def init_one(key):
@@ -246,6 +234,7 @@ def run_sweep(cfg: ThreeStateConfig, points, jobs_per_point: int = 1,
     if cfg.om == 0.0 and any(m.om != 0.0 for m in member_cfgs):
         raise ValueError("om sweep needs a nonzero cfg.om base "
                          "(force_w scales relative to it)")
+    oms = jnp.asarray([m.om for m in member_cfgs], rdtype)
     fscales = oms / jnp.asarray(cfg.om if cfg.om != 0.0 else 1.0, rdtype)
 
     def make_step(g):

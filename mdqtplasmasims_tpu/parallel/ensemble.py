@@ -22,7 +22,7 @@ from jax.sharding import Mesh, PartitionSpec as P
 from jax import shard_map
 
 from ..state import SimState
-from ..core.scheduler import CoolingScheduler
+from ..core.scheduler import CoolingScheduler, fold_sweep_lanes
 from ..ops.yukawa import yukawa_forces_potential
 from .mesh import ENS_AXIS, ION_AXIS, state_pspec
 
@@ -174,17 +174,8 @@ def fused_local_stepper(sched: "CoolingScheduler", ldeb: float,
                 # row lanes so they stay inert as they feed back
                 return F * row_mask[None, :]
 
-        e0p = omp = None
-        if sweep_e0 is not None:
-            SP = sched.fused_spec.SP
-            S = sweep_e0.shape[1]
-            e0p = jnp.zeros((E_loc, SP, npad), jnp.float32).at[
-                :, :S, :].set(sweep_e0.astype(jnp.float32)[:, :, None])
-            e0p = jnp.swapaxes(e0p, 0, 1).reshape(SP, E_loc * npad)
-        if sweep_om is not None:
-            omp = jnp.repeat(
-                jnp.swapaxes(sweep_om.astype(jnp.float32), 0, 1)[:, :, None],
-                npad, axis=2).reshape(2, E_loc * npad)
+        e0p, omp = fold_sweep_lanes(sched.fused_spec, npad,
+                                    sweep_e0=sweep_e0, sweep_om=sweep_om)
         local = states._replace(key=states.key[:, 0])
         carry = sched.soa_ens_init(local, local.F)
         carry = jax.lax.fori_loop(
