@@ -42,8 +42,10 @@ def check_uniform_tick(tick) -> None:
     one tick value (``soa_ens_md_step`` applies ``tick[0]``'s first-step
     drift flag and expansion-frame time to the whole fold; a violating
     caller would get silently mis-timed dynamics).  Enforced host-side
-    whenever the value is concrete; inside a trace the host-level entry
-    points (run_ensemble / resume_ensemble) have already checked it."""
+    whenever the value is concrete — soa_ens_init sees a tracer under
+    jit/shard_map, so the eager public entry points
+    (laser_cooling.run_compiled_ensemble / run_compiled_sharded) call
+    this on the still-concrete member states before tracing."""
     if isinstance(tick, jax.core.Tracer):
         return
     import numpy as np

@@ -310,25 +310,37 @@ def run_phase_b(cfg: FrozenTagConfig, state: SimState, spin_up, vholder,
     return state, outs
 
 
+def _gate_grid(cfg: FrozenTagConfig):
+    """Post-tag sample-gate grid: (n_md_a, n_md_total, f, l0, n_lab).
+
+    ``l0`` is the first gate label — the reference's
+    (c0+1)%sampleFreq==0 gate first fires there — and ``n_lab`` the
+    number of gates up to tmax.  Single source of the gate arithmetic
+    for the fresh-run plan (:func:`_phase_b_plan`) and the resume
+    continuation (:func:`_resume_continue`), which must stay in exact
+    lockstep or resumed runs desynchronize from fresh ones."""
+    n_md_a = int(np.ceil(cfg.tend / cfg.timestep))
+    n_md_total = int(round(cfg.tmax / cfg.timestep))
+    f = cfg.sample_freq
+    l0 = n_md_a + (f - n_md_a % f) - 1
+    n_lab = max(0, (n_md_total - 1 - l0) // f + 1)
+    return n_md_a, n_md_total, f, l0, n_lab
+
+
 def _phase_b_plan(cfg: FrozenTagConfig):
     """Shared post-tag schedule: (n_md_a, n_md_total, seg_lengths, tail).
 
-    ``seg_lengths`` aligns output blocks to the global sample grid (the
-    reference's (c0+1)%sampleFreq==0 gate first fires at
-    c0 = n_md_a + first - 1); ``tail`` is the MD steps past the last
-    gate up to tmax, which the terminal checkpoint must include."""
-    n_md_a = int(np.ceil(cfg.tend / cfg.timestep))
-    n_md_total = int(round(cfg.tmax / cfg.timestep))
-    first = cfg.sample_freq - (n_md_a % cfg.sample_freq)
-    if n_md_total < n_md_a + first:
+    ``seg_lengths`` aligns output blocks to the global sample grid;
+    ``tail`` is the MD steps past the last gate up to tmax, which the
+    terminal checkpoint must include."""
+    n_md_a, n_md_total, f, l0, n_lab = _gate_grid(cfg)
+    if n_lab == 0:
         raise ValueError(
             f"tmax={cfg.tmax} ends before the first post-tag sample gate "
-            f"(MD step {n_md_a + first - 1}); extend tmax past "
-            f"{(n_md_a + first) * cfg.timestep:g}")
-    remaining = n_md_total - n_md_a - first
-    n_full = remaining // cfg.sample_freq
-    seg_lengths = (first,) + (cfg.sample_freq,) * n_full
-    tail = remaining - n_full * cfg.sample_freq
+            f"(MD step {l0}); extend tmax past "
+            f"{(l0 + 1) * cfg.timestep:g}")
+    seg_lengths = (l0 - n_md_a + 1,) + (f,) * (n_lab - 1)
+    tail = n_md_total - 1 - (l0 + (n_lab - 1) * f)
     return n_md_a, n_md_total, seg_lengths, tail
 
 
@@ -388,9 +400,6 @@ def _resume_continue(cfg: FrozenTagConfig):
     against the true vholder), and epot0 for the energy-audit column;
     from the ASCII schema those default to zero exactly as the
     reference's globals do after readConditions."""
-    import glob
-    import os
-    import re
     if cfg.save_directory is None:
         raise ValueError("resume needs cfg.save_directory")
     d = frozen_tag_dir(cfg.save_directory, tpump_seconds=cfg.tpump_seconds,
@@ -399,10 +408,7 @@ def _resume_continue(cfg: FrozenTagConfig):
                        job=cfg.job)
     from .laser_cooling import latest_checkpoint
     c0_native = latest_checkpoint(d)
-    cs = [int(m.group(1))
-          for p in glob.glob(os.path.join(d, "ions_timestep*.dat"))
-          if (m := re.search(r"ions_timestep(\d+)\.dat$", p))]
-    c0_ascii = max(cs) if cs else None
+    c0_ascii = ckpt.latest_ascii_checkpoint(d)
     if c0_native is None and c0_ascii is None:
         raise FileNotFoundError(f"no checkpoint under {d}")
     # newest checkpoint wins across formats: after the reference binary
@@ -416,18 +422,13 @@ def _resume_continue(cfg: FrozenTagConfig):
     else:
         c0 = c0_ascii
 
-    n_md_a = int(np.ceil(cfg.tend / cfg.timestep))
-    n_md_total = int(round(cfg.tmax / cfg.timestep))
+    n_md_a, n_md_total, f, l0, n_lab = _gate_grid(cfg)
     if c0 < n_md_a:
         raise ValueError(
             f"checkpoint c0={c0} precedes the pump end (MD step "
             f"{n_md_a}); the frozen-tag schema never persists mid-pump "
             "wavefunctions (reference parity) so only post-tag resume "
             "is possible")
-    f = cfg.sample_freq
-    first = f - (n_md_a % f)
-    l0 = n_md_a + first - 1
-    n_lab = (n_md_total - 1 - l0) // f + 1
     labels = [l0 + k * f for k in range(max(0, (c0 - l0) // f + 1), n_lab)]
     if not labels and n_md_total <= c0 + 1:
         raise ValueError(f"checkpoint c0={c0} already covers "

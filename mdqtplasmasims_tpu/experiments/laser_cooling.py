@@ -275,10 +275,49 @@ def run_compiled(cfg: CoolingConfig, state: SimState, n_segments: int):
     return jax.lax.scan(segment, state, None, length=n_segments)
 
 
-@partial(jax.jit, static_argnames=("cfg", "n_segments"))
+@partial(jax.jit, static_argnames=("cfg", "n_steps", "sample"))
+def run_compiled_span(cfg: CoolingConfig, state: SimState, n_steps: int,
+                      sample: bool = True):
+    """A partial segment off the sample grid: advance ``n_steps`` MD
+    steps, optionally taking one output sample at the end.
+
+    The reference main loop runs to tmax regardless of sample-grid
+    alignment (while t <= tmax+0.0009, SpeedUp.cpp:1247) and its output
+    gate is *global* ((c0+1)%sampleFreq==0, :1365), so when tmax is not
+    a multiple of sampleFreq*dt the run has a trailing sub-segment, and
+    a chained window (tmax extension restart) must first realign to the
+    global gate.  ``run`` composes this with :func:`run_compiled` for
+    both cases."""
+    pu = PlasmaUnits(cfg.density, cfg.ge)
+    L = PlasmaUnits.box_length(cfg.n0)
+    sched = build_scheduler(cfg)
+    if sched.fused_spec is not None:
+        from ..ops.yukawa import yukawa_forces_n3l_soa
+        n_actual = state.R.shape[0]
+        npad = sched._npad(n_actual)
+        mask_row = jnp.zeros((1, npad), jnp.float32).at[0, :n_actual].set(1.0)
+        soa_forces = lambda Rp: yukawa_forces_n3l_soa(
+            Rp, mask_row, L, pu.debye_length, interpret=sched.interpret)
+        carry = jax.lax.fori_loop(
+            0, n_steps, lambda i, c: sched.soa_md_step(c, soa_forces),
+            sched.soa_init(state, state.F))
+        state = sched.soa_restore(carry, state)
+    else:
+        state = jax.lax.fori_loop(
+            0, n_steps, lambda i, s: sched.md_step(s), state)
+    if not sample:
+        return state, None
+    bins = folded_bins(cfg.np_dtype)
+    outs = _sample_outputs(state, cfg, L, pu.debye_length, bins)
+    # leading sample axis of length 1, matching run_compiled's stack
+    return state, jax.tree.map(lambda a: jnp.asarray(a)[None], outs)
+
+
+@partial(jax.jit, static_argnames=("cfg", "n_segments", "seg_len", "tail"))
 def run_compiled_ensemble(cfg: CoolingConfig, states: SimState,
                           n_segments: int, mask=None, sweep_e0=None,
-                          sweep_om=None):
+                          sweep_om=None, seg_len: Optional[int] = None,
+                          tail: int = 0):
     """Batched-ensemble run: the Pallas force kernel is batched over the
     job axis (one grid); on TPU the quantum-substepped leapfrog folds all
     jobs into the fused kernel's ion axis (per-ion independent), else the
@@ -296,8 +335,20 @@ def run_compiled_ensemble(cfg: CoolingConfig, states: SimState,
     recompiles the binary per (detSP, detDP) point; detunings enter the
     physics only through e0, levels.py:151-156).  ``sweep_om [E, 2]``
     additionally gives each member its own (om, om_dp) Rabi frequencies
-    (H is linear in each — see om_split_schemes).  Fused path only."""
+    (H is linear in each — see om_split_schemes).  Fused path only.
+
+    ``seg_len`` overrides the per-segment step count (splice
+    realignment after a previous window's off-grid tmax — see
+    run_compiled_span); ``tail`` appends that many un-sampled MD steps
+    after the last segment (the reference runs to tmax regardless of
+    the sample grid, SpeedUp.cpp:1247), so the returned states hold the
+    true tmax state for the terminal checkpoint."""
+    from ..core.scheduler import check_uniform_tick
     from ..ops.yukawa import yukawa_forces_n3l_pallas_batched
+    # the fold applies tick[0]'s first-step drift flag and expansion-frame
+    # time to every member; inside the jitted step the value is a tracer,
+    # so enforce the precondition here while it is still concrete
+    check_uniform_tick(states.tick)
     pu = PlasmaUnits(cfg.density, cfg.ge)
     L = PlasmaUnits.box_length(cfg.n0)
     sched = build_scheduler(cfg)
@@ -383,35 +434,41 @@ def run_compiled_ensemble(cfg: CoolingConfig, states: SimState,
         e0p, omp = fold_sweep_lanes(sched.fused_spec, npad,
                                     sweep_e0=sweep_e0, sweep_om=sweep_om)
 
-        def segment(states, _):
+        def advance(states, n_steps):
             carry = jax.lax.fori_loop(
-                0, cfg.sample_freq,
+                0, n_steps,
                 lambda i, c: sched.soa_ens_md_step(c, soa_forces,
                                                    e0_lanes=e0p,
                                                    om_lanes=omp),
                 sched.soa_ens_init(states, states.F))
-            states = sched.soa_ens_restore(carry, states)
-            return states, sample(states)
+            return sched.soa_ens_restore(carry, states)
     else:
         def md_step(states):
             F = batched_forces(states.R)
             return jax.vmap(sched.substeps)(states, F)
 
-        def segment(states, _):
-            states = jax.lax.fori_loop(0, cfg.sample_freq,
-                                       lambda i, s: md_step(s), states)
-            return states, sample(states)
+        def advance(states, n_steps):
+            return jax.lax.fori_loop(0, n_steps,
+                                     lambda i, s: md_step(s), states)
+
+    def segment(states, _):
+        states = advance(states, seg_len or cfg.sample_freq)
+        return states, sample(states)
 
     states, outs = jax.lax.scan(segment, states, None, length=n_segments)
+    if tail:
+        states = advance(states, tail)
     # [n_segments, E, ...] -> [E, n_segments, ...] (per-job layout)
     outs = jax.tree.map(lambda a: jnp.swapaxes(a, 0, 1), outs)
     return states, outs
 
 
-@partial(jax.jit, static_argnames=("cfg", "n_segments", "mesh"))
+@partial(jax.jit,
+         static_argnames=("cfg", "n_segments", "mesh", "seg_len", "tail"))
 def run_compiled_sharded(cfg: CoolingConfig, mesh, states: SimState,
                          n_segments: int, mask=None, sweep_e0=None,
-                         sweep_om=None):
+                         sweep_om=None, seg_len: Optional[int] = None,
+                         tail: int = 0):
     """Multi-chip ensemble run on the *production* kernels: trajectories
     are sharded over the mesh's ``ens`` axis (ions optionally over
     ``ions``), and each device advances its local members through the
@@ -423,10 +480,14 @@ def run_compiled_sharded(cfg: CoolingConfig, mesh, states: SimState,
     ``fused_interpret=True`` on the CPU mesh).  ``sweep_e0 [E, S]`` runs
     the members as a detuning sweep (sharded over ``ens`` like the
     states; see run_compiled_ensemble)."""
+    from ..core.scheduler import check_uniform_tick
     from ..parallel.ensemble import fused_local_stepper
     from ..parallel.mesh import ION_AXIS, state_pspec
     from jax import shard_map
 
+    # concrete here, a tracer inside the sharded step (see
+    # run_compiled_ensemble)
+    check_uniform_tick(states.tick)
     pu = PlasmaUnits(cfg.density, cfg.ge)
     L = PlasmaUnits.box_length(cfg.n0)
     sched = build_scheduler(cfg)
@@ -464,7 +525,7 @@ def run_compiled_sharded(cfg: CoolingConfig, mesh, states: SimState,
 
     def local_seg(s, *opt):
         kw = dict(zip(names, opt))
-        return local(s, cfg.sample_freq, **kw)
+        return local(s, seg_len or cfg.sample_freq, **kw)
 
     # check_vma=False: Pallas kernels inside shard_map lack varying-axes
     # metadata (see parallel/ensemble.py make_sharded_fused_step)
@@ -485,6 +546,15 @@ def run_compiled_sharded(cfg: CoolingConfig, mesh, states: SimState,
         return states, outs
 
     states, outs = jax.lax.scan(segment, states, None, length=n_segments)
+    if tail:
+        # trailing un-sampled sub-segment to tmax (see
+        # run_compiled_ensemble); same shard_map wrapper, shorter span
+        def local_tail(s, *opt):
+            kw = dict(zip(names, opt))
+            return local(s, tail, **kw)
+        states = shard_map(local_tail, mesh=mesh, in_specs=tuple(in_specs),
+                           out_specs=spec, check_vma=False)(states,
+                                                            *opt_args)
     outs = jax.tree.map(lambda a: jnp.swapaxes(a, 0, 1), outs)
     return states, outs
 
@@ -529,8 +599,16 @@ def run(cfg: CoolingConfig, seed: Optional[int] = None,
     only checkpoints at the very end, losing everything on a crash).
     ``resume=True`` continues from the newest native checkpoint in the run
     directory — the TPU equivalent of the reference's walltime-window
-    chaining with ``newRun=0, c0=<last timestep>`` (README.md:51-53)."""
+    chaining with ``newRun=0, c0=<last timestep>`` (README.md:51-53).
+
+    tmax need not be a multiple of sample_freq*timestep: like the
+    reference (while t<=tmax+0.0009, SpeedUp.cpp:1247) the run simulates
+    the trailing sub-segment past the last output gate, and a chained
+    window realigns to the global gate so the sample grid matches an
+    uninterrupted run's (proven against the compiled binary both ways —
+    tools/cross_validate_resume.py directions C/D)."""
     done = 0
+    step_done = None      # MD steps already simulated; done*f when aligned
     epot0_resume = None
     save_dir = _save_dir(cfg) if cfg.save_directory is not None else None
     if resume and save_dir is not None and state is None:
@@ -540,16 +618,14 @@ def run(cfg: CoolingConfig, seed: Optional[int] = None,
         # ASCII conditions_/wvFns_/ions_ files advance, and resuming
         # from a stale native .npz would replay covered steps and
         # append duplicate .dat rows
-        import glob
-        import os
-        import re
-        cs_ascii = [int(m.group(1)) for p in glob.glob(
-            os.path.join(save_dir, "ions_timestep*.dat"))
-            if (m := re.search(r"ions_timestep(\d+)\.dat$", p))]
-        c0_ascii = max(cs_ascii) if cs_ascii else None
+        c0_ascii = ckpt.latest_ascii_checkpoint(save_dir)
         if c0_ascii is not None and (c0_last is None or c0_ascii > c0_last):
             state = resume_state(save_dir, c0_ascii, cfg)
             _, done = ckpt.read_ions(save_dir, c0_ascii)
+            # a previous window whose tmax ended off the sample grid
+            # leaves the state past the last sample; the loop below
+            # realigns to the global gate with one partial segment
+            step_done = c0_ascii + 1
             if vholder0 is None and cfg.vaf_intervals:
                 vholder0 = resume_vholder(save_dir, c0_ascii)
             # the ASCII schema does not carry Epot0; the reference's
@@ -573,6 +649,7 @@ def run(cfg: CoolingConfig, seed: Optional[int] = None,
                 state = state._replace(
                     t_part=jnp.asarray(z["t_part"], cfg.np_dtype))
             done = int(z["counter"])
+            step_done = c0_last + 1
             # the t=0 potential rides the checkpoint: the energies.dat
             # total-change column is Ekin+Epot-Epot0 with Epot0 from
             # *initialization* (SpeedUp.cpp never reassigns it on a
@@ -594,16 +671,29 @@ def run(cfg: CoolingConfig, seed: Optional[int] = None,
              else yukawa_potential(state.R, L, pu.debye_length))
 
     n_md = int(round(cfg.tmax / cfg.timestep))
-    n_segments = n_md // cfg.sample_freq
+    f = cfg.sample_freq
+    n_segments = n_md // f          # total output samples (global gate)
     group = cfg.checkpoint_every_segments or n_segments
     cfg_run = canonical_run_cfg(cfg)
+    if step_done is None:
+        step_done = done * f
+    aligned = n_md == n_segments * f
 
     outs_groups = []
     epot0_f: Optional[float] = None
     vh_carry = vholder0
     while done < n_segments:
-        g = min(group, n_segments - done)
-        state, outs = run_compiled(cfg_run, state, g)
+        if step_done % f:
+            # splice realignment: the previous window's tmax ended off
+            # the sample grid, but the reference's output gate is global
+            # ((c0+1)%sampleFreq==0, SpeedUp.cpp:1365) — one partial
+            # segment lands the state back on it, with its sample
+            g = 1
+            state, outs = run_compiled_span(cfg_run, state,
+                                            f - step_done % f)
+        else:
+            g = min(group, n_segments - done)
+            state, outs = run_compiled(cfg_run, state, g)
         jax.block_until_ready(state)
         if epot0_f is None:
             epot0_f = float(epot0)
@@ -611,6 +701,7 @@ def run(cfg: CoolingConfig, seed: Optional[int] = None,
         outs_groups.append(outs_np)
         prev_done = done
         done += g
+        step_done = done * f
         if save_dir is not None:
             # stream this group's rows (the reference appends output()
             # rows at every sample — a crash loses at most one group),
@@ -623,7 +714,8 @@ def run(cfg: CoolingConfig, seed: Optional[int] = None,
             vh_carry = write_outputs(save_dir, cfg, outs_np, epot0_f, st,
                                      n_md, sample_offset=prev_done,
                                      vholder0=vh_carry,
-                                     terminal=(done == n_segments))
+                                     terminal=(done == n_segments
+                                               and aligned))
             if done < n_segments:
                 c0 = done * cfg.sample_freq - 1
                 extra = {"epot0": epot0_f}
@@ -642,6 +734,24 @@ def run(cfg: CoolingConfig, seed: Optional[int] = None,
                     counter=done,
                     vholder=vh_carry if cfg.vaf_intervals else None,
                     extra=extra)
+
+    if step_done < n_md:
+        # trailing sub-segment past the last output gate: the reference
+        # runs to tmax regardless of sample-grid alignment
+        # (while t <= tmax+0.0009, SpeedUp.cpp:1247), so the terminal
+        # checkpoint at c0 = n_md-1 must hold the true tmax state — a
+        # chained window then realigns to the global gate above
+        state, _ = run_compiled_span(cfg_run, state, n_md - step_done,
+                                     sample=False)
+        jax.block_until_ready(state)
+        step_done = n_md
+        if save_dir is not None:
+            import os
+            os.makedirs(save_dir, exist_ok=True)
+            if epot0_f is None:
+                epot0_f = float(epot0)
+            write_terminal_checkpoint(save_dir, cfg, safe_device_get(state),
+                                      n_md, done, vh_carry, epot0_f)
 
     if not outs_groups:           # resume found nothing left to do
         final_np = safe_device_get(state)
@@ -742,6 +852,7 @@ def run_ensemble(cfg: CoolingConfig, n_jobs: int, seed: int = 0,
                 if save_directory is not None else None)
 
     done = 0
+    step_done = None    # MD steps already simulated; done*f when aligned
     states = None
     mask = None                 # [E, n_arr] when members carry Poisson N
     n_js = None                 # per-member real ion counts
@@ -758,6 +869,9 @@ def run_ensemble(cfg: CoolingConfig, n_jobs: int, seed: int = 0,
                                  f"checkpoint counters {sorted(counters)}; "
                                  "the fused fold requires one shared tick")
             done = counters.pop()
+            # a terminal checkpoint of an off-grid tmax window sits past
+            # the last sample; the loop realigns to the global gate
+            step_done = c0 + 1
             tick = (c0 + 1) * cfg.ratio
             n_js = [int(z["R"].shape[0]) for z in zs]
             n_arr = max(n_js)
@@ -841,24 +955,43 @@ def run_ensemble(cfg: CoolingConfig, n_jobs: int, seed: int = 0,
                                               mask=m)))(
                     states.R, mask.astype(cfg.np_dtype)))
 
+    f = cfg.sample_freq
+    rem = n_md - n_segments * f   # trailing steps past the last gate
+    if step_done is None:
+        step_done = done * f
     outs_groups = []
     while done < n_segments:
-        g = min(group, n_segments - done)
+        if step_done % f:
+            # splice realignment after a previous window's off-grid
+            # tmax: one short segment back onto the global output gate
+            # (see run_compiled_span)
+            g, seg_len = 1, f - step_done % f
+        else:
+            g, seg_len = min(group, n_segments - done), None
+        # fold the trailing sub-segment into the final group so the
+        # returned states hold the true tmax state for the terminal
+        # checkpoint (reference runs to tmax, SpeedUp.cpp:1247)
+        tail = rem if done + g == n_segments else 0
         if mesh is None:
             states, outs = run_compiled_ensemble(cfg_run, states, g,
                                                  mask=mask,
                                                  sweep_e0=sweep_e0,
-                                                 sweep_om=sweep_om)
+                                                 sweep_om=sweep_om,
+                                                 seg_len=seg_len,
+                                                 tail=tail)
         else:
             states, outs = run_compiled_sharded(cfg_run, mesh, states, g,
                                                 mask=mask,
                                                 sweep_e0=sweep_e0,
-                                                sweep_om=sweep_om)
+                                                sweep_om=sweep_om,
+                                                seg_len=seg_len,
+                                                tail=tail)
         jax.block_until_ready(states)
         outs_np = safe_device_get(outs)
         outs_groups.append(outs_np)
         prev_done = done
         done += g
+        step_done = done * f + tail
         if job_dirs is not None:
             st = safe_device_get(states)
             key_payload = _key_payload(states.key)
@@ -975,33 +1108,52 @@ def _poisson_member_states(cfg: CoolingConfig, n_jobs: int, seed: int,
 
 
 def _interval_vholder(cfg: CoolingConfig, outs, n: int,
-                      vholder0=None, sample_offset: int = 0) -> np.ndarray:
+                      vholder0=None, sample_offset: int = 0):
     """[>=13, N, 3] VAF-interval velocity snapshots (the reference's
-    Vholder, SpeedUp.cpp:133): rows restored from a previous window
-    (``vholder0``, the readConditions VZERO restore at :901-909) plus
-    snapshots for intervals whose start falls inside this window's
-    samples.  An interval starting before the run's very first output
-    sample (``sample_offset == 0``) snaps its origin to sample 0 rather
-    than being dropped — the nearest-sample convention applied at the
-    grid edge."""
+    Vholder, SpeedUp.cpp:133) plus ``starts``: per interval, the local
+    sample index this window's VAF rows begin at, or None when the
+    interval emits nothing here.
+
+    Activity is decided by *time*, never by snapshot content: a
+    legitimately all-zero restored v0 (e.g. a reference binary's VZERO
+    files, which readConditions restores and streams from regardless —
+    SpeedUp.cpp:901-909) still yields rows.  Each window owns the
+    half-spacing neighborhood of its own sample grid, so an interval
+    whose tstart falls in the gap *between* two windows snaps to the
+    nearest sample exactly as an unwindowed run's argmin would — window
+    (checkpoint-group) boundaries never change the emitted diagnostics,
+    and an interval a final window claims stays claimed if the run is
+    later chained (the restored snapshot streams on).  An interval
+    starting before the run's very first sample snaps to sample 0 (the
+    nearest-sample convention at the grid edge); one starting past the
+    last sample's half-spacing never fires here (reference gate: vstart
+    beyond the window is simply never reached, SpeedUp.cpp:1260).  A
+    pre-window origin with no restored snapshot (``vholder0`` None —
+    crash resume without the native vholder) is skipped: its pre-crash
+    rows are already on disk."""
     m = max(13, len(cfg.vaf_intervals))
     vholder = np.zeros((m, n, 3))
-    if vholder0 is not None:
+    has_restored = vholder0 is not None
+    if has_restored:
         v0 = np.asarray(vholder0, np.float64)
         vholder[:v0.shape[0]] = v0
-    if cfg.vaf_intervals and "V" in outs:
-        t_arr = np.asarray(outs["t"], np.float64)
-        for k, tstart in enumerate(cfg.vaf_intervals):
-            if tstart > t_arr[-1] + 1e-9:
-                continue                     # starts in a later window
-            if tstart < t_arr[0] - 1e-9:
-                if sample_offset != 0 or np.any(vholder[k]):
-                    continue   # started earlier: restored row (or gone)
-                idx = 0        # fresh run: snap to the first sample
-            else:
-                idx = int(np.argmin(np.abs(t_arr - tstart)))
+    starts = [None] * m
+    if not (cfg.vaf_intervals and "V" in outs):
+        return vholder, starts
+    t_arr = np.asarray(outs["t"], np.float64)
+    d = (float(t_arr[1] - t_arr[0]) if t_arr.size > 1
+         else cfg.sample_freq * cfg.timestep)
+    for k, tstart in enumerate(cfg.vaf_intervals):
+        if tstart >= t_arr[-1] + d / 2:
+            continue         # starts in a later window (or never fires)
+        if tstart >= t_arr[0] - d / 2 or (sample_offset == 0
+                                          and not has_restored):
+            idx = int(np.argmin(np.abs(t_arr - tstart)))  # origin here
             vholder[k] = np.asarray(outs["V"][idx], np.float64)[:n]
-    return vholder
+            starts[k] = idx
+        elif has_restored:
+            starts[k] = 0                # restored pre-window origin
+    return vholder, starts
 
 
 def write_outputs(directory: str, cfg: CoolingConfig, outs, epot0: float,
@@ -1057,23 +1209,16 @@ def write_outputs(directory: str, cfg: CoolingConfig, outs, epot0: float,
     # (reference: readConditions re-reads VZERO into Vholder,
     # SpeedUp.cpp:901-909); without a restored snapshot they are skipped
     # (their pre-crash rows are already on disk).
-    vholder = _interval_vholder(cfg, outs, n, vholder0,
-                                sample_offset=sample_offset)
+    vholder, starts = _interval_vholder(cfg, outs, n, vholder0,
+                                        sample_offset=sample_offset)
     if cfg.vaf_intervals and "V" in outs:
         t_arr = np.asarray(outs["t"], np.float64)
-        for k, tstart in enumerate(cfg.vaf_intervals):
-            if tstart < t_arr[0] - 1e-9:
-                # pre-splice interval: restored v0 or nothing to emit
-                if not np.any(vholder[k]):
-                    continue
-                idx = 0
-            elif tstart > t_arr[-1] + 1e-9:
+        for k in range(len(cfg.vaf_intervals)):
+            if starts[k] is None:
                 continue
-            else:
-                idx = int(np.argmin(np.abs(t_arr - tstart)))
             v0 = vholder[k]
             rows = []
-            for j in range(idx, n_samples):
+            for j in range(starts[k], n_samples):
                 vj = np.asarray(outs["V"][j], np.float64)[:n]
                 rows.append((t_arr[j], float(np.mean(np.sum(v0 * vj, -1)))))
             w.append(f"VAF_interval{k}.dat", np.asarray(rows))
@@ -1098,13 +1243,30 @@ def write_outputs(directory: str, cfg: CoolingConfig, outs, epot0: float,
 
     if not terminal:
         return vholder
+    write_terminal_checkpoint(directory, cfg, final, n_md,
+                              sample_offset + n_samples, vholder, epot0,
+                              n_actual=n_actual)
+    return vholder
+
+
+def write_terminal_checkpoint(directory: str, cfg: CoolingConfig, final,
+                              n_md: int, counter: int, vholder, epot0,
+                              n_actual: Optional[int] = None) -> None:
+    """The reference-schema terminal checkpoint at c0 = n_md - 1
+    (writeConditions, SpeedUp.cpp:725-783) plus the lossless native
+    .npz.  Split from :func:`write_outputs` so a run whose tmax ends off
+    the sample grid can publish it *after* advancing the trailing
+    sub-segment (the reference runs to tmax regardless of alignment)."""
+    n = n_actual if n_actual is not None else final.R.shape[0]
     c0 = n_md - 1
-    ckpt.write_ions(directory, c0, n, sample_offset + n_samples)
+    ckpt.write_ions(directory, c0, n, counter)
     ckpt.write_conditions(directory, c0, np.asarray(final.R)[:n],
                           np.asarray(final.V)[:n])
     ckpt.write_wvfns(directory, c0, np.asarray(final.psi)[:n])
     # SpeedUp main never fills Vholder unless VAF intervals are enabled; it
     # still writes all 13 VZERO interval files (lines 752-763).
+    if vholder is None:
+        vholder = np.zeros((13, n, 3))
     ckpt.write_vzero(directory, c0, vholder[:13])
     extra = {"epot0": epot0}
     key = getattr(final, "key", None)
@@ -1118,10 +1280,9 @@ def write_outputs(directory: str, cfg: CoolingConfig, outs, epot0: float,
     ckpt.save_native(directory, c0, R=np.asarray(final.R)[:n],
                      V=np.asarray(final.V)[:n],
                      psi=np.asarray(final.psi)[:n],
-                     counter=sample_offset + n_samples,
+                     counter=counter,
                      vholder=vholder if cfg.vaf_intervals else None,
                      extra=extra)
-    return vholder
 
 
 def resume_vholder(directory: str, c0: int,

@@ -123,3 +123,16 @@ def load_native(directory: str, c0: int) -> dict:
     path = os.path.join(directory, f"checkpoint_{c0:06d}.npz")
     with np.load(path) as z:
         return {k: z[k] for k in z.files}
+
+
+def latest_ascii_checkpoint(directory: str) -> Optional[int]:
+    """Highest c0 among the ASCII ``ions_timestep*.dat`` checkpoints —
+    the schema a reference binary advances when it continues a framework
+    run (interop chaining), so resume paths compare it against the
+    newest native .npz and take whichever is later."""
+    import glob
+    import re
+    cs = [int(m.group(1))
+          for p in glob.glob(os.path.join(directory, "ions_timestep*.dat"))
+          if (m := re.search(r"ions_timestep(\d+)\.dat$", p))]
+    return max(cs) if cs else None

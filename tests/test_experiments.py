@@ -551,6 +551,75 @@ def test_periodic_checkpoint_and_resume(tmp_path):
     assert e.shape[0] == n_total
 
 
+def test_offgrid_tmax_chaining_matches_fresh_grid(tmp_path):
+    """tmax off the sample grid: the run simulates the trailing
+    sub-segment to tmax (reference main loop: while t<=tmax+0.0009,
+    SpeedUp.cpp:1247), the terminal checkpoint at c0=n_md-1 holds the
+    true state, and a chained window realigns to the *global* output
+    gate ((c0+1)%sampleFreq==0, :1365) so the chained run's sample and
+    VAF grids match an uninterrupted run's exactly."""
+    import dataclasses
+    iv = (0.06, 0.3)
+    cfg1 = CoolingConfig(n0=48, tmax=0.25, sample_freq=10,
+                         use_pallas=False, dtype="float64",
+                         vaf_intervals=iv, save_directory=str(tmp_path))
+    final1, _ = run_cooling(cfg1, seed=5)
+    # 125 MD steps: 12 samples + a 5-step tail the run must still cover
+    assert float(final1.t) == pytest.approx(0.25, rel=1e-9)
+    d = str(next(tmp_path.rglob("energies.dat")).parent)
+    e1 = np.loadtxt(os.path.join(d, "energies.dat"), ndmin=2)
+    assert e1.shape[0] == 12
+    # terminal checkpoint labeled with the true final step
+    assert os.path.exists(os.path.join(d, "checkpoint_000124.npz"))
+
+    cfg2 = dataclasses.replace(cfg1, tmax=0.5)
+    final2, _ = run_cooling(cfg2, resume=True)
+    assert float(final2.t) == pytest.approx(0.5, rel=1e-9)
+
+    cfgf = dataclasses.replace(cfg1, tmax=0.5,
+                               save_directory=str(tmp_path / "fresh"))
+    run_cooling(cfgf, seed=5)
+    df = str(next((tmp_path / "fresh").rglob("energies.dat")).parent)
+    ef = np.loadtxt(os.path.join(df, "energies.dat"), ndmin=2)
+    ec = np.loadtxt(os.path.join(d, "energies.dat"), ndmin=2)
+    # chained grid == fresh grid (the splice realignment segment)
+    np.testing.assert_allclose(ec[:, 0], ef[:, 0], rtol=1e-9)
+    # pre-splice rows bit-identical (appended once, never rewritten)
+    np.testing.assert_array_equal(ec[:12], e1)
+    for k in range(len(iv)):
+        ac = np.loadtxt(os.path.join(d, f"VAF_interval{k}.dat"), ndmin=2)
+        af = np.loadtxt(os.path.join(df, f"VAF_interval{k}.dat"), ndmin=2)
+        np.testing.assert_allclose(ac[:, 0], af[:, 0], rtol=1e-9,
+                                   err_msg=f"VAF_interval{k} grid")
+        assert np.all(np.diff(ac[:, 0]) > 0)
+
+
+def test_offgrid_tmax_ensemble_chaining(tmp_path):
+    """run_ensemble with tmax off the sample grid: the trailing
+    sub-segment is folded into the final group (tail=), so per-job
+    terminal checkpoints at c0=n_md-1 hold the true tmax state, and a
+    chained (extended-tmax) ensemble realigns to the global gate."""
+    import dataclasses
+    from mdqtplasmasims_tpu.experiments.laser_cooling import run_ensemble
+    cfg1 = CoolingConfig(n0=32, tmax=0.25, sample_freq=10,
+                         use_pallas=False, dtype="float64",
+                         save_directory=str(tmp_path))
+    run_ensemble(cfg1, n_jobs=2, seed=3)
+    dirs = sorted(str(p.parent) for p in tmp_path.rglob("energies.dat"))
+    assert len(dirs) == 2
+    for d in dirs:
+        assert os.path.exists(os.path.join(d, "checkpoint_000124.npz"))
+
+    cfg2 = dataclasses.replace(cfg1, tmax=0.5)
+    final2, _ = run_ensemble(cfg2, n_jobs=2, resume=True)
+    assert float(final2.t[0]) == pytest.approx(0.5, rel=1e-9)
+    for d in dirs:
+        e = np.loadtxt(os.path.join(d, "energies.dat"), ndmin=2)
+        assert e.shape[0] == 25
+        # one uniform global grid across the splice (realignment seg)
+        np.testing.assert_allclose(np.diff(e[:, 0]), 0.02, rtol=1e-9)
+
+
 class TestPoissonEnsemble:
     """Per-member Poissonian ion counts inside one fixed-shape fold
     (reference init draws a fresh N per array job, SpeedUp.cpp:289-348;

@@ -37,6 +37,8 @@ sys.path.insert(0, REPO)
 
 N0, TMAX1, TMAX2, SAMPLE_FREQ, TIMESTEP = 256, 1.0, 2.0, 10, 0.002
 TSTART_V0 = 0.5        # VAF interval 0 start (vaf directions)
+# off-grid chaining legs: 505 MD steps, 5 past the last output gate
+TMAX_OG1, TMAX_OG2 = 1.01, 2.01
 
 
 def patch_source(dst: str, *, new_run: int, c0: int, tmax: float,
@@ -198,6 +200,86 @@ def direction_b(workdir: str) -> bool:
     return bool(ok)
 
 
+def direction_c(workdir: str) -> bool:
+    """Off-grid tmax chaining, framework -> binary: the framework runs to
+    tmax=1.01 (505 MD steps, 5 past the last output gate at 500),
+    simulates the trailing sub-segment, and writes the terminal
+    checkpoint at the true c0=504; the reference binary (newRun=0)
+    continues to 2.01 and its *global* (c0+1)%sampleFreq gate must pick
+    up at step 510 (t=1.02) with energy continuity — proving the
+    framework's tail state is exactly the restart state the binary
+    expects."""
+    print("direction C: off-grid tmax, framework -> reference binary")
+    from mdqtplasmasims_tpu.experiments.laser_cooling import (CoolingConfig,
+                                                              run, _save_dir)
+    base = os.path.join(workdir, "dataC")
+    cfg = CoolingConfig(n0=N0, tmax=TMAX_OG1, sample_freq=SAMPLE_FREQ,
+                        use_pallas=False, dtype="float64",
+                        save_directory=base)
+    run(cfg)
+    job_dir = _save_dir(cfg)
+    n_rows1 = load_energies(os.path.join(job_dir, "energies.dat")).shape[0]
+    c0 = int(round(TMAX_OG1 / TIMESTEP)) - 1       # 504: true final step
+    assert os.path.exists(os.path.join(job_dir,
+                                       f"conditions_timestep{c0:06d}.dat"))
+    patch_source(os.path.join(workdir, "refresume_og.cpp"), new_run=0,
+                 c0=c0, tmax=TMAX_OG2, save_dir="dataC")
+    binary = compile_ref(workdir, "refresume_og")
+    subprocess.run([binary, "1"], cwd=workdir, check=True, timeout=1800)
+    e = load_energies(os.path.join(job_dir, "energies.dat"))
+    print(f"  rows: {n_rows1} (framework) + {e.shape[0] - n_rows1} "
+          f"(reference continuation); first continuation t="
+          f"{e[n_rows1, 0]:.4f}")
+    ok = e.shape[0] > n_rows1 + 10
+    # the binary's global gate resumes at step 510 -> t = 1.02
+    ok &= abs(e[n_rows1, 0] - 1.02) < 2 * TIMESTEP + 1e-9
+    ok &= splice_ok(e, n_rows1, "C")
+    return bool(ok)
+
+
+def direction_d(workdir: str) -> bool:
+    """Off-grid tmax chaining, binary -> framework run(resume=True): the
+    reference runs fresh to tmax=1.01 (its loop leaves the terminal c0 a
+    step past the last gate), the tree is copied to the framework's
+    param-encoded path, and run(resume=True) with tmax=2.01 must resume
+    from the ASCII checkpoint, realign to the global gate (first new row
+    at t=1.02, uniform spacing across the splice), run its own trailing
+    sub-segment to exactly 2.01, and keep Etot continuous."""
+    print("direction D: off-grid tmax, reference binary -> framework "
+          "run(resume=True)")
+    from mdqtplasmasims_tpu.experiments.laser_cooling import (CoolingConfig,
+                                                              run, _save_dir)
+    patch_source(os.path.join(workdir, "reffresh_og.cpp"), new_run=1, c0=0,
+                 tmax=TMAX_OG1, save_dir="dataD")
+    binary = compile_ref(workdir, "reffresh_og")
+    subprocess.run([binary, "1"], cwd=workdir, check=True, timeout=1800)
+    job_dirs = glob.glob(os.path.join(workdir, "dataD", "*", "job1"))
+    assert len(job_dirs) == 1, job_dirs
+    src_dir = job_dirs[0]
+    base = os.path.join(workdir, "dataD_fw")
+    cfg = CoolingConfig(n0=N0, tmax=TMAX_OG2, sample_freq=SAMPLE_FREQ,
+                        use_pallas=False, dtype="float64",
+                        save_directory=base)
+    job_dir = _save_dir(cfg)
+    os.makedirs(os.path.dirname(job_dir), exist_ok=True)
+    shutil.copytree(src_dir, job_dir)
+    n_rows1 = load_energies(os.path.join(job_dir, "energies.dat")).shape[0]
+    final, _ = run(cfg, resume=True)
+    e = load_energies(os.path.join(job_dir, "energies.dat"))
+    print(f"  rows: {n_rows1} (reference) + {e.shape[0] - n_rows1} "
+          f"(framework continuation); first continuation t="
+          f"{e[n_rows1, 0]:.4f}, final t={float(final.t):.4f}")
+    ok = e.shape[0] > n_rows1 + 10
+    ok &= abs(e[n_rows1, 0] - 1.02) < 2 * TIMESTEP + 1e-9
+    ok &= abs(float(final.t) - TMAX_OG2) < 1e-6
+    # one uniform global grid across the splice (binary stamps carry a
+    # sub-MD-step offset, see vaf_continuity)
+    ok &= bool(np.allclose(np.diff(e[:, 0]), SAMPLE_FREQ * TIMESTEP,
+                           atol=2 * TIMESTEP))
+    ok &= splice_ok(e, n_rows1, "D")
+    return bool(ok)
+
+
 def vaf_continuity(path: str, n_rows1: int, label: str) -> bool:
     """The interval-VAF stream must cross the splice like any other
     sample step: both legs share the same v0 (restored from VZERO), so a
@@ -298,9 +380,12 @@ def main(workdir: str = "/tmp/xval_resume") -> int:
     ok_b = direction_b(workdir)
     ok_av = direction_a_vaf(workdir)
     ok_bv = direction_b_vaf(workdir)
-    ok = ok_a and ok_b and ok_av and ok_bv
+    ok_c = direction_c(workdir)
+    ok_d = direction_d(workdir)
+    ok = ok_a and ok_b and ok_av and ok_bv and ok_c and ok_d
     print("RESUME INTEROP", "PASS" if ok else "FAIL",
-          f"(A={ok_a}, B={ok_b}, A-vaf={ok_av}, B-vaf={ok_bv})")
+          f"(A={ok_a}, B={ok_b}, A-vaf={ok_av}, B-vaf={ok_bv}, "
+          f"C={ok_c}, D={ok_d})")
     return 0 if ok else 1
 
 
