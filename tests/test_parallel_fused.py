@@ -208,6 +208,37 @@ class TestFusedSharded:
         assert not np.allclose(np.asarray(final2.R[0]),
                                np.asarray(final2.R[1]))
 
+    def test_offgrid_tmax_on_mesh(self, tmp_path):
+        """Off-grid tmax on the sharded production path: the trailing
+        sub-segment runs through the shard_map tail leg
+        (run_compiled_sharded tail=), terminal checkpoints hold the true
+        tmax state, and a chained mesh window realigns to the global
+        gate (seg_len=) — one uniform grid across the splice."""
+        import dataclasses
+        import os
+        from mdqtplasmasims_tpu.experiments.laser_cooling import (
+            run_ensemble)
+        # tmax=0.11, f=5, dt=0.002 -> 55 MD steps: 10 samples + 5 tail
+        cfg1 = _fused_cfg(tmax=0.11, sample_freq=5,
+                          save_directory=str(tmp_path))
+        mesh = make_mesh(2, 1)
+        final1, _ = run_ensemble(cfg1, n_jobs=2, seed=4, mesh=mesh)
+        assert float(final1.t[0]) == pytest.approx(0.11, rel=1e-6)
+        job_dirs = sorted(str(p.parent)
+                          for p in tmp_path.rglob("energies.dat"))
+        assert len(job_dirs) == 2
+        for d in job_dirs:
+            assert os.path.exists(os.path.join(d, "checkpoint_000054.npz"))
+
+        cfg2 = dataclasses.replace(cfg1, tmax=0.2)   # 100 steps, aligned
+        final2, _ = run_ensemble(cfg2, n_jobs=2, seed=4, resume=True,
+                                 mesh=mesh)
+        assert float(final2.t[0]) == pytest.approx(0.2, rel=1e-6)
+        for d in job_dirs:
+            e = np.loadtxt(os.path.join(d, "energies.dat"), ndmin=2)
+            assert e.shape[0] == 20
+            np.testing.assert_allclose(np.diff(e[:, 0]), 0.01, rtol=1e-5)
+
     def test_cross_mode_resume(self, tmp_path):
         """Walltime chains can move between chip counts: a single-device
         ensemble checkpoint resumes onto a mesh and a mesh checkpoint
