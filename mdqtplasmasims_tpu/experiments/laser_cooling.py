@@ -860,7 +860,64 @@ def run_ensemble(cfg: CoolingConfig, n_jobs: int, seed: int = 0,
     vholders = [None] * n_jobs
     if resume and job_dirs is not None:
         c0s = [latest_checkpoint(d) for d in job_dirs]
-        if all(c is not None for c in c0s):
+        c0s_ascii = [ckpt.latest_ascii_checkpoint(d) for d in job_dirs]
+        have_native = all(c is not None for c in c0s)
+        # newest checkpoint wins across formats, fold-wide (see run()):
+        # after a reference binary continues each job of the array
+        # (interop chaining, newRun=0 per job) only the ASCII
+        # conditions_/wvFns_/ions_ files advance, and resuming the fold
+        # from the stale .npz would replay covered steps and append
+        # duplicate .dat rows
+        use_ascii = (all(c is not None for c in c0s_ascii)
+                     and (not have_native
+                          or min(c0s_ascii) > min(c0s)))
+        if use_ascii:
+            c0set = set(c0s_ascii)
+            if len(c0set) != 1:
+                raise ValueError(
+                    "ensemble members at inconsistent ASCII checkpoints "
+                    f"{sorted(c0set)}; the fused fold requires one "
+                    "shared tick")
+            c0 = c0set.pop()
+            counters = {ckpt.read_ions(d, c0)[1] for d in job_dirs}
+            if len(counters) != 1:
+                raise ValueError(
+                    "ensemble members at inconsistent checkpoint "
+                    f"counters {sorted(counters)}; the fused fold "
+                    "requires one shared tick")
+            done = counters.pop()
+            step_done = c0 + 1
+            members = [resume_state(d, c0, c)
+                       for d, c in zip(job_dirs, job_cfgs)]
+            n_js = [int(m.R.shape[0]) for m in members]
+            n_arr = max(n_js)
+            if mesh is not None:
+                from ..parallel.mesh import ION_AXIS
+                shards = mesh.shape[ION_AXIS]
+                n_arr = -(-n_arr // shards) * shards
+
+            def pad_member(m):
+                def pad(a):
+                    out = jnp.zeros((n_arr,) + a.shape[1:], a.dtype)
+                    return out.at[:a.shape[0]].set(a)
+                return m._replace(R=pad(m.R), V=pad(m.V), F=pad(m.F),
+                                  psi=pad(m.psi), t_part=pad(m.t_part))
+            members = [pad_member(m) for m in members]
+            states = jax.tree.map(lambda *xs: jnp.stack(xs), *members)
+            if any(nj != n_arr for nj in n_js):
+                m = np.zeros((n_jobs, n_arr), np.float32)
+                for j, nj in enumerate(n_js):
+                    m[j, :nj] = 1.0
+                mask = jnp.asarray(m)
+            else:
+                n_js = None
+            # reference newRun=0 restart semantics per job: Epot0 stays 0
+            # (SpeedUp.cpp:119 — assigned only in init()) and Vholder is
+            # re-read from the VZERO files (:901-909)
+            epot0_np = np.zeros(n_jobs)
+            if cfg.vaf_intervals:
+                vholders = [resume_vholder(d, c0) for d in job_dirs]
+        elif all(c is not None for c in c0s):
             c0 = min(c0s)           # newest checkpoint common to all jobs
             zs = [ckpt.load_native(d, c0) for d in job_dirs]
             counters = {int(z["counter"]) for z in zs}

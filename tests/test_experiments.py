@@ -594,6 +594,42 @@ def test_offgrid_tmax_chaining_matches_fresh_grid(tmp_path):
         assert np.all(np.diff(ac[:, 0]) > 0)
 
 
+def test_ensemble_ascii_resume_newest_wins(tmp_path):
+    """Cross-format resume at ensemble scale: when only the ASCII
+    checkpoints are present/newer (a reference binary continued each job
+    of the array — interop chaining), run_ensemble(resume=True) rebuilds
+    the fold from conditions_/wvFns_/ions_ with reference newRun=0
+    semantics (Epot0=0, Vholder from VZERO) instead of replaying a stale
+    native .npz."""
+    import dataclasses
+    import glob
+    from mdqtplasmasims_tpu.experiments.laser_cooling import run_ensemble
+    cfg1 = CoolingConfig(n0=32, tmax=0.2, sample_freq=10,
+                         use_pallas=False, dtype="float64",
+                         vaf_intervals=(0.05,),
+                         save_directory=str(tmp_path))
+    run_ensemble(cfg1, n_jobs=2, seed=3)
+    dirs = sorted(str(p.parent) for p in tmp_path.rglob("energies.dat"))
+    assert len(dirs) == 2
+    # simulate the binary-continued state: only ASCII checkpoints remain
+    for d in dirs:
+        for p in glob.glob(os.path.join(d, "checkpoint_*.npz")):
+            os.remove(p)
+
+    cfg2 = dataclasses.replace(cfg1, tmax=0.4)
+    final2, outs2 = run_ensemble(cfg2, n_jobs=2, resume=True)
+    assert float(final2.t[0]) == pytest.approx(0.4, rel=1e-9)
+    assert outs2["t"].shape[1] == 10          # only the remaining half
+    for d in dirs:
+        e = np.loadtxt(os.path.join(d, "energies.dat"), ndmin=2)
+        assert e.shape[0] == 20
+        np.testing.assert_allclose(np.diff(e[:, 0]), 0.02, rtol=1e-9)
+        v = np.loadtxt(os.path.join(d, "VAF_interval0.dat"), ndmin=2)
+        # the restored vholder keeps the interval streaming to tmax
+        assert v[-1, 0] == pytest.approx(0.4, abs=1e-6)
+        assert np.all(np.diff(v[:, 0]) > 0)
+
+
 def test_offgrid_tmax_ensemble_chaining(tmp_path):
     """run_ensemble with tmax off the sample grid: the trailing
     sub-segment is folded into the final group (tail=), so per-job
