@@ -239,6 +239,40 @@ class TestFusedSharded:
             assert e.shape[0] == 20
             np.testing.assert_allclose(np.diff(e[:, 0]), 0.01, rtol=1e-5)
 
+    def test_ascii_resume_onto_mesh(self, tmp_path):
+        """Cross-mode AND cross-format: an ensemble continued by the
+        reference binary (ASCII-only checkpoints, newRun=0 per job)
+        resumes onto a 2x2 (ens x ions) mesh — run_ensemble rebuilds the
+        fold from conditions_/wvFns_/ions_, pads members to the
+        ion-shard multiple, and splits the [E,2] keys to per-(job,
+        ion-shard) [E,I,2] streams."""
+        import dataclasses
+        import glob
+        import os
+        from mdqtplasmasims_tpu.experiments.laser_cooling import (
+            run_ensemble)
+        cfg1 = _fused_cfg(tmax=0.1, sample_freq=5,
+                          save_directory=str(tmp_path))
+        run_ensemble(cfg1, n_jobs=2, seed=4)
+        job_dirs = sorted(str(p.parent)
+                          for p in tmp_path.rglob("energies.dat"))
+        assert len(job_dirs) == 2
+        # simulate binary continuation: only ASCII checkpoints remain
+        for d in job_dirs:
+            for p in glob.glob(os.path.join(d, "checkpoint_*.npz")):
+                os.remove(p)
+
+        cfg2 = dataclasses.replace(cfg1, tmax=0.2)
+        final2, outs2 = run_ensemble(cfg2, n_jobs=2, resume=True,
+                                     mesh=make_mesh(n_ens=2, n_ions=2))
+        assert float(final2.t[0]) == pytest.approx(0.2, rel=1e-6)
+        assert outs2["t"].shape == (2, 10)   # only the remaining half
+        for d in job_dirs:
+            e = np.loadtxt(os.path.join(d, "energies.dat"), ndmin=2)
+            assert e.shape[0] == 20
+            np.testing.assert_allclose(np.diff(e[:, 0]), 0.01,
+                                       rtol=1e-5)
+
     def test_cross_mode_resume(self, tmp_path):
         """Walltime chains can move between chip counts: a single-device
         ensemble checkpoint resumes onto a mesh and a mesh checkpoint
