@@ -135,7 +135,10 @@ def _parent() -> None:
     import sys
     import time
 
-    deadline = time.monotonic() + 1500
+    # budget ~1 h: full outages flap with brief recovery windows (one
+    # probe success between failures was observed minutes apart), so
+    # many quick attempts beat few long ones
+    deadline = time.monotonic() + 3600
     last = None
     while True:
         budget = deadline - time.monotonic()
@@ -163,7 +166,7 @@ def _parent() -> None:
         if last is not None and json.loads(last)["value"] > 0:
             print(last)
             return
-        time.sleep(min(60.0, max(0.0, deadline - time.monotonic())))
+        time.sleep(min(30.0, max(0.0, deadline - time.monotonic())))
     print(last) if last else _emit_failure(
         "all attempts failed: TPU service unreachable")
 

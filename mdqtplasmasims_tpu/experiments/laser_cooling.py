@@ -887,22 +887,34 @@ def run_ensemble(cfg: CoolingConfig, n_jobs: int, seed: int = 0,
                     "requires one shared tick")
             done = counters.pop()
             step_done = c0 + 1
-            members = [resume_state(d, c0, c)
-                       for d, c in zip(job_dirs, job_cfgs)]
-            n_js = [int(m.R.shape[0]) for m in members]
+            # read on host, pad in numpy, THEN make_state: eager device
+            # ops on complex64 psi hit the axon backend's UNIMPLEMENTED
+            # quirk (CLAUDE.md), so padding must happen before the
+            # safe_device_put inside make_state
+            hosts = [(ckpt.read_conditions(d, c0)
+                      + (ckpt.read_wvfns(d, c0),)) for d in job_dirs]
+            n_js = [int(R.shape[0]) for R, _, _ in hosts]
             n_arr = max(n_js)
             if mesh is not None:
                 from ..parallel.mesh import ION_AXIS
                 shards = mesh.shape[ION_AXIS]
                 n_arr = -(-n_arr // shards) * shards
 
-            def pad_member(m):
+            t0 = ckpt.restore_time(c0, cfg.timestep)
+            tick = int(round(t0 / cfg.qdt))
+
+            def member(h, c):
+                R, V, psi = h
+
                 def pad(a):
-                    out = jnp.zeros((n_arr,) + a.shape[1:], a.dtype)
-                    return out.at[:a.shape[0]].set(a)
-                return m._replace(R=pad(m.R), V=pad(m.V), F=pad(m.F),
-                                  psi=pad(m.psi), t_part=pad(m.t_part))
-            members = [pad_member(m) for m in members]
+                    out = np.zeros((n_arr,) + a.shape[1:], a.dtype)
+                    out[:a.shape[0]] = a
+                    return out
+                key = jax.random.PRNGKey(c.job * 7919 + c0)
+                st = make_state(pad(R), pad(V), pad(psi), key,
+                                dtype=cfg.np_dtype, t=t0)
+                return st._replace(tick=jnp.asarray(tick, jnp.int32))
+            members = [member(h, c) for h, c in zip(hosts, job_cfgs)]
             states = jax.tree.map(lambda *xs: jnp.stack(xs), *members)
             if any(nj != n_arr for nj in n_js):
                 m = np.zeros((n_jobs, n_arr), np.float32)
