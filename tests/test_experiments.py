@@ -630,6 +630,40 @@ def test_ensemble_ascii_resume_newest_wins(tmp_path):
         assert np.all(np.diff(v[:, 0]) > 0)
 
 
+def test_ensemble_ascii_resume_poisson_n(tmp_path):
+    """ASCII fold rebuild with *unequal* member N (Poissonian ensembles,
+    reference SpeedUp.cpp:289-348): members pad on host to max N and the
+    per-member mask is rebuilt from the checkpoint row counts."""
+    import dataclasses
+    import glob
+    from mdqtplasmasims_tpu.experiments.laser_cooling import run_ensemble
+    from mdqtplasmasims_tpu.io import checkpoint as ckpt
+    cfg1 = CoolingConfig(n0=32, tmax=0.2, sample_freq=10,
+                         use_pallas=False, dtype="float64",
+                         exact_n=False,
+                         save_directory=str(tmp_path))
+    run_ensemble(cfg1, n_jobs=2, seed=5)
+    dirs = sorted(str(p.parent) for p in tmp_path.rglob("energies.dat"))
+    assert len(dirs) == 2
+    c0 = ckpt.latest_ascii_checkpoint(dirs[0])
+    n_js = [ckpt.read_conditions(d, c0)[0].shape[0] for d in dirs]
+    assert n_js[0] != n_js[1]       # the seed must give a real spread
+    for d in dirs:
+        for p in glob.glob(os.path.join(d, "checkpoint_*.npz")):
+            os.remove(p)
+
+    cfg2 = dataclasses.replace(cfg1, tmax=0.4)
+    final2, _ = run_ensemble(cfg2, n_jobs=2, resume=True)
+    assert float(final2.t[0]) == pytest.approx(0.4, rel=1e-9)
+    for d, nj in zip(dirs, n_js):
+        e = np.loadtxt(os.path.join(d, "energies.dat"), ndmin=2)
+        assert e.shape[0] == 20 and np.isfinite(e).all()
+        np.testing.assert_allclose(np.diff(e[:, 0]), 0.02, rtol=1e-9)
+        # the continued job keeps its own Poissonian N
+        R2, _ = ckpt.read_conditions(d, ckpt.latest_ascii_checkpoint(d))
+        assert R2.shape[0] == nj
+
+
 def test_offgrid_tmax_ensemble_chaining(tmp_path):
     """run_ensemble with tmax off the sample grid: the trailing
     sub-segment is folded into the final group (tail=), so per-job
