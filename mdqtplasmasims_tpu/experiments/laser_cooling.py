@@ -231,6 +231,39 @@ def _sample_outputs(state: SimState, cfg: CoolingConfig, L, ldeb, bins,
     return out
 
 
+def _make_advance(sched, L, ldeb):
+    """``advance(state, n_steps)`` closure shared by :func:`run_compiled`
+    and :func:`run_compiled_span` (single source for the stepping logic,
+    so the off-grid span path cannot diverge from the segment path).
+
+    Fused path: SoA-resident stepping — stay in the fused kernel's
+    [rows, Np] layout for all ``n_steps`` MD steps; convert to SimState
+    only at the boundary (scheduler.py soa_* helpers).  The mask is
+    built from the *actual* ion count (which differs from cfg.n0 when
+    exact_n=False draws a Poissonian N), not from cfg.n0."""
+    if sched.fused_spec is not None:
+        from ..ops.yukawa import yukawa_forces_n3l_soa
+
+        def advance(state, n_steps):
+            n_actual = state.R.shape[0]
+            npad = sched._npad(n_actual)
+            mask_row = jnp.zeros((1, npad),
+                                 jnp.float32).at[0, :n_actual].set(1.0)
+            # tile=None -> largest width dividing npad (npad follows the
+            # QT tile, e.g. 896 at n=600, which 512 does not divide)
+            soa_forces = lambda Rp: yukawa_forces_n3l_soa(
+                Rp, mask_row, L, ldeb, interpret=sched.interpret)
+            carry = jax.lax.fori_loop(
+                0, n_steps, lambda i, c: sched.soa_md_step(c, soa_forces),
+                sched.soa_init(state, state.F))
+            return sched.soa_restore(carry, state)
+    else:
+        def advance(state, n_steps):
+            return jax.lax.fori_loop(
+                0, n_steps, lambda i, s: sched.md_step(s), state)
+    return advance
+
+
 @partial(jax.jit, static_argnames=("cfg", "n_segments"))
 def run_compiled(cfg: CoolingConfig, state: SimState, n_segments: int):
     """The full cooling run as one device program.
@@ -241,36 +274,11 @@ def run_compiled(cfg: CoolingConfig, state: SimState, n_segments: int):
     L = PlasmaUnits.box_length(cfg.n0)
     sched = build_scheduler(cfg)
     bins = folded_bins(cfg.np_dtype)
+    advance = _make_advance(sched, L, pu.debye_length)
 
-    if sched.fused_spec is not None:
-        # SoA-resident segment: stay in the fused kernel's [rows, Np]
-        # layout for all sample_freq MD steps; convert to SimState only
-        # at the sample boundary (scheduler.py soa_* helpers).  The mask
-        # is built from the *actual* ion count (which differs from cfg.n0
-        # when exact_n=False draws a Poissonian N), not from cfg.n0.
-        from ..ops.yukawa import yukawa_forces_n3l_soa
-        n_actual = state.R.shape[0]
-        npad = sched._npad(n_actual)
-        mask_row = jnp.zeros((1, npad), jnp.float32).at[0, :n_actual].set(1.0)
-        # tile=None -> largest width dividing npad (npad follows the QT
-        # tile, e.g. 896 at n=600, which 512 does not divide)
-        soa_forces = lambda Rp: yukawa_forces_n3l_soa(
-            Rp, mask_row, L, pu.debye_length, interpret=sched.interpret)
-
-        def segment(state, _):
-            carry = jax.lax.fori_loop(
-                0, cfg.sample_freq,
-                lambda i, c: sched.soa_md_step(c, soa_forces),
-                sched.soa_init(state, state.F))
-            state = sched.soa_restore(carry, state)
-            return state, _sample_outputs(state, cfg, L, pu.debye_length,
-                                          bins)
-    else:
-        def segment(state, _):
-            state = jax.lax.fori_loop(
-                0, cfg.sample_freq, lambda i, s: sched.md_step(s), state)
-            return state, _sample_outputs(state, cfg, L, pu.debye_length,
-                                          bins)
+    def segment(state, _):
+        state = advance(state, cfg.sample_freq)
+        return state, _sample_outputs(state, cfg, L, pu.debye_length, bins)
 
     return jax.lax.scan(segment, state, None, length=n_segments)
 
@@ -291,20 +299,7 @@ def run_compiled_span(cfg: CoolingConfig, state: SimState, n_steps: int,
     pu = PlasmaUnits(cfg.density, cfg.ge)
     L = PlasmaUnits.box_length(cfg.n0)
     sched = build_scheduler(cfg)
-    if sched.fused_spec is not None:
-        from ..ops.yukawa import yukawa_forces_n3l_soa
-        n_actual = state.R.shape[0]
-        npad = sched._npad(n_actual)
-        mask_row = jnp.zeros((1, npad), jnp.float32).at[0, :n_actual].set(1.0)
-        soa_forces = lambda Rp: yukawa_forces_n3l_soa(
-            Rp, mask_row, L, pu.debye_length, interpret=sched.interpret)
-        carry = jax.lax.fori_loop(
-            0, n_steps, lambda i, c: sched.soa_md_step(c, soa_forces),
-            sched.soa_init(state, state.F))
-        state = sched.soa_restore(carry, state)
-    else:
-        state = jax.lax.fori_loop(
-            0, n_steps, lambda i, s: sched.md_step(s), state)
+    state = _make_advance(sched, L, pu.debye_length)(state, n_steps)
     if not sample:
         return state, None
     bins = folded_bins(cfg.np_dtype)
@@ -313,7 +308,6 @@ def run_compiled_span(cfg: CoolingConfig, state: SimState, n_steps: int,
     return state, jax.tree.map(lambda a: jnp.asarray(a)[None], outs)
 
 
-@partial(jax.jit, static_argnames=("cfg", "n_segments", "seg_len", "tail"))
 def run_compiled_ensemble(cfg: CoolingConfig, states: SimState,
                           n_segments: int, mask=None, sweep_e0=None,
                           sweep_om=None, seg_len: Optional[int] = None,
@@ -344,11 +338,22 @@ def run_compiled_ensemble(cfg: CoolingConfig, states: SimState,
     the sample grid, SpeedUp.cpp:1247), so the returned states hold the
     true tmax state for the terminal checkpoint."""
     from ..core.scheduler import check_uniform_tick
-    from ..ops.yukawa import yukawa_forces_n3l_pallas_batched
     # the fold applies tick[0]'s first-step drift flag and expansion-frame
-    # time to every member; inside the jitted step the value is a tracer,
-    # so enforce the precondition here while it is still concrete
+    # time to every member.  This wrapper is deliberately NOT jitted:
+    # under jit the tick would be a tracer on every trace (and the traced
+    # Python body would not re-run on cached calls at all), so the check
+    # must sit host-side, before the jit boundary, to ever fire.
     check_uniform_tick(states.tick)
+    return _run_compiled_ensemble(cfg, states, n_segments, mask, sweep_e0,
+                                  sweep_om, seg_len, tail)
+
+
+@partial(jax.jit, static_argnames=("cfg", "n_segments", "seg_len", "tail"))
+def _run_compiled_ensemble(cfg: CoolingConfig, states: SimState,
+                           n_segments: int, mask=None, sweep_e0=None,
+                           sweep_om=None, seg_len: Optional[int] = None,
+                           tail: int = 0):
+    from ..ops.yukawa import yukawa_forces_n3l_pallas_batched
     pu = PlasmaUnits(cfg.density, cfg.ge)
     L = PlasmaUnits.box_length(cfg.n0)
     sched = build_scheduler(cfg)
@@ -463,8 +468,6 @@ def run_compiled_ensemble(cfg: CoolingConfig, states: SimState,
     return states, outs
 
 
-@partial(jax.jit,
-         static_argnames=("cfg", "n_segments", "mesh", "seg_len", "tail"))
 def run_compiled_sharded(cfg: CoolingConfig, mesh, states: SimState,
                          n_segments: int, mask=None, sweep_e0=None,
                          sweep_om=None, seg_len: Optional[int] = None,
@@ -481,13 +484,24 @@ def run_compiled_sharded(cfg: CoolingConfig, mesh, states: SimState,
     the members as a detuning sweep (sharded over ``ens`` like the
     states; see run_compiled_ensemble)."""
     from ..core.scheduler import check_uniform_tick
+    # host-side, before the jit boundary — under jit the guard could
+    # never fire (tracer on trace, no Python body on cached calls); see
+    # run_compiled_ensemble
+    check_uniform_tick(states.tick)
+    return _run_compiled_sharded(cfg, mesh, states, n_segments, mask,
+                                 sweep_e0, sweep_om, seg_len, tail)
+
+
+@partial(jax.jit,
+         static_argnames=("cfg", "n_segments", "mesh", "seg_len", "tail"))
+def _run_compiled_sharded(cfg: CoolingConfig, mesh, states: SimState,
+                          n_segments: int, mask=None, sweep_e0=None,
+                          sweep_om=None, seg_len: Optional[int] = None,
+                          tail: int = 0):
     from ..parallel.ensemble import fused_local_stepper
     from ..parallel.mesh import ION_AXIS, state_pspec
     from jax import shard_map
 
-    # concrete here, a tracer inside the sharded step (see
-    # run_compiled_ensemble)
-    check_uniform_tick(states.tick)
     pu = PlasmaUnits(cfg.density, cfg.ge)
     L = PlasmaUnits.box_length(cfg.n0)
     sched = build_scheduler(cfg)
@@ -772,6 +786,42 @@ def _key_restore(arr) -> jax.Array:
     return jnp.asarray(arr, jnp.uint32)
 
 
+def _mesh_ion_round(n_arr: int, mesh) -> int:
+    """Round the fold's padded lane count up to the mesh's ion-shard
+    multiple — the sharded stepper splits the ion axis evenly across
+    shards (matches _poisson_member_states' round_to on fresh runs)."""
+    if mesh is None:
+        return n_arr
+    from ..parallel.mesh import ION_AXIS
+    shards = mesh.shape[ION_AXIS]
+    return -(-n_arr // shards) * shards
+
+
+def _pad_rows(a, n_arr: int) -> np.ndarray:
+    """Zero-pad axis 0 to ``n_arr`` rows on the HOST (numpy): eager
+    device ops on complex64 psi hit the axon backend's UNIMPLEMENTED
+    transfer quirk (CLAUDE.md), so padding must happen before the
+    safe_device_put inside make_state."""
+    a = np.asarray(a)
+    out = np.zeros((n_arr,) + a.shape[1:], a.dtype)
+    out[:a.shape[0]] = a
+    return out
+
+
+def _stack_fold(members, n_js, n_arr: int):
+    """Stack per-member states into the [E, ...] fold and build the
+    Poissonian ion mask: returns ``(states, mask, n_js)`` with
+    ``mask``/``n_js`` None when every member fills all ``n_arr`` lanes
+    (shared by the ASCII- and native-resume rebuilds)."""
+    states = jax.tree.map(lambda *xs: jnp.stack(xs), *members)
+    if all(nj == n_arr for nj in n_js):
+        return states, None, None
+    m = np.zeros((len(n_js), n_arr), np.float32)
+    for j, nj in enumerate(n_js):
+        m[j, :nj] = 1.0
+    return states, jnp.asarray(m), n_js
+
+
 def run_ensemble(cfg: CoolingConfig, n_jobs: int, seed: int = 0,
                  resume: bool = False, mesh=None, sweep=None):
     """Batched ensemble of independent trajectories — the TPU-native
@@ -887,50 +937,45 @@ def run_ensemble(cfg: CoolingConfig, n_jobs: int, seed: int = 0,
                     "requires one shared tick")
             done = counters.pop()
             step_done = c0 + 1
-            # read on host, pad in numpy, THEN make_state: eager device
-            # ops on complex64 psi hit the axon backend's UNIMPLEMENTED
-            # quirk (CLAUDE.md), so padding must happen before the
-            # safe_device_put inside make_state
             hosts = [(ckpt.read_conditions(d, c0)
                       + (ckpt.read_wvfns(d, c0),)) for d in job_dirs]
-            n_js = [int(R.shape[0]) for R, _, _ in hosts]
-            n_arr = max(n_js)
-            if mesh is not None:
-                from ..parallel.mesh import ION_AXIS
-                shards = mesh.shape[ION_AXIS]
-                n_arr = -(-n_arr // shards) * shards
+            n_arr = _mesh_ion_round(max(int(R.shape[0])
+                                        for R, _, _ in hosts), mesh)
 
             t0 = ckpt.restore_time(c0, cfg.timestep)
             tick = int(round(t0 / cfg.qdt))
 
             def member(h, c):
                 R, V, psi = h
-
-                def pad(a):
-                    out = np.zeros((n_arr,) + a.shape[1:], a.dtype)
-                    out[:a.shape[0]] = a
-                    return out
                 key = jax.random.PRNGKey(c.job * 7919 + c0)
-                st = make_state(pad(R), pad(V), pad(psi), key,
+                st = make_state(_pad_rows(R, n_arr), _pad_rows(V, n_arr),
+                                _pad_rows(psi, n_arr), key,
                                 dtype=cfg.np_dtype, t=t0)
                 return st._replace(tick=jnp.asarray(tick, jnp.int32))
-            members = [member(h, c) for h, c in zip(hosts, job_cfgs)]
-            states = jax.tree.map(lambda *xs: jnp.stack(xs), *members)
-            if any(nj != n_arr for nj in n_js):
-                m = np.zeros((n_jobs, n_arr), np.float32)
-                for j, nj in enumerate(n_js):
-                    m[j, :nj] = 1.0
-                mask = jnp.asarray(m)
-            else:
-                n_js = None
+            states, mask, n_js = _stack_fold(
+                [member(h, c) for h, c in zip(hosts, job_cfgs)],
+                [int(R.shape[0]) for R, _, _ in hosts], n_arr)
             # reference newRun=0 restart semantics per job: Epot0 stays 0
             # (SpeedUp.cpp:119 — assigned only in init()) and Vholder is
             # re-read from the VZERO files (:901-909)
             epot0_np = np.zeros(n_jobs)
             if cfg.vaf_intervals:
                 vholders = [resume_vholder(d, c0) for d in job_dirs]
-        elif all(c is not None for c in c0s):
+        elif have_native:
             c0 = min(c0s)           # newest checkpoint common to all jobs
+            newer_ascii = sorted({ca for ca in c0s_ascii
+                                  if ca is not None and ca > c0})
+            if newer_ascii:
+                # a reference binary advanced only SOME jobs' ASCII
+                # checkpoints: resuming the whole fold from the older
+                # native point would replay those jobs' covered steps
+                # (duplicate .dat rows, diverged trajectories)
+                raise ValueError(
+                    f"ASCII checkpoints at timestep(s) {newer_ascii} are "
+                    f"newer than the native resume point {c0} but not "
+                    "present for every job; advance the remaining jobs "
+                    "to the same checkpoint (or remove the stale files) "
+                    "before resuming the fold")
             zs = [ckpt.load_native(d, c0) for d in job_dirs]
             counters = {int(z["counter"]) for z in zs}
             if len(counters) != 1:
@@ -942,44 +987,35 @@ def run_ensemble(cfg: CoolingConfig, n_jobs: int, seed: int = 0,
             # the last sample; the loop realigns to the global gate
             step_done = c0 + 1
             tick = (c0 + 1) * cfg.ratio
-            n_js = [int(z["R"].shape[0]) for z in zs]
-            n_arr = max(n_js)
-            if mesh is not None:
-                # the sharded stepper splits the ion axis evenly across
-                # the mesh's ion shards — round the padded lane count up
-                # (matches _poisson_member_states' round_to on fresh runs)
-                from ..parallel.mesh import ION_AXIS
-                shards = mesh.shape[ION_AXIS]
-                n_arr = -(-n_arr // shards) * shards
+            n_arr = _mesh_ion_round(max(int(z["R"].shape[0])
+                                        for z in zs), mesh)
 
             def member(z, j):
                 key = (_key_restore(z["key"]) if "key" in z
                        else jax.random.PRNGKey((j + 1) * 7919 + c0))
-
-                def pad(a):
-                    out = np.zeros((n_arr,) + a.shape[1:], a.dtype)
-                    out[:a.shape[0]] = a
-                    return out
-                st = make_state(pad(z["R"]), pad(z["V"]), pad(z["psi"]),
+                st = make_state(_pad_rows(z["R"], n_arr),
+                                _pad_rows(z["V"], n_arr),
+                                _pad_rows(z["psi"], n_arr),
                                 key, dtype=cfg.np_dtype)
                 if "t_part" in z:  # lossless native resume (see save)
                     st = st._replace(t_part=jnp.asarray(
-                        pad(z["t_part"]), cfg.np_dtype))
+                        _pad_rows(z["t_part"], n_arr), cfg.np_dtype))
                 return st._replace(tick=jnp.asarray(tick, jnp.int32),
                                    t=jnp.asarray(tick * cfg.qdt,
                                                  cfg.np_dtype))
-            members = [member(z, j) for j, z in enumerate(zs)]
-            states = jax.tree.map(lambda *xs: jnp.stack(xs), *members)
-            if any(nj != n_arr for nj in n_js):
-                m = np.zeros((n_jobs, n_arr), np.float32)
-                for j, nj in enumerate(n_js):
-                    m[j, :nj] = 1.0
-                mask = jnp.asarray(m)
-            else:
-                n_js = None
+            states, mask, n_js = _stack_fold(
+                [member(z, j) for j, z in enumerate(zs)],
+                [int(z["R"].shape[0]) for z in zs], n_arr)
             if all("epot0" in z for z in zs):
                 epot0_np = np.asarray([float(z["epot0"]) for z in zs])
             vholders = [z.get("vholder") for z in zs]
+        elif (any(c is not None for c in c0s)
+              or any(c is not None for c in c0s_ascii)):
+            raise ValueError(
+                "resume=True but checkpoints exist for only a subset of "
+                "jobs; refusing to restart the fold from scratch (it "
+                "would replay covered steps and append duplicate .dat "
+                "rows)")
     if states is None:
         if mesh is not None and not cfg.exact_n:
             from ..parallel.mesh import ION_AXIS
@@ -1086,6 +1122,33 @@ def run_ensemble(cfg: CoolingConfig, n_jobs: int, seed: int = 0,
                         extra={"epot0": float(epot0_np[j]),
                                "key": key_payload[j],
                                "t_part": final_j.t_part[:nw]})
+
+    if step_done < n_md:
+        # trailing sub-segment with no sampled segment left to carry it
+        # (fresh tmax below one sample period, or a resumed window whose
+        # extended tmax adds only steps past the last gate): the
+        # reference still runs to tmax (SpeedUp.cpp:1247), so advance
+        # and publish the terminal checkpoint at the true c0 = n_md-1
+        tail = n_md - step_done
+        if mesh is None:
+            states, _ = run_compiled_ensemble(cfg_run, states, 0,
+                                              mask=mask, sweep_e0=sweep_e0,
+                                              sweep_om=sweep_om, tail=tail)
+        else:
+            states, _ = run_compiled_sharded(cfg_run, mesh, states, 0,
+                                             mask=mask, sweep_e0=sweep_e0,
+                                             sweep_om=sweep_om, tail=tail)
+        jax.block_until_ready(states)
+        step_done = n_md
+        if job_dirs is not None:
+            st = safe_device_get(states)
+            for j in range(n_jobs):
+                n_j = n_js[j] if n_js is not None else None
+                final_j = jax.tree.map(lambda a: a[j], st)
+                os.makedirs(job_dirs[j], exist_ok=True)
+                write_terminal_checkpoint(
+                    job_dirs[j], job_cfgs[j], final_j, n_md, done,
+                    vholders[j], float(epot0_np[j]), n_actual=n_j)
 
     final_np = safe_device_get(states)
     if not outs_groups:           # resume found nothing left to do

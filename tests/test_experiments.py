@@ -690,6 +690,105 @@ def test_offgrid_tmax_ensemble_chaining(tmp_path):
         np.testing.assert_allclose(np.diff(e[:, 0]), 0.02, rtol=1e-9)
 
 
+def test_ensemble_tail_only_extension(tmp_path):
+    """run_ensemble covers the trailing sub-segment even when no sampled
+    segment is left to fold it into: a resumed window whose extended
+    tmax adds only post-gate steps, and a fresh tmax below one sample
+    period, must both advance to tmax and publish the terminal
+    checkpoint (the reference runs to tmax regardless of sample-grid
+    alignment, SpeedUp.cpp:1247) — run() already did; this pins the
+    ensemble path."""
+    import dataclasses
+    from mdqtplasmasims_tpu.experiments.laser_cooling import run_ensemble
+    cfg1 = CoolingConfig(n0=32, tmax=0.25, sample_freq=10,
+                         use_pallas=False, dtype="float64",
+                         save_directory=str(tmp_path))
+    run_ensemble(cfg1, n_jobs=2, seed=3)
+    dirs = sorted(str(p.parent) for p in tmp_path.rglob("energies.dat"))
+
+    # tmax 0.25 -> 0.258: n_segments stays 12 (the loop body never runs),
+    # only 4 more MD steps past the last gate
+    cfg2 = dataclasses.replace(cfg1, tmax=0.258)
+    final2, outs2 = run_ensemble(cfg2, n_jobs=2, resume=True)
+    assert outs2 is None                     # no new samples — correct
+    assert float(final2.t[0]) == pytest.approx(0.258, rel=1e-9)
+    for d in dirs:
+        assert os.path.exists(os.path.join(d, "checkpoint_000128.npz"))
+        e = np.loadtxt(os.path.join(d, "energies.dat"), ndmin=2)
+        assert e.shape[0] == 12              # no duplicate rows appended
+
+    # fresh run below one sample period: n_segments == 0
+    cfg3 = CoolingConfig(n0=32, tmax=0.01, sample_freq=10,
+                         use_pallas=False, dtype="float64",
+                         save_directory=str(tmp_path / "short"))
+    final3, outs3 = run_ensemble(cfg3, n_jobs=2, seed=3)
+    assert outs3 is None
+    assert float(final3.t[0]) == pytest.approx(0.01, rel=1e-9)
+    d3 = sorted(str(p.parent) for p in
+                (tmp_path / "short").rglob("checkpoint_000004.npz"))
+    assert len(d3) == 2
+
+
+def test_ensemble_uniform_tick_guard():
+    """The fold precondition (one shared tick across members) is enforced
+    at the eager wrapper, before the jit boundary — under jit the guard
+    could never fire (tick is a tracer on trace, and the traced Python
+    body does not re-run on cached calls)."""
+    from mdqtplasmasims_tpu.experiments.laser_cooling import (
+        CoolingConfig, _initial_state_from_key, canonical_run_cfg,
+        run_compiled_ensemble)
+    cfg = canonical_run_cfg(CoolingConfig(n0=16, sample_freq=4,
+                                          use_pallas=False,
+                                          dtype="float64"))
+    keys = jax.random.split(jax.random.PRNGKey(0), 2)
+    states = jax.jit(jax.vmap(
+        lambda k: _initial_state_from_key(cfg, k)))(keys)
+    states = states._replace(
+        tick=jnp.asarray([0, 7], jnp.int32))       # divergent checkpoints
+    with pytest.raises(ValueError, match="uniform tick"):
+        run_compiled_ensemble(cfg, states, 1)
+
+
+def test_ensemble_partial_checkpoint_guards(tmp_path):
+    """Resume refuses to proceed when checkpoints cover only part of the
+    fold: (a) a reference binary advanced only SOME jobs' ASCII
+    checkpoints past the common native point — resuming from the native
+    point would replay the advanced jobs' steps; (b) checkpoints missing
+    for a subset of jobs entirely — restarting the fold from scratch
+    would duplicate every .dat row."""
+    import dataclasses
+    import glob
+    from mdqtplasmasims_tpu.experiments.laser_cooling import run_ensemble
+    from mdqtplasmasims_tpu.io import checkpoint as ckpt
+    cfg1 = CoolingConfig(n0=32, tmax=0.2, sample_freq=10,
+                         use_pallas=False, dtype="float64",
+                         save_directory=str(tmp_path))
+    run_ensemble(cfg1, n_jobs=2, seed=3)
+    dirs = sorted(str(p.parent) for p in tmp_path.rglob("energies.dat"))
+    cfg2 = dataclasses.replace(cfg1, tmax=0.4)
+
+    # (a) fabricate a newer ASCII checkpoint for job 1 only (as if the
+    # binary chained that job alone)
+    c0 = ckpt.latest_ascii_checkpoint(dirs[0])
+    R, V = ckpt.read_conditions(dirs[0], c0)
+    psi = ckpt.read_wvfns(dirs[0], c0)
+    n, counter = ckpt.read_ions(dirs[0], c0)
+    ckpt.write_ions(dirs[0], c0 + 50, n, counter + 5)
+    ckpt.write_conditions(dirs[0], c0 + 50, R, V)
+    ckpt.write_wvfns(dirs[0], c0 + 50, psi)
+    with pytest.raises(ValueError, match="newer than the native"):
+        run_ensemble(cfg2, n_jobs=2, resume=True)
+    for name in ("ions", "conditions", "wvFns"):
+        os.remove(os.path.join(dirs[0], f"{name}_timestep{c0 + 50:06d}.dat"))
+
+    # (b) job 2 loses all its checkpoints (both formats)
+    for p in (glob.glob(os.path.join(dirs[1], "checkpoint_*.npz"))
+              + glob.glob(os.path.join(dirs[1], "*_timestep*.dat"))):
+        os.remove(p)
+    with pytest.raises(ValueError, match="subset of jobs"):
+        run_ensemble(cfg2, n_jobs=2, resume=True)
+
+
 class TestPoissonEnsemble:
     """Per-member Poissonian ion counts inside one fixed-shape fold
     (reference init draws a fresh N per array job, SpeedUp.cpp:289-348;
