@@ -182,3 +182,73 @@ def state_population_profile(job_dir: str, vel_scale: float = 1.0,
                      if (which == i).sum() >= min_count else np.nan
                      for i in range(1, len(bins))])
     return 0.5 * (bins[1:] + bins[:-1]), prof
+
+
+def lccf_spectrum(job_dir: str, timestep: float = 0.002,
+                  max_shell: Optional[int] = None, skip: int = 0):
+    """Longitudinal-current power spectrum and dispersion from the
+    emitted ``J_interval0.dat``.
+
+    The reference computes and stores the Fourier-space ion current
+    J(k, t) on an integer-k grid (``LCCF``/``printJ``,
+    laserCoolingPlusExpansionMDQTSpeedUp.cpp:1040-1092; active call
+    sites in the pre-SpeedUp program,
+    LaserCoolingPlusExpansionMDQT.cpp:1252-1254) and leaves the spectral
+    analysis to the user.  This completes the pipeline: the Hann-windowed
+    FFT power of the longitudinal projection J_L(k,t) = k_hat . J(k,t),
+    shell-averaged over equal integer |k|^2, whose peak frequency per
+    shell is the plasma's longitudinal collective-mode dispersion
+    omega_L(k) (the k -> 0 limit is the plasmon at omega_pl = sqrt(3)
+    omega_E in Einstein-frequency units; screening bends it down at
+    finite k).
+
+    ``timestep`` is the MD step in omega_E^-1 (the file's first column
+    counts MD steps, so the sample spacing is read off the data).
+    Returns a dict with ``k_int2`` [n_shells] integer |k|^2 per shell,
+    ``k`` [n_shells] the integer-k magnitude |n| = L*|k|/(2*pi),
+    ``omega`` [n_freq] the positive angular-frequency grid in omega_E,
+    ``spectrum`` [n_shells, n_freq], and ``omega_peak`` [n_shells]."""
+    rows = read_rows(os.path.join(job_dir, "J_interval0.dat"))
+    steps = rows[:, 0]
+    # the file is written as one fixed-order k-block per sample
+    changes = np.flatnonzero(np.diff(steps) != 0)
+    K = int(changes[0] + 1) if changes.size else rows.shape[0]
+    if rows.shape[0] % K:
+        raise ValueError(f"J_interval0.dat rows {rows.shape[0]} not a "
+                         f"multiple of the k-block size {K}")
+    S = rows.shape[0] // K
+    blocks = rows.reshape(S, K, rows.shape[1])
+    if skip:                       # drop an initial transient (e.g. DIH)
+        blocks = blocks[skip:]
+        S -= skip
+    if S < 8:
+        raise ValueError(f"only {S} samples — too few for a spectrum")
+    kint = blocks[0, :, 1:4]
+    dt = float(np.diff(blocks[:, 0, 0]).mean()) * timestep
+    J = (blocks[:, :, 4:10:2] + 1j * blocks[:, :, 5:10:2])   # [S, K, 3]
+
+    k2 = (kint ** 2).sum(axis=1).astype(int)
+    sel = k2 > 0                                   # k=0 has no k_hat
+    if max_shell is not None:
+        sel &= k2 <= max_shell
+    khat = kint[sel] / np.sqrt(k2[sel])[:, None]
+    JL = np.einsum("ska,ka->sk", J[:, sel], khat)  # [S, K']
+
+    win = np.hanning(S)[:, None]
+    JLw = (JL - JL.mean(axis=0)) * win
+    # J_L(k,t) is complex per k; fold the two-sided spectrum onto
+    # positive omega (statistically symmetric for a stationary current)
+    full = np.abs(np.fft.fft(JLw, axis=0)) ** 2     # [S, K']
+    omega = 2.0 * np.pi * np.fft.rfftfreq(S, d=dt)
+    power = full[:omega.size].copy()
+    pos = np.arange(1, omega.size)
+    neg = S - pos
+    keep = neg != pos                   # even-S Nyquist bin is its own pair
+    power[pos[keep]] += full[neg[keep]]
+
+    shells = np.unique(k2[sel])
+    spec = np.stack([power[:, k2[sel] == s].mean(axis=1) for s in shells])
+    # peak above omega=0 (the DC/hydrodynamic bin is excluded)
+    omega_peak = omega[1 + spec[:, 1:].argmax(axis=1)]
+    return dict(k_int2=shells, k=np.sqrt(shells.astype(float)),
+                omega=omega, spectrum=spec, omega_peak=omega_peak)

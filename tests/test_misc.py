@@ -324,3 +324,119 @@ class TestSweepCLI:
         assert len(fa) == len(fb) == 2
         for x, y in zip(fa, fb):
             np.testing.assert_array_equal(np.loadtxt(x), np.loadtxt(y))
+
+
+class TestQuicklook:
+    def test_plot_run_renders_panels(self, tmp_path):
+        """tools/plot_run.py turns a job directory's .dat tree into a
+        quicklook PNG: the recognized observables become panels and the
+        append-mode restart (two runs in one energies.dat) keeps only
+        the newest run's rows."""
+        import sys
+        from mdqtplasmasims_tpu.experiments.laser_cooling import (
+            CoolingConfig, run)
+        pytest.importorskip("matplotlib")
+        cfg = CoolingConfig(n0=16, tmax=0.04, sample_freq=10,
+                            use_pallas=False, dtype="float64",
+                            vaf_intervals=(0.02,),
+                            save_directory=str(tmp_path))
+        run(cfg, seed=0)
+        d = str(next(tmp_path.rglob("energies.dat")).parent)
+
+        sys.path.insert(0, os.path.join(os.path.dirname(__file__),
+                                        os.pardir, "tools"))
+        try:
+            import plot_run
+        finally:
+            sys.path.pop(0)
+        titles = [t for t, _ in plot_run.collect_panels(d)]
+        assert "Kinetic energies" in titles
+        assert any("Velocity distribution" in t for t in titles)
+        assert any("autocorrelation" in t for t in titles)
+
+        # append a second (restarted) run: quicklook must show only it
+        e1 = np.loadtxt(os.path.join(d, "energies.dat"), ndmin=2)
+        with open(os.path.join(d, "energies.dat"), "a") as f:
+            np.savetxt(f, e1[:1])
+        e2 = plot_run._load(os.path.join(d, "energies.dat"),
+                            time_indexed=True)
+        assert e2.shape[0] == 1
+
+        out = os.path.join(str(tmp_path), "ql.png")
+        old = sys.argv
+        sys.argv = ["plot_run.py", d, "-o", out]
+        try:
+            plot_run.main()
+        finally:
+            sys.argv = old
+        assert os.path.getsize(out) > 10_000
+
+
+class TestLCCFSpectrum:
+    def _write_j(self, d, omegas_by_shell, S=256, lam=3, sf=40,
+                 dt=0.002, noise=0.0, seed=0):
+        """Synthesize J_interval0.dat in the emitted schema: one fixed
+        k-block per sample, J(k,t) = k_hat cos(omega_shell t) (purely
+        longitudinal)."""
+        rng = np.random.default_rng(seed)
+        ks = np.stack(np.meshgrid(*[np.arange(lam)] * 3,
+                                  indexing="ij"), -1).reshape(-1, 3)
+        k2 = (ks ** 2).sum(1)
+        khat = np.where(k2[:, None] > 0,
+                        ks / np.sqrt(np.maximum(k2, 1))[:, None], 0.0)
+        rows = []
+        for s in range(S):
+            t = s * sf * dt
+            amp = np.array([np.cos(omegas_by_shell.get(q, 0.0) * t)
+                            for q in k2])
+            J = khat * amp[:, None] + noise * rng.standard_normal(
+                (ks.shape[0], 3))
+            block = np.zeros((ks.shape[0], 10))
+            block[:, 0] = s * sf
+            block[:, 1:4] = ks
+            block[:, 4:10:2] = J
+            rows.append(block)
+        np.savetxt(os.path.join(d, "J_interval0.dat"),
+                   np.concatenate(rows))
+
+    def test_recovers_per_shell_frequencies(self, tmp_path):
+        """The spectral pipeline recovers each shell's injected
+        longitudinal frequency to within one FFT bin."""
+        from mdqtplasmasims_tpu.analysis import lccf_spectrum
+        om = {1: 1.7, 2: 1.4, 3: 1.1, 4: 0.9, 5: 0.8, 6: 0.7, 8: 0.6,
+              9: 0.5, 12: 0.4}
+        self._write_j(str(tmp_path), om, noise=0.02)
+        out = lccf_spectrum(str(tmp_path))
+        dw = out["omega"][1] - out["omega"][0]
+        assert set(out["k_int2"]) == set(om)
+        for q, pk in zip(out["k_int2"], out["omega_peak"]):
+            assert abs(pk - om[q]) <= dw + 1e-12, (q, pk, om[q])
+
+    def test_transverse_current_is_silent(self, tmp_path):
+        """A purely transverse J leaves the longitudinal spectrum at the
+        noise floor — the k_hat projection really selects the
+        longitudinal mode."""
+        from mdqtplasmasims_tpu.analysis import lccf_spectrum
+        d = str(tmp_path)
+        S, lam, sf, dt = 128, 2, 40, 0.002
+        ks = np.stack(np.meshgrid(*[np.arange(lam)] * 3,
+                                  indexing="ij"), -1).reshape(-1, 3)
+        rows = []
+        for s in range(S):
+            t = s * sf * dt
+            # a vector orthogonal to k for every k (swap-negate trick on
+            # the first two components; k=(0,0,z) handled by (1,0,0))
+            perp = np.stack([-ks[:, 1], ks[:, 0],
+                             np.zeros(len(ks))], -1).astype(float)
+            degen = np.abs(perp).sum(1) == 0
+            perp[degen] = [1.0, 0.0, 0.0]
+            perp /= np.linalg.norm(perp, axis=1, keepdims=True)
+            block = np.zeros((ks.shape[0], 10))
+            block[:, 0] = s * sf
+            block[:, 1:4] = ks
+            block[:, 4:10:2] = perp * np.cos(1.3 * t)
+            rows.append(block)
+        np.savetxt(os.path.join(d, "J_interval0.dat"),
+                   np.concatenate(rows))
+        out = lccf_spectrum(d)
+        assert float(out["spectrum"].max()) < 1e-12
