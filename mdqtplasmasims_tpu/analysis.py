@@ -209,6 +209,13 @@ def lccf_spectrum(job_dir: str, timestep: float = 0.002,
     ``omega`` [n_freq] the positive angular-frequency grid in omega_E,
     ``spectrum`` [n_shells, n_freq], and ``omega_peak`` [n_shells]."""
     rows = read_rows(os.path.join(job_dir, "J_interval0.dat"))
+    # append-mode files can hold several runs (the reference's fopen
+    # "a" convention); the step counter resets at each restart.  Keep
+    # the newest run only — averaging dt across the reset and FFTing a
+    # discontinuous two-trajectory series would be silently wrong.
+    resets = np.flatnonzero(np.diff(rows[:, 0]) < 0)
+    if resets.size:
+        rows = rows[resets[-1] + 1:]
     steps = rows[:, 0]
     # the file is written as one fixed-order k-block per sample
     changes = np.flatnonzero(np.diff(steps) != 0)

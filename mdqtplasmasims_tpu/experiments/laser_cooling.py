@@ -1011,11 +1011,14 @@ def run_ensemble(cfg: CoolingConfig, n_jobs: int, seed: int = 0,
             vholders = [z.get("vholder") for z in zs]
         elif (any(c is not None for c in c0s)
               or any(c is not None for c in c0s_ascii)):
+            n_nat = sum(c is not None for c in c0s)
+            n_asc = sum(c is not None for c in c0s_ascii)
             raise ValueError(
-                "resume=True but checkpoints exist for only a subset of "
-                "jobs; refusing to restart the fold from scratch (it "
-                "would replay covered steps and append duplicate .dat "
-                "rows)")
+                f"resume=True but no single checkpoint format covers "
+                f"every job ({n_nat}/{n_jobs} native, {n_asc}/{n_jobs} "
+                f"ASCII); refusing to restart the fold from scratch (it "
+                f"would replay covered steps and append duplicate .dat "
+                f"rows)")
     if states is None:
         if mesh is not None and not cfg.exact_n:
             from ..parallel.mesh import ION_AXIS
@@ -1140,17 +1143,17 @@ def run_ensemble(cfg: CoolingConfig, n_jobs: int, seed: int = 0,
                                              sweep_om=sweep_om, tail=tail)
         jax.block_until_ready(states)
         step_done = n_md
+        final_np = safe_device_get(states)
         if job_dirs is not None:
-            st = safe_device_get(states)
             for j in range(n_jobs):
                 n_j = n_js[j] if n_js is not None else None
-                final_j = jax.tree.map(lambda a: a[j], st)
+                final_j = jax.tree.map(lambda a: a[j], final_np)
                 os.makedirs(job_dirs[j], exist_ok=True)
                 write_terminal_checkpoint(
                     job_dirs[j], job_cfgs[j], final_j, n_md, done,
                     vholders[j], float(epot0_np[j]), n_actual=n_j)
-
-    final_np = safe_device_get(states)
+    else:
+        final_np = safe_device_get(states)
     if not outs_groups:           # resume found nothing left to do
         return final_np, None
     outs_np = jax.tree.map(lambda *xs: np.concatenate(xs, axis=1),

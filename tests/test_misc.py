@@ -440,3 +440,24 @@ class TestLCCFSpectrum:
                    np.concatenate(rows))
         out = lccf_spectrum(d)
         assert float(out["spectrum"].max()) < 1e-12
+
+    def test_append_mode_restart_uses_newest_run(self, tmp_path):
+        """An append-mode J_interval0.dat holding two runs (the
+        reference's fopen-"a" convention; the step counter resets at the
+        restart) is analyzed from the newest run only — the stale run's
+        different frequency must not leak in, and dt must not be averaged
+        across the reset."""
+        from mdqtplasmasims_tpu.analysis import lccf_spectrum
+        d = str(tmp_path)
+        self._write_j(d, {1: 0.4, 2: 0.4, 3: 0.4}, S=64, lam=2)
+        stale = np.loadtxt(os.path.join(d, "J_interval0.dat"), ndmin=2)
+        self._write_j(d, {1: 1.7, 2: 1.4, 3: 1.1}, S=128, lam=2)
+        fresh = np.loadtxt(os.path.join(d, "J_interval0.dat"), ndmin=2)
+        np.savetxt(os.path.join(d, "J_interval0.dat"),
+                   np.concatenate([stale, fresh]))
+        out = lccf_spectrum(d)
+        om = {1: 1.7, 2: 1.4, 3: 1.1}
+        dw = out["omega"][1] - out["omega"][0]
+        assert out["omega"].size == 1 + 128 // 2  # S from the new run
+        for q, pk in zip(out["k_int2"], out["omega_peak"]):
+            assert abs(pk - om[q]) <= dw + 1e-12, (q, pk, om[q])

@@ -98,16 +98,17 @@ def collect_panels(d: str):
             _style(ax, "t [1/gamma]", "Ekin x")
         panels.append(("Kinetic energy", ekin1))
 
-    vp = (_latest(d, "vel_distX_time*.dat")
-          or _latest(d, "vel_distX_timestep*.dat"))
+    vp = _latest(d, "vel_distX_time*.dat")
     if vp:
         first = sorted(glob.glob(os.path.join(
             d, "vel_distX_time*.dat")))[0]
-        def veldist(ax, vp=vp, first=first):
-            for p, c, lab in ((first, C[2], "first sample"),
-                              (vp, C[0], "last sample")):
+        series = [(vp, C[0], "last sample")]
+        if first != vp:
+            series.insert(0, (first, C[2], "first sample"))
+        def veldist(ax, series=series):
+            for p, c, lab in series:
                 a = _load(p)
-                if a is None or p == vp and p == first and lab[0] == "f":
+                if a is None:
                     continue
                 ax.plot(a[:, 0], a[:, 1], color=c, lw=1.4, label=lab)
             ax.legend(frameon=False, fontsize=8)
@@ -115,9 +116,9 @@ def collect_panels(d: str):
         panels.append(("Velocity distribution (x)", veldist))
 
     sp = _latest(d, "statePopulationsVsVTime*.dat")
-    if sp:
-        def pops(ax, sp=sp):
-            a = _load(sp)
+    spa = _load(sp) if sp else None
+    if spa is not None and spa.shape[1] >= 2:
+        def pops(ax, a=spa):
             o = np.argsort(a[:, 0])
             for k, lab in enumerate(("S", "P", "D")[:a.shape[1] - 1]):
                 ax.plot(a[o, 0], a[o, 1 + k], ".", color=C[k], ms=2,
@@ -157,17 +158,19 @@ def collect_panels(d: str):
             ax.legend(frameon=False, fontsize=8)
             _style(ax, "t [1/omega_E]", "T per axis [1/Gamma]")
         panels.append(("Temperature-anisotropy relaxation", aniso))
-    elif os.path.exists(os.path.join(d, "temperature.dat")):
-        def temp(ax):
-            a = _load(os.path.join(d, "temperature.dat"))
-            ax.plot(np.arange(a.shape[0]), a[:, 0], color=C[0], lw=1.4)
-            _style(ax, "recording sample", "T [1/Gamma]")
-        panels.append(("Temperature", temp))
+    else:
+        tmp = _load(os.path.join(d, "temperature.dat"))
+        if tmp is not None:
+            def temp(ax, a=tmp):
+                ax.plot(np.arange(a.shape[0]), a[:, 0], color=C[0],
+                        lw=1.4)
+                _style(ax, "recording sample", "T [1/Gamma]")
+            panels.append(("Temperature", temp))
 
     gr = _latest(d, "pairPairCorrStepNum*.dat")
-    if gr:
-        def grp(ax, gr=gr):
-            a = _load(gr)
+    gra = _load(gr) if gr else None
+    if gra is not None and gra.shape[1] >= 2:
+        def grp(ax, a=gra):
             ax.plot(a[:, 0], a[:, 1], color=C[0], lw=1.4)
             ax.axhline(1.0, color=MUTED, lw=0.8, ls=":")
             _style(ax, "r [a]", "g(r)")
