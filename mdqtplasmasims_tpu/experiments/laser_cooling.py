@@ -1016,9 +1016,9 @@ def run_ensemble(cfg: CoolingConfig, n_jobs: int, seed: int = 0,
             raise ValueError(
                 f"resume=True but no single checkpoint format covers "
                 f"every job ({n_nat}/{n_jobs} native, {n_asc}/{n_jobs} "
-                f"ASCII); refusing to restart the fold from scratch (it "
-                f"would replay covered steps and append duplicate .dat "
-                f"rows)")
+                f"ASCII): checkpoints exist for only a subset of jobs; "
+                f"refusing to restart the fold from scratch (it would "
+                f"replay covered steps and append duplicate .dat rows)")
     if states is None:
         if mesh is not None and not cfg.exact_n:
             from ..parallel.mesh import ION_AXIS
