@@ -34,9 +34,16 @@ def write_ions(directory: str, c0: int, n: int, counter: int) -> None:
 
 
 def read_ions(directory: str, c0: int):
-    with open(os.path.join(directory, f"ions_timestep{c0:06d}.dat")) as f:
-        n, counter = f.read().split()
-    return int(n), int(counter)
+    path = os.path.join(directory, f"ions_timestep{c0:06d}.dat")
+    with open(path) as f:
+        parts = f.read().split()
+    try:
+        n, counter = parts
+        return int(n), int(counter)
+    except ValueError as e:
+        raise ValueError(
+            f"{path}: expected two integers '<N> <counter>', found "
+            f"{parts!r}") from e
 
 
 def write_conditions(directory: str, c0: int, R: np.ndarray, V: np.ndarray) -> None:
@@ -47,8 +54,17 @@ def write_conditions(directory: str, c0: int, R: np.ndarray, V: np.ndarray) -> N
         f.write(text)
 
 
-def read_conditions(directory: str, c0: int):
-    arr = read_rows(os.path.join(directory, f"conditions_timestep{c0:06d}.dat"))
+def read_conditions(directory: str, c0: int, expect_n: Optional[int] = None):
+    """``expect_n`` (the count from the paired ions_ file) catches the
+    classic half-written-checkpoint defect: conditions_ rows disagreeing
+    with ions_'s N."""
+    path = os.path.join(directory, f"conditions_timestep{c0:06d}.dat")
+    arr = read_rows(path, expect_cols=6)
+    if expect_n is not None and arr.shape[0] != expect_n:
+        raise ValueError(
+            f"{path}: {arr.shape[0]} ion rows but the paired "
+            f"ions_timestep{c0:06d}.dat declares N={expect_n} — "
+            "truncated or mismatched checkpoint")
     return arr[:, :3], arr[:, 3:6]
 
 
@@ -62,8 +78,18 @@ def write_wvfns(directory: str, c0: int, psi: np.ndarray) -> None:
         f.write(text)
 
 
-def read_wvfns(directory: str, c0: int) -> np.ndarray:
-    arr = read_rows(os.path.join(directory, f"wvFns_timestep{c0:06d}.dat"))
+def read_wvfns(directory: str, c0: int,
+               expect_n: Optional[int] = None) -> np.ndarray:
+    path = os.path.join(directory, f"wvFns_timestep{c0:06d}.dat")
+    arr = read_rows(path)
+    if arr.shape[1] % 2:
+        raise ValueError(
+            f"{path}: odd column count {arr.shape[1]} — wavefunction "
+            "rows must be Re/Im pairs")
+    if expect_n is not None and arr.shape[0] != expect_n:
+        raise ValueError(
+            f"{path}: {arr.shape[0]} wavefunction rows for N="
+            f"{expect_n} ions — truncated or mismatched checkpoint")
     return arr[:, 0::2] + 1j * arr[:, 1::2]
 
 
@@ -80,8 +106,20 @@ def write_vzero(directory: str, c0: int, vholder: np.ndarray) -> None:
 def read_vzero(directory: str, c0: int, n_intervals: int) -> np.ndarray:
     out = []
     for k in range(n_intervals):
-        out.append(read_rows(
-            os.path.join(directory, f"VZERO_timestep{c0:06d}_interval{k}.dat")))
+        path = os.path.join(directory,
+                            f"VZERO_timestep{c0:06d}_interval{k}.dat")
+        try:
+            out.append(read_rows(path, expect_cols=3))
+        except FileNotFoundError as e:
+            raise ValueError(
+                f"{path}: missing VZERO snapshot for interval {k} "
+                f"(checkpoint c0={c0} declares {n_intervals} intervals — "
+                "VAF continuation cannot restore Vholder)") from e
+    if len({a.shape[0] for a in out}) > 1:
+        raise ValueError(
+            f"VZERO_timestep{c0:06d}_interval*.dat in {directory}: "
+            f"interval snapshots disagree on ion count "
+            f"({[a.shape[0] for a in out]})")
     return np.stack(out)
 
 
@@ -93,7 +131,19 @@ def write_spinup_list(directory: str, c0: int, spin_up: np.ndarray) -> None:
 
 def read_spinup_list(directory: str, c0: int) -> np.ndarray:
     path = os.path.join(directory, f"spinUpIonsList_timestep{c0:06d}.dat")
-    return np.loadtxt(path, dtype=np.int64).reshape(-1)
+    try:
+        arr = np.loadtxt(path, dtype=np.int64).reshape(-1)
+    except FileNotFoundError:
+        raise
+    except Exception as e:
+        raise ValueError(
+            f"{path}: unreadable spin-up list (want one 0/1 per row): "
+            f"{e}") from e
+    if arr.size and not np.isin(arr, (0, 1)).all():
+        raise ValueError(
+            f"{path}: spin-up list contains values other than 0/1 — "
+            "corrupted tagging checkpoint")
+    return arr
 
 
 # --------------------------------------------------------------- native ----
@@ -121,8 +171,31 @@ def save_native(directory: str, c0: int, *, R, V, psi=None, counter=0,
 
 def load_native(directory: str, c0: int) -> dict:
     path = os.path.join(directory, f"checkpoint_{c0:06d}.npz")
-    with np.load(path) as z:
-        return {k: z[k] for k in z.files}
+    try:
+        with np.load(path) as z:
+            out = {k: z[k] for k in z.files}
+    except FileNotFoundError:
+        raise
+    except Exception as e:
+        # zipfile.BadZipFile / EOFError / pickle errors from a corrupt
+        # or half-written archive — name the file and the defect instead
+        # of surfacing numpy's opaque traceback.  (Half-written files
+        # should not exist at all: save_native publishes atomically via
+        # os.replace — a corrupt archive means external damage.)
+        raise ValueError(
+            f"{path}: corrupt or truncated native checkpoint ({e}); "
+            "delete it to fall back to the newest intact ASCII/native "
+            "checkpoint") from e
+    for k in ("R", "V"):
+        if k not in out:
+            raise ValueError(
+                f"{path}: native checkpoint missing required array "
+                f"'{k}' (found {sorted(out)})")
+    if out["R"].shape != out["V"].shape:
+        raise ValueError(
+            f"{path}: R shape {out['R'].shape} != V shape "
+            f"{out['V'].shape} — corrupt native checkpoint")
+    return out
 
 
 def latest_ascii_checkpoint(directory: str) -> Optional[int]:

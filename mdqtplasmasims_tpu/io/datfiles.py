@@ -39,8 +39,14 @@ def write_rows(path: str, arr: np.ndarray) -> None:
         f.write(format_rows(arr))
 
 
-def read_rows(path: str) -> np.ndarray:
-    """Whitespace-separated float table (fscanf-compatible)."""
+def read_rows(path: str, expect_cols: int | None = None) -> np.ndarray:
+    """Whitespace-separated float table (fscanf-compatible).
+
+    Unlike the reference's ``fscanf`` loops — which silently misparse a
+    truncated or column-mangled file — every defect raises a
+    ``ValueError`` naming the file and the problem (SURVEY §5's
+    failure-detection gap).  ``expect_cols`` additionally pins the
+    column count (checkpoint schemas have fixed widths)."""
     if _native is not None:
         with open(path) as f:
             text = f.read()
@@ -49,9 +55,28 @@ def read_rows(path: str) -> np.ndarray:
         # parse_floats returns a bytearray (mutable), so frombuffer gives
         # a writable array with no extra copy of the float payload
         flat = np.frombuffer(_native.parse_floats(text), np.float64)
-        if ncol and flat.size % ncol == 0:
-            return flat.reshape(-1, ncol)
-    return np.loadtxt(path, ndmin=2)
+        if ncol == 0 or flat.size == 0:
+            raise ValueError(f"{path}: empty or non-numeric table")
+        if flat.size % ncol:
+            raise ValueError(
+                f"{path}: ragged/truncated table — {flat.size} values do "
+                f"not fill rows of {ncol} columns (file cut mid-row or "
+                "mixed column counts)")
+        arr = flat.reshape(-1, ncol)
+    else:
+        try:
+            arr = np.loadtxt(path, ndmin=2)
+        except FileNotFoundError:
+            raise
+        except Exception as e:
+            raise ValueError(f"{path}: unreadable float table ({e})") from e
+        if arr.size == 0:
+            raise ValueError(f"{path}: empty or non-numeric table")
+    if expect_cols is not None and arr.shape[1] != expect_cols:
+        raise ValueError(
+            f"{path}: expected {expect_cols} columns, found "
+            f"{arr.shape[1]} — wrong schema or corrupted rows")
+    return arr
 
 
 class DatWriter:
