@@ -28,6 +28,9 @@ N_MD_TOTAL = 15000                  # tmax=30 at dt=0.002
 def main():
     import jax.numpy as jnp
 
+    from mdqtplasmasims_tpu.util import enable_compilation_cache
+    enable_compilation_cache()
+
     if jax.default_backend() == "cpu":
         # never record a silent CPU-fallback number as a TPU bench
         raise RuntimeError("no TPU backend (cpu fallback)")
@@ -77,9 +80,14 @@ def main():
         # once on the warmup call, then time the jitted inner program
         run_compiled_ensemble(cfg, states, 5)
 
+        # keyword args so a signature change in the private runner fails
+        # loudly instead of passing a wrong positional value; the warmup
+        # wrapper call above stands in for the public uniform-tick guard
+        # this private call bypasses
         def ens_checksum():
-            f, o = _run_compiled_ensemble(cfg, states, 5, None, None,
-                                          None, None, 0)
+            f, o = _run_compiled_ensemble(cfg, states, 5, mask=None,
+                                          sweep_e0=None, sweep_om=None,
+                                          seg_len=None, tail=0)
             return float(jnp.sum(o["ekin"]))
 
         ens_checksum()

@@ -225,13 +225,30 @@ def lccf_spectrum(job_dir: str, timestep: float = 0.002,
                          f"multiple of the k-block size {K}")
     S = rows.shape[0] // K
     blocks = rows.reshape(S, K, rows.shape[1])
+    # restart boundaries that do NOT reset the counter: a resumed run can
+    # replay the checkpointed sample (duplicate step at the splice) or
+    # continue at a different cadence.  Drop exact-duplicate blocks, then
+    # require a uniform step delta — FFTing a mixed-cadence series would
+    # be silently wrong.
+    deltas = np.diff(blocks[:, 0, 0])
+    if np.any(deltas == 0):
+        blocks = blocks[np.concatenate(([True], deltas != 0))]
+        S = blocks.shape[0]
+        deltas = np.diff(blocks[:, 0, 0])
+    if deltas.size and not np.all(deltas == deltas[0]):
+        bad = int(np.flatnonzero(deltas != deltas[0])[0])
+        raise ValueError(
+            f"J_interval0.dat sample cadence changes at sample {bad + 1} "
+            f"(step delta {deltas[bad]:g} vs {deltas[0]:g}) — looks like a "
+            "resumed run with a different sample frequency; analyze the "
+            "segments separately")
     if skip:                       # drop an initial transient (e.g. DIH)
         blocks = blocks[skip:]
         S -= skip
     if S < 8:
         raise ValueError(f"only {S} samples — too few for a spectrum")
     kint = blocks[0, :, 1:4]
-    dt = float(np.diff(blocks[:, 0, 0]).mean()) * timestep
+    dt = float(deltas[0] if deltas.size else 1.0) * timestep
     J = (blocks[:, :, 4:10:2] + 1j * blocks[:, :, 5:10:2])   # [S, K, 3]
 
     k2 = (kint ** 2).sum(axis=1).astype(int)

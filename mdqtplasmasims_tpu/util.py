@@ -62,3 +62,31 @@ def safe_device_get(tree):
         else:
             out.append(jax.device_get(x))
     return jax.tree.unflatten(treedef, out)
+
+
+def enable_compilation_cache() -> str | None:
+    """Wire JAX's persistent compilation cache (opt-out via
+    ``MDQT_NO_COMPILE_CACHE=1``; directory override via
+    ``MDQT_COMPILE_CACHE_DIR``).
+
+    On the axon-tunneled TPU fresh remote compiles dominate real runs
+    (RESULTS.md: a 7 s-device-compute soak spent ~1000 s in compile/
+    fetch stalls), so every entry point (cli, bench, tools) calls this
+    before tracing.  Returns the cache dir, or None when disabled."""
+    import os
+    if os.environ.get("MDQT_NO_COMPILE_CACHE"):
+        return None
+    path = os.environ.get("MDQT_COMPILE_CACHE_DIR") or os.path.join(
+        os.path.expanduser("~"), ".cache", "mdqtplasmasims_tpu",
+        "jax_cache")
+    try:
+        os.makedirs(path, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", path)
+        # cache everything that took noticeable compile time; the
+        # default (1 s floor + 0.9 explain-cache-miss ratio) already
+        # fits, but pin the floor so tiny-but-remote compiles cache too
+        jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                          0.2)
+    except Exception:           # cache is an optimization, never fatal
+        return None
+    return path

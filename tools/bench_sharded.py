@@ -25,6 +25,9 @@ import time
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
+from mdqtplasmasims_tpu.util import enable_compilation_cache
+enable_compilation_cache()
+
 import jax
 
 

@@ -19,6 +19,9 @@ import numpy as np
 
 from mdqtplasmasims_tpu.experiments.laser_cooling import (CoolingConfig,
                                                           run_ensemble)
+from mdqtplasmasims_tpu.util import enable_compilation_cache
+
+enable_compilation_cache()
 
 cfg = CoolingConfig(n0=3500, tmax=30.0, sample_freq=40,
                     checkpoint_every_segments=10)

@@ -22,6 +22,9 @@ import numpy as np
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, ROOT)
 
+from mdqtplasmasims_tpu.util import enable_compilation_cache
+enable_compilation_cache()
+
 from mdqtplasmasims_tpu.experiments.laser_cooling import (   # noqa: E402
     CoolingConfig, build_scheduler, canonical_run_cfg, initial_state)
 from mdqtplasmasims_tpu.units import PlasmaUnits              # noqa: E402

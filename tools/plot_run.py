@@ -72,6 +72,18 @@ def _latest(directory, pattern):
     return max(hits)[1] if hits else None
 
 
+def _earliest(directory, pattern):
+    """First snapshot by the same numeric-counter key as :func:`_latest`
+    (a lexicographic sort would mislabel unpadded/mixed-width counters,
+    e.g. 900 vs 1000)."""
+    hits = []
+    for p in glob.glob(os.path.join(directory, pattern)):
+        m = re.search(r"(\d+)\.dat$", p)
+        if m:
+            hits.append((int(m.group(1)), p))
+    return min(hits)[1] if hits else None
+
+
 def collect_panels(d: str):
     """[(title, plot_fn)] for every recognized observable present."""
     panels = []
@@ -100,8 +112,7 @@ def collect_panels(d: str):
 
     vp = _latest(d, "vel_distX_time*.dat")
     if vp:
-        first = sorted(glob.glob(os.path.join(
-            d, "vel_distX_time*.dat")))[0]
+        first = _earliest(d, "vel_distX_time*.dat")
         series = [(vp, C[0], "last sample")]
         if first != vp:
             series.insert(0, (first, C[2], "first sample"))

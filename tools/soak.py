@@ -31,6 +31,9 @@ import numpy as np
 
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, ROOT)
+
+from mdqtplasmasims_tpu.util import enable_compilation_cache
+enable_compilation_cache()
 ART = os.path.join(ROOT, "artifacts", "soak")
 SUMMARY = os.path.join(ART, "summary.json")
 

@@ -27,6 +27,9 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from mdqtplasmasims_tpu.util import enable_compilation_cache
+enable_compilation_cache()
+
 import jax
 import jax.numpy as jnp
 import numpy as np
