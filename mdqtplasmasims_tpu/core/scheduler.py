@@ -179,16 +179,37 @@ class CoolingScheduler:
             t_part=tpp[0, :n].astype(state.t_part.dtype), key=key,
             tick=tick, t=tick.astype(state.t.dtype) * self.qdt)
 
+    def _tick_spec(self, n_ticks: Optional[int]):
+        """Fused spec for a (possibly partial) tick block.  The kernel's
+        loop length is ``spec.ratio``, so a partial block — the
+        reference's output gate splits one MD step per sample into
+        [1 tick | sample | ratio-1 ticks] — is the same kernel traced at
+        a different static ratio."""
+        if n_ticks is None or n_ticks == self.fused_spec.ratio:
+            return self.fused_spec
+        return dataclasses.replace(self.fused_spec, ratio=n_ticks)
+
     def soa_md_step(self, carry, soa_forces_fn, e0_lanes=None,
-                    om_lanes=None):
+                    om_lanes=None, n_ticks: Optional[int] = None,
+                    reuse_forces: bool = False):
         """One MD step entirely in kernel layout: ``soa_forces_fn`` maps
         Rp [3, Np] -> F [3, Np] (ops.yukawa.yukawa_forces_n3l_soa).
         ``e0_lanes`` [SP, Np] rides to the kernel when the spec uses
-        per-lane diagonal energies (detuning sweeps)."""
+        per-lane diagonal energies (detuning sweeps).
+
+        ``n_ticks`` runs a partial tick block (default: the full ratio)
+        and ``reuse_forces`` continues with the forces already in the
+        carry instead of refreshing — together they split one MD step at
+        the reference's output instant ((c0+1)%sampleFreq==0 &&
+        timeStepCounter==1, SpeedUp.cpp:1365: one quantum tick into the
+        sampling MD step): [forces; 1 tick] -> sample -> [ratio-1 ticks
+        with the same forces]."""
         from .qt_fused import fused_md_substeps
-        Rp, Vp, _, tpp, prep, pimp, key, tick, seed32 = carry
+        spec = self._tick_spec(n_ticks)
+        nt = spec.ratio
+        Rp, Vp, Fc, tpp, prep, pimp, key, tick, seed32 = carry
         npad = Rp.shape[1]
-        Fp = soa_forces_fn(Rp)
+        Fp = Fc if reuse_forces else soa_forces_fn(Rp)
         if self.fused_spec.internal_rng:
             # seed word 1 is segment-constant (drawn in soa_init); the
             # kernel's tick-derived word 2 separates the MD steps
@@ -196,19 +217,17 @@ class CoolingScheduler:
             seed = seed32
         else:
             key, sub = jax.random.split(key)
-            rolls = jax.random.uniform(sub, (self.ratio * 5, npad),
-                                       jnp.float32)
+            rolls = jax.random.uniform(sub, (nt * 5, npad), jnp.float32)
             seed = None
         first = (tick == 0).astype(jnp.float32).reshape(1, 1)
         Rp, Vp, tpp, prep, pimp = fused_md_substeps(
-            self.fused_spec, first, Rp, Vp, Fp, tpp, prep, pimp,
+            spec, first, Rp, Vp, Fp, tpp, prep, pimp,
             rolls=rolls, seed=seed,
             tick0=tick.astype(jnp.float32).reshape(1, 1),
             tick0_i=tick.astype(jnp.int32).reshape(1, 1),
             e0_lanes=e0_lanes, om_lanes=om_lanes, tile=self.tile,
             interpret=self.interpret)
-        return (Rp, Vp, Fp, tpp, prep, pimp, key, tick + self.ratio,
-                seed32)
+        return (Rp, Vp, Fp, tpp, prep, pimp, key, tick + nt, seed32)
 
     def fused_substeps_ensemble(self, states: SimState, F,
                                 e0_lanes=None, om_lanes=None) -> SimState:
@@ -269,7 +288,8 @@ class CoolingScheduler:
 
     def soa_ens_md_step(self, carry, soa_forces_fn,
                         per_member_rolls: bool = False, e0_lanes=None,
-                        om_lanes=None):
+                        om_lanes=None, n_ticks: Optional[int] = None,
+                        reuse_forces: bool = False):
         """One ensemble MD step in folded-plane layout; ``soa_forces_fn``
         maps Rp [3, E*npad] -> F [3, E*npad] (job-batched kernel).
 
@@ -283,10 +303,16 @@ class CoolingScheduler:
         ``e0_lanes`` [SP, E*npad] supplies per-member diagonal energies
         when the spec has ``per_lane_e0`` — a *detuning sweep* folds as
         one kernel launch per MD step, each member block carrying its own
-        (detSP, detDP) point."""
+        (detSP, detDP) point.
+
+        ``n_ticks``/``reuse_forces``: partial tick block / carried
+        forces, as in :meth:`soa_md_step` (the sampling MD step's
+        reference-instant split)."""
         from .qt_fused import fused_md_substeps
-        Rp, Vp, _, tpp, prep, pimp, keys, tick, seed32 = carry
-        Fp = soa_forces_fn(Rp)
+        spec = self._tick_spec(n_ticks)
+        nt = spec.ratio
+        Rp, Vp, Fc, tpp, prep, pimp, keys, tick, seed32 = carry
+        Fp = Fc if reuse_forces else soa_forces_fn(Rp)
         if self.fused_spec.internal_rng:
             # segment-constant word 1 (soa_ens_init); no per-step splits
             new_keys = keys
@@ -300,23 +326,22 @@ class CoolingScheduler:
                 E = keys.shape[0]
                 npad = Rp.shape[1] // E
                 rolls = jax.vmap(lambda k: jax.random.uniform(
-                    k, (self.ratio * 5, npad), jnp.float32))(ks[:, 1])
-                rolls = jnp.swapaxes(rolls, 0, 1).reshape(self.ratio * 5,
+                    k, (nt * 5, npad), jnp.float32))(ks[:, 1])
+                rolls = jnp.swapaxes(rolls, 0, 1).reshape(nt * 5,
                                                           E * npad)
             else:
                 rolls = jax.random.uniform(ks[0, 1],
-                                           (self.ratio * 5, Rp.shape[1]),
+                                           (nt * 5, Rp.shape[1]),
                                            jnp.float32)
         first = (tick[0] == 0).astype(jnp.float32).reshape(1, 1)
         tick0 = tick[0].astype(jnp.float32).reshape(1, 1)
         Rp, Vp, tpp, prep, pimp = fused_md_substeps(
-            self.fused_spec, first, Rp, Vp, Fp, tpp, prep, pimp,
+            spec, first, Rp, Vp, Fp, tpp, prep, pimp,
             rolls=rolls, seed=seed, tick0=tick0,
             tick0_i=tick[0].astype(jnp.int32).reshape(1, 1),
             e0_lanes=e0_lanes, om_lanes=om_lanes, tile=self.tile,
             interpret=self.interpret)
-        return (Rp, Vp, Fp, tpp, prep, pimp, new_keys, tick + self.ratio,
-                seed32)
+        return (Rp, Vp, Fp, tpp, prep, pimp, new_keys, tick + nt, seed32)
 
     def soa_ens_restore(self, carry, states: SimState) -> SimState:
         """Folded planes -> [E,...] SimState batch (template dtypes)."""
@@ -339,16 +364,19 @@ class CoolingScheduler:
             key=keys, tick=tick,
             t=tick.astype(states.t.dtype) * self.qdt)
 
-    def substeps(self, state: SimState, F: jax.Array) -> SimState:
+    def substeps(self, state: SimState, F: jax.Array,
+                 n_ticks: Optional[int] = None) -> SimState:
         """The ratio quantum-substepped ticks with the given (fresh) forces
         — split out so ensemble runners can batch the force kernel across
-        jobs and vmap only this part."""
+        jobs and vmap only this part.  ``n_ticks`` runs a partial block
+        (the sampling MD step's reference-instant split; see
+        :meth:`soa_md_step`)."""
+        nt = self.ratio if n_ticks is None else n_ticks
         F_sm = F.T
         n = state.R.shape[0]
         key, sub = jax.random.split(state.key)
         # one batched RNG draw per MD step (not one per quantum tick)
-        all_rolls = jax.random.uniform(sub, (self.ratio, 5, n),
-                                       state.R.dtype)
+        all_rolls = jax.random.uniform(sub, (nt, 5, n), state.R.dtype)
 
         def tick(c, rolls):
             R, V, psi_sm, tp, tick_i = c

@@ -15,10 +15,13 @@ Phase structure (each phase one jitted device program):
   B: MD to tmax, output block every sample_freq MD steps (aligned to the
      reference's global (c0+1) %% sampleFreq gate).
 
-Granularity note: the reference checks the tag condition every quantum
-tick; we tag at the enclosing MD-step boundary.  The wavefunctions are
-frozen outside the pump window, so the measurement distribution is
-identical; only the Vholder snapshot shifts by < 1 MD step.
+Measurement instant: the reference tags at the first quantum tick with
+t >= tendV0 (randomFrozenStartTag422Linear.cpp:1000-1005).  Between that
+tick and the enclosing MD boundary nothing but t advances (qstep is
+gated off past the window; R/V change only in step()), so measuring at
+the boundary is bit-identical in content — rows carry the reference's
+exact tick timestamps (:func:`tag_tick`, the gate offsets in
+run_phase_b), landing on the identical grid the compiled binary writes.
 """
 
 from __future__ import annotations
@@ -189,6 +192,11 @@ def resume_run(directory: str, c0: int, cfg: FrozenTagConfig):
     Returns (state, spin_up)."""
     R, V = ckpt.read_conditions(directory, c0)
     spin_up = ckpt.read_spinup_list(directory, c0).astype(bool)
+    if spin_up.shape[0] != R.shape[0]:
+        raise ValueError(
+            f"{directory}/spinUpIonsList_timestep{c0:06d}.dat has "
+            f"{spin_up.shape[0]} rows for {R.shape[0]} ions — truncated "
+            "or mismatched checkpoint")
     key = jax.random.PRNGKey(cfg.job * 7919 + c0)
     st = make_state(R, V, jnp.zeros((R.shape[0], cfg.n_states),
                                     jnp.complex64), key, dtype=cfg.np_dtype,
@@ -230,11 +238,19 @@ def measure(cfg: FrozenTagConfig, state: SimState):
 
 
 def _output_block(cfg, state, spin_up, vholder, epot0, L, ldeb, bins,
-                  mask=None):
+                  mask=None, toff: float = 0.0):
     """One post-tag output (reference output() + Zfunc/LongKin).
     ``mask`` marks real ions for padded members: every 1/N normalization
     uses the real count (padded lanes are V=0, psi=0 -> untagged, so
-    they never enter the sums themselves)."""
+    they never enter the sums themselves).
+
+    ``toff`` maps the MD-boundary state time onto the reference's row
+    timestamp.  The reference's post-tag gate fires one quantum tick
+    into the block after MD step l ((c0+1)%sampleFreq==0 &&
+    timeStepCounter==1, randomFrozenStartTag422Linear.cpp:1009), so its
+    row carries t = l*dt + qdt while R/V/psi are bit-for-bit the MD
+    boundary values (post-window ticks only advance t; V changes only in
+    step()) — the label shifts, the physics content does not."""
     ekx, eky, ekz, _ = kinetic_energies(state.V, mask=mask)
     epot = yukawa_potential(state.R, L, ldeb, mask=mask)
     w = spin_up.astype(state.V.dtype)
@@ -242,11 +258,23 @@ def _output_block(cfg, state, spin_up, vholder, epot0, L, ldeb, bins,
     moments = tagged_moments(state.V[:, 0], spin_up)
     vaf = streaming_vaf(state.V[:, 0], vholder, x_only=True, mask=mask)
     long_kin = streaming_long_kin(state.V[:, 0], vholder, mask=mask)
-    return dict(t=state.t,
+    return dict(t=state.t - jnp.asarray(toff, state.t.dtype),
                 energies=jnp.stack([ekx, eky, ekz, epot,
                                     ekx + eky + ekz + epot - epot0]),
                 pvel_x=pvel_x, moments=moments, vaf=vaf, long_kin=long_kin,
                 n_up=jnp.sum(spin_up))
+
+
+def tag_tick(cfg: FrozenTagConfig) -> int:
+    """The reference's measurement instant as a global quantum-tick
+    index: the first tick with t >= tendV0
+    (randomFrozenStartTag422Linear.cpp:1000 — the gate is checked every
+    tick, before that iteration's step()).  Between this tick and the
+    enclosing MD boundary nothing but t advances (qstep is gated off at
+    t >= tendV0 and step() fires only at timeStepCounter==ratio), so
+    measuring at the boundary gives bit-identical R/V/psi; only the row
+    timestamp is this tick's."""
+    return int(np.ceil(cfg.tend / cfg.qdt - 1e-9))
 
 
 @partial(jax.jit, static_argnames=("cfg",))
@@ -259,12 +287,17 @@ def tag_instant_output(cfg: FrozenTagConfig, state: SimState, spin_up,
     call output() there (randomFrozenStartTag408Linear.cpp /
     408Quad.cpp, same block), so energies/moments/vel_dist get a first
     row at the tag instant too.  Since ``vholder`` is the velocity
-    snapshot just taken, the VAF value is the <v^2> normalization row."""
+    snapshot just taken, the VAF value is the <v^2> normalization row.
+    The row timestamp is the reference's exact measurement tick
+    (:func:`tag_tick`); the state content at that tick equals the MD
+    boundary content bit-for-bit (see tag_tick)."""
     pu = PlasmaUnits(cfg.density, cfg.ge)
     L = PlasmaUnits.box_length(cfg.n0)
     bins = centered_bins(cfg.np_dtype)
+    n_md_a = int(np.ceil(cfg.tend / cfg.timestep))
+    toff = n_md_a * cfg.timestep - tag_tick(cfg) * cfg.qdt
     return _output_block(cfg, state, spin_up, vholder, epot0, L,
-                         pu.debye_length, bins, mask=mask)
+                         pu.debye_length, bins, mask=mask, toff=toff)
 
 
 @partial(jax.jit, static_argnames=("cfg", "seg_lengths", "tail"))
@@ -279,6 +312,10 @@ def run_phase_b(cfg: FrozenTagConfig, state: SimState, spin_up, vholder,
     L = PlasmaUnits.box_length(cfg.n0)
     sched = build_scheduler(cfg, mask=mask)
     bins = centered_bins(cfg.np_dtype)
+    # the reference's gate fires one quantum tick into the next block
+    # (t = l*dt + qdt at gate label l); state.t here is (l+1)*dt and the
+    # contents are bit-identical at both instants (see _output_block)
+    toff = cfg.timestep - cfg.qdt
 
     outs = []
     # phase B is entirely past the pump window -> pure-MD steps
@@ -286,7 +323,7 @@ def run_phase_b(cfg: FrozenTagConfig, state: SimState, spin_up, vholder,
     state = jax.lax.fori_loop(0, first,
                               lambda i, s: sched.md_step_pure(s), state)
     out0 = _output_block(cfg, state, spin_up, vholder, epot0, L,
-                         pu.debye_length, bins, mask=mask)
+                         pu.debye_length, bins, mask=mask, toff=toff)
 
     if rest:
         n_rest = len(rest)
@@ -296,7 +333,8 @@ def run_phase_b(cfg: FrozenTagConfig, state: SimState, spin_up, vholder,
             state = jax.lax.fori_loop(
                 0, rest[0], lambda i, s: sched.md_step_pure(s), state)
             return state, _output_block(cfg, state, spin_up, vholder, epot0,
-                                        L, pu.debye_length, bins, mask=mask)
+                                        L, pu.debye_length, bins, mask=mask,
+                                        toff=toff)
 
         state, outs = jax.lax.scan(segment, state, None, length=n_rest)
         # prepend the first (alignment) output
@@ -449,6 +487,11 @@ def _resume_continue(cfg: FrozenTagConfig):
         n = R.shape[0]
         psi = np.zeros((n, cfg.n_states), np.complex64)
         spin_up = ckpt.read_spinup_list(d, c0).astype(bool)
+        if spin_up.shape[0] != n:
+            raise ValueError(
+                f"{d}/spinUpIonsList_timestep{c0:06d}.dat has "
+                f"{spin_up.shape[0]} rows for {n} ions — truncated or "
+                "mismatched member checkpoint")
         vholder = np.zeros(n)
         epot0 = 0.0
         _, counter = ckpt.read_ions(d, c0)
@@ -733,7 +776,11 @@ def write_outputs(directory: str, cfg: FrozenTagConfig, res: dict,
         ac = np.concatenate([[out_tag["vaf"]], outs["vaf"]])
     n_samples = outs["t"].shape[0]
 
-    c0_tag = res["n_md_a"]
+    # c0 at the measurement instant: the reference has completed
+    # n_md_a = ceil(tend/dt) step() calls there and its counter runs one
+    # behind (init sets c0=-1, randomFrozenStartTag422Linear.cpp:302), so
+    # measureSpinUps names the file with c0 = n_md_a - 1 (:617)
+    c0_tag = res["n_md_a"] - 1
     w.write_text(f"spinUpIons_timestep{c0_tag:06d}.dat",
                  str(int(out_tag["n_up"])))
 
@@ -755,7 +802,7 @@ def write_outputs(directory: str, cfg: FrozenTagConfig, res: dict,
     labels = [res["n_md_a"] + first_len - 1 + j * f
               for j in range(n_samples)]
     if full_tag_row:
-        labels = [res["n_md_a"]] + labels[:-1]
+        labels = [c0_tag] + labels[:-1]
     for k in range(n_samples):
         w.write(f"vel_distX_timestep{labels[k]:06d}.dat",
                 np.stack([bins, outs["pvel_x"][k]], -1))

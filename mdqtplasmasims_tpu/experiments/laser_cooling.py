@@ -13,11 +13,13 @@ velocity distributions, S/P/D populations-vs-velocity) are computed on
 device and stacked; the host fetches once at the end and writes the
 reference-compatible .dat files.
 
-Output cadence note: the reference emits sample k one quantum tick into MD
-step ``40k + 39`` (its ``(c0+1)%sampleFreq==0 && timeStepCounter==1`` gate);
-we emit at the completion of MD step ``40(k+1)`` — a fixed offset of one MD
-step minus one tick (0.00192 omega_E^-1), physically negligible and
-documented here for cross-validation.
+Output cadence: samples are emitted at the reference's exact instant —
+one quantum tick into the sampling MD step (the
+``(c0+1)%sampleFreq==0 && timeStepCounter==1`` gate, SpeedUp.cpp:
+1365-1368) — by splitting that MD step's tick block at trace time into
+[forces; 1 tick] -> sample -> [ratio-1 ticks, same forces].  Sample k
+lands at t = ((k*sampleFreq-1)*ratio+1)*qdt, the identical grid the
+compiled binary writes (no timestamp offset across resume splices).
 """
 
 from __future__ import annotations
@@ -232,36 +234,73 @@ def _sample_outputs(state: SimState, cfg: CoolingConfig, L, ldeb, bins,
 
 
 def _make_advance(sched, L, ldeb):
-    """``advance(state, n_steps)`` closure shared by :func:`run_compiled`
-    and :func:`run_compiled_span` (single source for the stepping logic,
-    so the off-grid span path cannot diverge from the segment path).
+    """``(advance, advance_sampled)`` closures shared by
+    :func:`run_compiled` and :func:`run_compiled_span` (single source for
+    the stepping logic, so the off-grid span path cannot diverge from the
+    segment path).
+
+    ``advance(state, n_steps)`` runs whole MD steps;
+    ``advance_sampled(state, n_steps) -> (state_mid, state_end)``
+    additionally splits the LAST MD step at the reference's output
+    instant — the (c0+1)%sampleFreq==0 && timeStepCounter==1 gate fires
+    one quantum tick into the sampling MD step
+    (SpeedUp.cpp:1365-1368) — so ``state_mid`` is the exact state the
+    reference's output() sees (t = ((k*f-1)*ratio+1)*qdt) and
+    ``state_end`` completes the step with the same forces.
 
     Fused path: SoA-resident stepping — stay in the fused kernel's
     [rows, Np] layout for all ``n_steps`` MD steps; convert to SimState
-    only at the boundary (scheduler.py soa_* helpers).  The mask is
+    only at the boundaries (scheduler.py soa_* helpers).  The mask is
     built from the *actual* ion count (which differs from cfg.n0 when
     exact_n=False draws a Poissonian N), not from cfg.n0."""
     if sched.fused_spec is not None:
         from ..ops.yukawa import yukawa_forces_n3l_soa
 
-        def advance(state, n_steps):
+        def make_soa_forces(state):
             n_actual = state.R.shape[0]
             npad = sched._npad(n_actual)
             mask_row = jnp.zeros((1, npad),
                                  jnp.float32).at[0, :n_actual].set(1.0)
             # tile=None -> largest width dividing npad (npad follows the
             # QT tile, e.g. 896 at n=600, which 512 does not divide)
-            soa_forces = lambda Rp: yukawa_forces_n3l_soa(
+            return lambda Rp: yukawa_forces_n3l_soa(
                 Rp, mask_row, L, ldeb, interpret=sched.interpret)
+
+        def advance(state, n_steps):
+            soa_forces = make_soa_forces(state)
             carry = jax.lax.fori_loop(
                 0, n_steps, lambda i, c: sched.soa_md_step(c, soa_forces),
                 sched.soa_init(state, state.F))
             return sched.soa_restore(carry, state)
+
+        def advance_sampled(state, n_steps):
+            soa_forces = make_soa_forces(state)
+            carry = jax.lax.fori_loop(
+                0, n_steps - 1,
+                lambda i, c: sched.soa_md_step(c, soa_forces),
+                sched.soa_init(state, state.F))
+            carry = sched.soa_md_step(carry, soa_forces, n_ticks=1)
+            state_mid = sched.soa_restore(carry, state)
+            if sched.ratio > 1:
+                carry = sched.soa_md_step(carry, soa_forces,
+                                          n_ticks=sched.ratio - 1,
+                                          reuse_forces=True)
+            return state_mid, sched.soa_restore(carry, state)
     else:
         def advance(state, n_steps):
             return jax.lax.fori_loop(
                 0, n_steps, lambda i, s: sched.md_step(s), state)
-    return advance
+
+        def advance_sampled(state, n_steps):
+            state = jax.lax.fori_loop(
+                0, n_steps - 1, lambda i, s: sched.md_step(s), state)
+            F, _ = sched.forces_fn(state.R)
+            state_mid = sched.substeps(state, F, n_ticks=1)
+            state_end = (sched.substeps(state_mid, F,
+                                        n_ticks=sched.ratio - 1)
+                         if sched.ratio > 1 else state_mid)
+            return state_mid, state_end
+    return advance, advance_sampled
 
 
 @partial(jax.jit, static_argnames=("cfg", "n_segments"))
@@ -274,11 +313,14 @@ def run_compiled(cfg: CoolingConfig, state: SimState, n_segments: int):
     L = PlasmaUnits.box_length(cfg.n0)
     sched = build_scheduler(cfg)
     bins = folded_bins(cfg.np_dtype)
-    advance = _make_advance(sched, L, pu.debye_length)
+    _, advance_sampled = _make_advance(sched, L, pu.debye_length)
 
     def segment(state, _):
-        state = advance(state, cfg.sample_freq)
-        return state, _sample_outputs(state, cfg, L, pu.debye_length, bins)
+        # sample exactly at the reference's output instant: one quantum
+        # tick into the segment's last MD step (SpeedUp.cpp:1365-1368)
+        state_mid, state = advance_sampled(state, cfg.sample_freq)
+        return state, _sample_outputs(state_mid, cfg, L, pu.debye_length,
+                                      bins)
 
     return jax.lax.scan(segment, state, None, length=n_segments)
 
@@ -287,7 +329,8 @@ def run_compiled(cfg: CoolingConfig, state: SimState, n_segments: int):
 def run_compiled_span(cfg: CoolingConfig, state: SimState, n_steps: int,
                       sample: bool = True):
     """A partial segment off the sample grid: advance ``n_steps`` MD
-    steps, optionally taking one output sample at the end.
+    steps, optionally taking one output sample at the reference instant
+    (one quantum tick into the final MD step — see _make_advance).
 
     The reference main loop runs to tmax regardless of sample-grid
     alignment (while t <= tmax+0.0009, SpeedUp.cpp:1247) and its output
@@ -299,11 +342,12 @@ def run_compiled_span(cfg: CoolingConfig, state: SimState, n_steps: int,
     pu = PlasmaUnits(cfg.density, cfg.ge)
     L = PlasmaUnits.box_length(cfg.n0)
     sched = build_scheduler(cfg)
-    state = _make_advance(sched, L, pu.debye_length)(state, n_steps)
+    advance, advance_sampled = _make_advance(sched, L, pu.debye_length)
     if not sample:
-        return state, None
+        return advance(state, n_steps), None
+    state_mid, state = advance_sampled(state, n_steps)
     bins = folded_bins(cfg.np_dtype)
-    outs = _sample_outputs(state, cfg, L, pu.debye_length, bins)
+    outs = _sample_outputs(state_mid, cfg, L, pu.debye_length, bins)
     # leading sample axis of length 1, matching run_compiled's stack
     return state, jax.tree.map(lambda a: jnp.asarray(a)[None], outs)
 
@@ -447,6 +491,25 @@ def _run_compiled_ensemble(cfg: CoolingConfig, states: SimState,
                                                    om_lanes=omp),
                 sched.soa_ens_init(states, states.F))
             return sched.soa_ens_restore(carry, states)
+
+        def advance_sampled(states, n_steps):
+            # split the last MD step at the reference's output instant
+            # (SpeedUp.cpp:1365-1368; see _make_advance)
+            carry = jax.lax.fori_loop(
+                0, n_steps - 1,
+                lambda i, c: sched.soa_ens_md_step(c, soa_forces,
+                                                   e0_lanes=e0p,
+                                                   om_lanes=omp),
+                sched.soa_ens_init(states, states.F))
+            carry = sched.soa_ens_md_step(carry, soa_forces, e0_lanes=e0p,
+                                          om_lanes=omp, n_ticks=1)
+            states_mid = sched.soa_ens_restore(carry, states)
+            if sched.ratio > 1:
+                carry = sched.soa_ens_md_step(carry, soa_forces,
+                                              e0_lanes=e0p, om_lanes=omp,
+                                              n_ticks=sched.ratio - 1,
+                                              reuse_forces=True)
+            return states_mid, sched.soa_ens_restore(carry, states)
     else:
         def md_step(states):
             F = batched_forces(states.R)
@@ -456,9 +519,21 @@ def _run_compiled_ensemble(cfg: CoolingConfig, states: SimState,
             return jax.lax.fori_loop(0, n_steps,
                                      lambda i, s: md_step(s), states)
 
+        def advance_sampled(states, n_steps):
+            states = jax.lax.fori_loop(0, n_steps - 1,
+                                       lambda i, s: md_step(s), states)
+            F = batched_forces(states.R)
+            states_mid = jax.vmap(
+                lambda s, f: sched.substeps(s, f, n_ticks=1))(states, F)
+            states_end = (jax.vmap(lambda s, f: sched.substeps(
+                s, f, n_ticks=sched.ratio - 1))(states_mid, F)
+                if sched.ratio > 1 else states_mid)
+            return states_mid, states_end
+
     def segment(states, _):
-        states = advance(states, seg_len or cfg.sample_freq)
-        return states, sample(states)
+        states_mid, states = advance_sampled(states,
+                                             seg_len or cfg.sample_freq)
+        return states, sample(states_mid)
 
     states, outs = jax.lax.scan(segment, states, None, length=n_segments)
     if tail:
@@ -471,7 +546,7 @@ def _run_compiled_ensemble(cfg: CoolingConfig, states: SimState,
 def run_compiled_sharded(cfg: CoolingConfig, mesh, states: SimState,
                          n_segments: int, mask=None, sweep_e0=None,
                          sweep_om=None, seg_len: Optional[int] = None,
-                         tail: int = 0):
+                         tail: int = 0, ion_forces: str = "gather"):
     """Multi-chip ensemble run on the *production* kernels: trajectories
     are sharded over the mesh's ``ens`` axis (ions optionally over
     ``ions``), and each device advances its local members through the
@@ -489,15 +564,17 @@ def run_compiled_sharded(cfg: CoolingConfig, mesh, states: SimState,
     # run_compiled_ensemble
     check_uniform_tick(states.tick)
     return _run_compiled_sharded(cfg, mesh, states, n_segments, mask,
-                                 sweep_e0, sweep_om, seg_len, tail)
+                                 sweep_e0, sweep_om, seg_len, tail,
+                                 ion_forces)
 
 
 @partial(jax.jit,
-         static_argnames=("cfg", "n_segments", "mesh", "seg_len", "tail"))
+         static_argnames=("cfg", "n_segments", "mesh", "seg_len", "tail",
+                          "ion_forces"))
 def _run_compiled_sharded(cfg: CoolingConfig, mesh, states: SimState,
                           n_segments: int, mask=None, sweep_e0=None,
                           sweep_om=None, seg_len: Optional[int] = None,
-                          tail: int = 0):
+                          tail: int = 0, ion_forces: str = "gather"):
     from ..parallel.ensemble import fused_local_stepper
     from ..parallel.mesh import ION_AXIS, state_pspec
     from jax import shard_map
@@ -522,7 +599,8 @@ def _run_compiled_sharded(cfg: CoolingConfig, mesh, states: SimState,
     from ..parallel.mesh import ENS_AXIS
     from jax.sharding import PartitionSpec as P
     local = fused_local_stepper(sched, pu.debye_length,
-                                mesh.shape[ION_AXIS])
+                                mesh.shape[ION_AXIS],
+                                ion_forces=ion_forces)
     # optional operands (Poisson mask, sweep energies) enter shard_map as
     # keyword-bound positionals so every combination shares one wrapper
     in_specs = [spec]
@@ -539,24 +617,28 @@ def _run_compiled_sharded(cfg: CoolingConfig, mesh, states: SimState,
 
     def local_seg(s, *opt):
         kw = dict(zip(names, opt))
-        return local(s, seg_len or cfg.sample_freq, **kw)
+        # split the segment's last MD step at the reference's output
+        # instant (SpeedUp.cpp:1365-1368): the sampler below sees the
+        # mid state, the scan carries the completed step
+        return local(s, seg_len or cfg.sample_freq, split_last=True,
+                     **kw)
 
     # check_vma=False: Pallas kernels inside shard_map lack varying-axes
     # metadata (see parallel/ensemble.py make_sharded_fused_step)
     seg = shard_map(local_seg, mesh=mesh, in_specs=tuple(in_specs),
-                    out_specs=spec, check_vma=False)
+                    out_specs=(spec, spec), check_vma=False)
     opt_args = tuple(a for a in (mask, sweep_e0, sweep_om)
                      if a is not None)
 
     def segment(states, _):
-        states = seg(states, *opt_args)
+        states_mid, states = seg(states, *opt_args)
         if mask is None:
             outs = jax.vmap(lambda s: _sample_outputs(
-                s, cfg, L, pu.debye_length, bins))(states)
+                s, cfg, L, pu.debye_length, bins))(states_mid)
         else:
             outs = jax.vmap(lambda s, m: _sample_outputs(
                 s, cfg, L, pu.debye_length, bins,
-                mask=m.astype(cfg.np_dtype)))(states, mask)
+                mask=m.astype(cfg.np_dtype)))(states_mid, mask)
         return states, outs
 
     states, outs = jax.lax.scan(segment, states, None, length=n_segments)
@@ -823,7 +905,8 @@ def _stack_fold(members, n_js, n_arr: int):
 
 
 def run_ensemble(cfg: CoolingConfig, n_jobs: int, seed: int = 0,
-                 resume: bool = False, mesh=None, sweep=None):
+                 resume: bool = False, mesh=None, sweep=None,
+                 ion_forces: str = "gather"):
     """Batched ensemble of independent trajectories — the TPU-native
     replacement for the reference's SLURM job array
     (exampleSlurmFile.slurm).  Returns per-job stacked outputs; with
@@ -848,7 +931,11 @@ def run_ensemble(cfg: CoolingConfig, n_jobs: int, seed: int = 0,
     through the same fused Pallas kernels a single chip runs
     (run_compiled_sharded; 318M agg updates/s per chip, RESULTS.md).
     Host-side file output, checkpointing and resume are identical —
-    resume a mesh run with the same mesh.
+    resume a mesh run with the same mesh.  ``ion_forces`` picks the
+    cross-shard force schedule when ions are sharded: ``"gather"``
+    (all_gather + full-tile) or ``"ring_n3l"`` (each unordered pair
+    once, reactions ppermuted home — docs/ROOFLINE.md round-4
+    addendum).
 
     ``sweep`` makes the members a *parameter sweep* instead of replicas:
     a length-``n_jobs`` sequence of per-member overrides (dicts with keys
@@ -939,6 +1026,13 @@ def run_ensemble(cfg: CoolingConfig, n_jobs: int, seed: int = 0,
             step_done = c0 + 1
             hosts = [(ckpt.read_conditions(d, c0)
                       + (ckpt.read_wvfns(d, c0),)) for d in job_dirs]
+            for d, (R_h, _, psi_h) in zip(job_dirs, hosts):
+                if psi_h.shape[0] != R_h.shape[0]:
+                    raise ValueError(
+                        f"{d}: wvFns_timestep{c0:06d}.dat has "
+                        f"{psi_h.shape[0]} rows for "
+                        f"{R_h.shape[0]} ions — truncated or "
+                        "mismatched member checkpoint")
             n_arr = _mesh_ion_round(max(int(R.shape[0])
                                         for R, _, _ in hosts), mesh)
 
@@ -1093,7 +1187,8 @@ def run_ensemble(cfg: CoolingConfig, n_jobs: int, seed: int = 0,
                                                 sweep_e0=sweep_e0,
                                                 sweep_om=sweep_om,
                                                 seg_len=seg_len,
-                                                tail=tail)
+                                                tail=tail,
+                                                ion_forces=ion_forces)
         jax.block_until_ready(states)
         outs_np = safe_device_get(outs)
         outs_groups.append(outs_np)
@@ -1140,7 +1235,8 @@ def run_ensemble(cfg: CoolingConfig, n_jobs: int, seed: int = 0,
         else:
             states, _ = run_compiled_sharded(cfg_run, mesh, states, 0,
                                              mask=mask, sweep_e0=sweep_e0,
-                                             sweep_om=sweep_om, tail=tail)
+                                             sweep_om=sweep_om, tail=tail,
+                                             ion_forces=ion_forces)
         jax.block_until_ready(states)
         step_done = n_md
         final_np = safe_device_get(states)
@@ -1431,9 +1527,17 @@ def resume_vholder(directory: str, c0: int,
 
 
 def resume_state(directory: str, c0: int, cfg: CoolingConfig) -> SimState:
-    """Reference-compatible restart (readConditions, SpeedUp.cpp:785-916)."""
-    R, V = ckpt.read_conditions(directory, c0)
-    psi = ckpt.read_wvfns(directory, c0)
+    """Reference-compatible restart (readConditions, SpeedUp.cpp:785-916).
+    The ions_ N pins the conditions_/wvFns_ row counts — a truncated or
+    mismatched file raises a ValueError naming the file, where the
+    reference's fscanf would silently misparse."""
+    n_exp = None
+    try:
+        n_exp, _ = ckpt.read_ions(directory, c0)
+    except FileNotFoundError:
+        pass
+    R, V = ckpt.read_conditions(directory, c0, expect_n=n_exp)
+    psi = ckpt.read_wvfns(directory, c0, expect_n=R.shape[0])
     key = jax.random.PRNGKey(cfg.job * 7919 + c0)
     st = make_state(R, V, psi, key, dtype=cfg.np_dtype,
                     t=ckpt.restore_time(c0, cfg.timestep))

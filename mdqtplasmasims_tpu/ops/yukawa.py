@@ -613,6 +613,106 @@ def yukawa_forces_soa_cols_batched(Rp: jax.Array, cols: jax.Array,
     return jnp.swapaxes(F, 0, 1).reshape(3, e * npad)
 
 
+def _yukawa_cross_n3l_kernel_batched(xl_ref, ys_ref, f_ref, g_ref, *, L,
+                                     ldeb, rcut2):
+    """Cross-block half-pair kernel: rows and columns are DIFFERENT ion
+    blocks (two shards of one member's ion axis), so every (row, col)
+    pair is unordered-unique and both sides are paid for at once — row
+    sums into ``f_ref``, *negated* column (reaction) sums into the
+    per-step buffer ``g_ref``, reduced over the row-tile axis outside.
+    This is the kernel under the cross-shard N3L ring schedule
+    (parallel/ensemble.ring_n3l_fused_forces), which evaluates each
+    cross-shard tile pair once where the gather path's full-tile kernel
+    (``_yukawa_kernel_rows_cols_batched``) pays both ordered halves."""
+    j = pl.program_id(2)
+
+    @pl.when(j == 0)
+    def _():
+        f_ref[...] = jnp.zeros_like(f_ref)
+
+    fx, fy, fz, gx, gy, gz = _half_pair_tile(
+        xl_ref[0], ys_ref[0], L=L, ldeb=ldeb, rcut2=rcut2, reaction=True)
+    f_ref[0, 0, :] += fx
+    f_ref[0, 1, :] += fy
+    f_ref[0, 2, :] += fz
+    g_ref[0, 0, :, 0] = -gx
+    g_ref[0, 0, :, 1] = -gy
+    g_ref[0, 0, :, 2] = -gz
+
+
+@functools.partial(jax.jit, static_argnames=("L", "ldeb", "tile",
+                                             "interpret"))
+def _yukawa_cross_n3l_batched(Rl4: jax.Array, Rs: jax.Array, *, L: float,
+                              ldeb: float, tile: int,
+                              interpret: bool = False):
+    e, _, npr = Rl4.shape
+    npc = Rs.shape[1]
+    nti, ntj = npr // tile, npc // tile
+    kern = functools.partial(_yukawa_cross_n3l_kernel_batched, L=L,
+                             ldeb=ldeb, rcut2=(L / 2.0) ** 2)
+    f, g = pl.pallas_call(
+        kern,
+        grid=(e, nti, ntj),
+        in_specs=[
+            pl.BlockSpec((1, 4, tile), lambda b, i, j: (b, 0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile, 8), lambda b, i, j: (b, j, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, 3, tile), lambda b, i, j: (b, 0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, tile, 8),
+                         lambda b, i, j: (b, i * ntj + j, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((e, 3, npr), Rl4.dtype),
+            jax.ShapeDtypeStruct((e, nti * ntj, tile, 8), Rl4.dtype),
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary")),
+        interpret=interpret,
+    )(Rl4, Rs)
+    # reduce the per-step reaction rows over the row-tile axis (the grid
+    # is a full rectangle, so this is a reshape+sum — no scatter)
+    gc = g.reshape(e, nti, ntj, tile, 8).sum(axis=1)
+    return f, gc.reshape(e, npc, 8)[:, :, :3]
+
+
+def yukawa_forces_cross_n3l_soa_batched(Rp: jax.Array, mask_row: jax.Array,
+                                        cols: jax.Array, col_mask: jax.Array,
+                                        e: int, L: float, ldeb: float,
+                                        tile: Optional[int] = None,
+                                        interpret: bool = False):
+    """Half-pair forces between a folded row block and an explicit column
+    block: ``Rp [3, E*npad]`` local rows (job blocks contiguous),
+    ``mask_row`` ``[1, npad]``/``[E, npad]``, ``cols [E, npc, 3]`` +
+    ``col_mask [E, npc]`` the visiting block (another ion shard of the
+    same members, circulated by the ring schedule).  Each (row, col)
+    pair is evaluated ONCE; returns ``(F [3, E*npad], G [E, npc, 3])``
+    where G is the Newton's-third-law reaction on the column particles
+    (to be shipped back to their owner shard).  Padded/masked lanes on
+    either side contribute nothing (mask factors in the tile math)."""
+    npad = Rp.shape[1] // e
+    npc = cols.shape[1]
+    if tile is None:
+        tile = soa_force_tile(min(npad, npc))
+    if npad % tile or npc % tile:
+        raise ValueError(f"force tile {tile} must divide npad {npad} and "
+                         f"npc {npc}")
+    R3 = jnp.swapaxes(Rp.reshape(3, e, npad), 0, 1)       # [E, 3, npad]
+    m = (jnp.broadcast_to(mask_row[None], (e, 1, npad))
+         if mask_row.shape[0] == 1 else mask_row[:, None, :])
+    Rl4 = jnp.concatenate([R3, m.astype(Rp.dtype)], axis=1)
+    Rs = jnp.zeros((e, npc, 8), Rp.dtype).at[:, :, :3].set(cols)
+    Rs = Rs.at[:, :, 3].set(col_mask.astype(Rp.dtype))
+    F, G = _yukawa_cross_n3l_batched(Rl4, Rs, L=float(L),
+                                     ldeb=float(ldeb), tile=tile,
+                                     interpret=interpret)
+    return jnp.swapaxes(F, 0, 1).reshape(3, e * npad), G
+
+
 def yukawa_forces_n3l_pallas_batched(R: jax.Array, L: float, ldeb: float,
                                      tile: int = 512,
                                      interpret: bool = False) -> jax.Array:

@@ -102,8 +102,76 @@ def make_sharded_md_step(scheduler_factory: Callable[[Callable], "CoolingSchedul
     return jax.jit(step)
 
 
+def ring_n3l_fused_forces(sched: "CoolingScheduler", ldeb: float,
+                          e_loc: int, npad: int, mrows: jax.Array,
+                          axis: str = ION_AXIS):
+    """Cross-shard Newton's-third-law force schedule for the ion-sharded
+    fused path: each unordered tile pair is evaluated ONCE and the
+    reaction rows ride the ring back to their owner shard — where the
+    gather path (yukawa_forces_soa_cols_batched against an all_gather of
+    the global positions) pays both ordered halves of every cross-shard
+    pair (~2x the pair math at large shard counts).
+
+    Schedule (the classic half-ring force decomposition): shard m's own
+    block pairs run the triangle-enumerated half-pair kernel locally; a
+    (positions, mask, reaction-accumulator) buffer then circulates the
+    ring via ``ppermute``.  At hop s, shard m holds the block of shard
+    (m - s) mod I and computes the cross tile once with
+    ``yukawa_forces_cross_n3l_soa_batched`` — for hops s <= (I-1)//2
+    always, at the antipodal hop of an even ring (s = I/2) only on the
+    lower-index shard of each pair (SPMD computes the tile on both and
+    masks one — one redundant tile out of I(I+1)/2).  Skipped later hops
+    still permute, carrying each accumulator the full I hops home, where
+    its reaction rows join the local forces.
+
+    Pair-math per shard: (I+1)/2 block tiles (one of them half) vs the
+    gather path's I full tiles — the crossover analysis and the measured
+    virtual-mesh A/B live in docs/ROOFLINE.md.  Returns ``soa_forces``
+    mapping ``Rp [3, E_loc*npad] -> F [3, E_loc*npad]`` (row-masked, as
+    the fused loop requires)."""
+    from ..ops.yukawa import (yukawa_forces_cross_n3l_soa_batched,
+                              yukawa_forces_n3l_soa_batched)
+
+    def soa_forces(Rp):
+        k = jax.lax.axis_size(axis)
+        me = jax.lax.axis_index(axis)
+        perm = [(i, (i + 1) % k) for i in range(k)]
+        F = yukawa_forces_n3l_soa_batched(Rp, mrows, e_loc, sched.L,
+                                          ldeb, interpret=sched.interpret)
+        cm = (jnp.broadcast_to(mrows, (e_loc, npad))
+              if mrows.shape[0] == 1 else mrows)
+        row_mask = cm.reshape(1, e_loc * npad)
+        if k == 1:
+            return F * row_mask
+        buf_R = jnp.swapaxes(Rp.reshape(3, e_loc, npad), 0, 2)
+        buf_R = jnp.swapaxes(buf_R, 0, 1)                # [E, npad, 3]
+        buf_m = cm
+        buf_G = jnp.zeros_like(buf_R)
+        for s in range(1, k):
+            buf_R, buf_m, buf_G = jax.lax.ppermute(
+                (buf_R, buf_m, buf_G), axis, perm)
+            if s > k // 2:
+                continue                 # carry the accumulator home
+            Fc, G = yukawa_forces_cross_n3l_soa_batched(
+                Rp, mrows, buf_R, buf_m, e_loc, sched.L, ldeb,
+                interpret=sched.interpret)
+            if k % 2 == 0 and s == k // 2:
+                owner = (me - s) % k     # antipodal: compute once/pair
+                w = (me < owner).astype(Fc.dtype)
+                Fc, G = Fc * w, G * w
+            F = F + Fc
+            buf_G = buf_G + G
+        # one more hop completes the ring: each accumulator returns to
+        # the shard that owns its block
+        _, _, buf_G = jax.lax.ppermute((buf_R, buf_m, buf_G), axis, perm)
+        F = F + jnp.swapaxes(jnp.swapaxes(buf_G, 0, 1), 0, 2).reshape(
+            3, e_loc * npad)
+        return F * row_mask
+    return soa_forces
+
+
 def fused_local_stepper(sched: "CoolingScheduler", ldeb: float,
-                        n_ion_shards: int):
+                        n_ion_shards: int, ion_forces: str = "gather"):
     """Local (per-device) fused production stepper for shard_map.
 
     Returns ``local_run(states, n_steps)`` advancing a local ensemble
@@ -128,13 +196,20 @@ def fused_local_stepper(sched: "CoolingScheduler", ldeb: float,
     row-masked forces on every path and source masking via the kernels'
     mask columns.  ``sweep_e0 [E_loc, S]`` gives each local member its
     own diagonal energies (detuning sweep; requires a spec with
-    ``per_lane_e0``)."""
+    ``per_lane_e0``).
+
+    ``split_last=True`` splits the LAST MD step at the reference's
+    output instant — one quantum tick in
+    (laserCoolingPlusExpansionMDQTSpeedUp.cpp:1365-1368) — and returns
+    ``(states_mid, states_end)`` so the sharded sampler sees the exact
+    state the reference's output() sees."""
     from ..ops.yukawa import (yukawa_forces_n3l_soa,
                               yukawa_forces_n3l_soa_batched,
                               yukawa_forces_soa_cols_batched)
+    assert ion_forces in ("gather", "ring_n3l"), ion_forces
 
     def local_run(states: SimState, n_steps: int, mask=None,
-                  sweep_e0=None, sweep_om=None) -> SimState:
+                  sweep_e0=None, sweep_om=None, split_last: bool = False):
         E_loc, n_loc = states.R.shape[0], states.R.shape[1]
         npad = sched._npad(n_loc)
         if mask is None:
@@ -156,6 +231,9 @@ def fused_local_stepper(sched: "CoolingScheduler", ldeb: float,
                 soa_forces = lambda Rp: yukawa_forces_n3l_soa_batched(
                     Rp, mrows, E_loc, sched.L, ldeb,
                     interpret=sched.interpret)
+        elif ion_forces == "ring_n3l":
+            soa_forces = ring_n3l_fused_forces(sched, ldeb, E_loc, npad,
+                                               mrows)
         else:
             cm = (jnp.broadcast_to(mrows, (E_loc, npad))
                   if mrows.shape[0] == 1 else mrows)
@@ -178,30 +256,51 @@ def fused_local_stepper(sched: "CoolingScheduler", ldeb: float,
                                     sweep_e0=sweep_e0, sweep_om=sweep_om)
         local = states._replace(key=states.key[:, 0])
         carry = sched.soa_ens_init(local, local.F)
+        n_full = n_steps - 1 if split_last else n_steps
         carry = jax.lax.fori_loop(
-            0, n_steps,
+            0, n_full,
             lambda i, c: sched.soa_ens_md_step(c, soa_forces,
                                                per_member_rolls=True,
                                                e0_lanes=e0p,
                                                om_lanes=omp),
             carry)
+        if not split_last:
+            out = sched.soa_ens_restore(carry, local)
+            return out._replace(key=out.key[:, None])
+        carry = sched.soa_ens_md_step(carry, soa_forces,
+                                      per_member_rolls=True,
+                                      e0_lanes=e0p, om_lanes=omp,
+                                      n_ticks=1)
+        mid = sched.soa_ens_restore(carry, local)
+        if sched.ratio > 1:
+            carry = sched.soa_ens_md_step(carry, soa_forces,
+                                          per_member_rolls=True,
+                                          e0_lanes=e0p, om_lanes=omp,
+                                          n_ticks=sched.ratio - 1,
+                                          reuse_forces=True)
         out = sched.soa_ens_restore(carry, local)
-        return out._replace(key=out.key[:, None])
+        return (mid._replace(key=mid.key[:, None]),
+                out._replace(key=out.key[:, None]))
     return local_run
 
 
 def make_sharded_fused_step(sched: "CoolingScheduler", ldeb: float,
-                            mesh: Mesh, n_steps: int = 1, with_mask=False):
+                            mesh: Mesh, n_steps: int = 1, with_mask=False,
+                            ion_forces: str = "gather"):
     """Jitted sharded [E, N, ...] SimState -> SimState over ``n_steps``
     MD steps on the fused production path (see fused_local_stepper).
     ``sched`` must carry a ``fused_spec``.  With ``with_mask`` the step
-    takes ``(states, mask [E, N])`` for Poissonian-N members."""
+    takes ``(states, mask [E, N])`` for Poissonian-N members.
+    ``ion_forces``: cross-shard force schedule when the ion axis is
+    sharded — ``"gather"`` (all_gather + full-tile) or ``"ring_n3l"``
+    (each pair once, reactions ppermuted home)."""
     if sched.fused_spec is None:
         raise ValueError("make_sharded_fused_step needs a scheduler with "
                          "a fused_spec (build with use_pallas=True or "
                          "fused_interpret=True)")
     spec = state_pspec()
-    local = fused_local_stepper(sched, ldeb, mesh.shape[ION_AXIS])
+    local = fused_local_stepper(sched, ldeb, mesh.shape[ION_AXIS],
+                                ion_forces=ion_forces)
     # check_vma=False: pallas_call does not yet annotate its outputs with
     # varying-mesh-axes metadata, so the vma checker rejects any Pallas
     # kernel inside shard_map

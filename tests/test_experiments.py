@@ -490,20 +490,28 @@ def test_golden_regression_small_cooling():
                         dtype="float64", job=3)
     state = initial_state(cfg)
     final, outs = run_compiled(canonical_run_cfg(cfg), state, 3)
+    # sample instants are the reference's exact output gate: one quantum
+    # tick into MD step k*sample_freq-1 (SpeedUp.cpp:1365-1368), i.e.
+    # t_k = ((k*f-1)*ratio+1)*qdt — NOT the MD-boundary k*f*dt
+    ratio = cfg.ratio
+    qdt = cfg.timestep / ratio
+    np.testing.assert_allclose(
+        np.asarray(outs["t"]),
+        [((k * 20 - 1) * ratio + 1) * qdt for k in (1, 2, 3)], rtol=1e-12)
     np.testing.assert_allclose(
         np.asarray(outs["ekin"]),
-        [[0.00428322, 0.00789371, 0.00242277],
-         [0.01370881, 0.02392701, 0.00897986],
-         [0.02429658, 0.03989654, 0.01842196]], rtol=2e-4)
+        [[0.00391699, 0.00723123, 0.00220188],
+         [0.01321803, 0.02312572, 0.00858976],
+         [0.02377958, 0.03917001, 0.01791934]], rtol=2e-4)
     np.testing.assert_allclose(
         np.asarray(outs["epot"]),
-        [2.63460507, 2.60696920, 2.57036364], rtol=2e-5)
+        [2.63584751, 2.60864226, 2.57208545], rtol=2e-5)
     np.testing.assert_allclose(
         np.asarray(outs["pops"][-1])[0],
-        [0.72136332, 0.23778885, 0.04127921], atol=2e-4)
+        [0.74950915, 0.22094716, 0.03004742], atol=2e-4)
     np.testing.assert_allclose(
         np.asarray(final.R[0]),
-        [3.56570218, 4.46742114, 3.63364798], rtol=1e-5)
+        [3.56570615, 4.46742066, 3.63364762], rtol=1e-5)
 
 
 def test_interval_vaf_and_lccf_outputs(tmp_path):
@@ -625,8 +633,11 @@ def test_ensemble_ascii_resume_newest_wins(tmp_path):
         assert e.shape[0] == 20
         np.testing.assert_allclose(np.diff(e[:, 0]), 0.02, rtol=1e-9)
         v = np.loadtxt(os.path.join(d, "VAF_interval0.dat"), ndmin=2)
-        # the restored vholder keeps the interval streaming to tmax
-        assert v[-1, 0] == pytest.approx(0.4, abs=1e-6)
+        # the restored vholder keeps the interval streaming to the last
+        # sample, which sits at the reference's output instant: one
+        # quantum tick into the final MD step (SpeedUp.cpp:1365-1368)
+        t_last = 0.4 - cfg2.timestep + cfg2.timestep / cfg2.ratio
+        assert v[-1, 0] == pytest.approx(t_last, abs=1e-6)
         assert np.all(np.diff(v[:, 0]) > 0)
 
 

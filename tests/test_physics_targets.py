@@ -147,8 +147,11 @@ class TestCurveLevel:
         run(cfg)
         p2q = build_engine(cfg).plas_to_quant_vel
         d = glob.glob(str(tmp_path) + "/*/job1")[0]
+        # pool the last 20 samples (t > 1): the dark state is established
+        # after the first few samples and N=256 profiles are noisy —
+        # 5-file pooling leaves the dip estimate seed-sensitive
         files = sorted(glob.glob(
-            os.path.join(d, "statePopulationsVsVTime*.dat")))[-5:]
+            os.path.join(d, "statePopulationsVsVTime*.dat")))[-20:]
         rows = np.concatenate([np.loadtxt(f) for f in files])
         v_q = np.abs(rows[:, 0]) * p2q       # gamma/k units, folded
         pop_p = rows[:, 2]
@@ -162,7 +165,16 @@ class TestCurveLevel:
         v_res = abs(det_dp - det_sp) / (1.0 + K_RATIO_1033)
         window = np.isfinite(prof) & (np.abs(centers - v_res) <= 0.45)
         assert window.sum() >= 4, "resonance window lacks statistics"
-        i_dip = np.flatnonzero(window)[np.nanargmin(prof[window])]
+        # the dip is a LOCAL minimum riding the thermal-tail falloff: a
+        # plain window argmin latches onto the falling tail's edge, so
+        # find local minima (lower than both neighbors) in the window
+        # and take the one nearest the resonance
+        cand = [i for i in np.flatnonzero(window)
+                if 0 < i < len(prof) - 1
+                and np.isfinite(prof[i - 1]) and np.isfinite(prof[i + 1])
+                and prof[i] < prof[i - 1] and prof[i] < prof[i + 1]]
+        assert cand, "no local dip inside the resonance window"
+        i_dip = min(cand, key=lambda i: abs(centers[i] - v_res))
         v_dip = centers[i_dip]
         assert abs(v_dip - v_res) <= 0.25, (v_dip, v_res)
         # dip depth vs the inner shoulder (the outer side rides the

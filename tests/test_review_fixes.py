@@ -99,15 +99,21 @@ def test_run_resume_continues_from_ascii(tmp_path):
 
     final, res = run_cooling(dataclasses.replace(cfg1, tmax=0.4),
                              resume=True)
-    # only the 5 segments past the ASCII c0=149 were simulated
+    # only the 5 segments past the ASCII c0=149 were simulated; samples
+    # land at the reference's exact output instant — one quantum tick
+    # into the sampling MD step (SpeedUp.cpp:1365-1368), i.e. the MD
+    # boundary minus (dt - qdt)
+    off = cfg1.timestep - cfg1.timestep / cfg1.ratio
     assert res["outs"]["t"].shape[0] == 5
-    assert float(res["outs"]["t"][0]) == pytest.approx(0.32, rel=1e-6)
+    assert float(res["outs"]["t"][0]) == pytest.approx(0.32 - off,
+                                                       rel=1e-6)
     assert float(final.t) == pytest.approx(0.4, rel=1e-6)
     e = np.loadtxt(os.path.join(d1, "energies.dat"))
     # 10 leg-1 rows + 5 continuation rows (the binary's own rows for
     # (0.2, 0.3] live in its tree and were not copied)
     assert e.shape[0] == 15
-    np.testing.assert_allclose(e[-5:, 0], 0.32 + 0.02 * np.arange(5),
+    np.testing.assert_allclose(e[-5:, 0],
+                               0.32 - off + 0.02 * np.arange(5),
                                rtol=1e-6)
 
 
@@ -214,7 +220,9 @@ def test_vaf_interval_before_first_sample(tmp_path):
     vaf = np.loadtxt(os.path.join(d, "VAF_interval0.dat")).reshape(-1, 2)
     n_samples = int(round(cfg.tmax / cfg.timestep)) // cfg.sample_freq
     assert vaf.shape[0] == n_samples
-    # origin = first sample: row 0 is <|v(t0)|^2> > 0 at t0
-    assert vaf[0, 0] == pytest.approx(cfg.sample_freq * cfg.timestep,
-                                      rel=1e-6)
+    # origin = first sample: row 0 is <|v(t0)|^2> > 0 at t0 — the
+    # reference's exact output instant (one tick into the sampling MD
+    # step, SpeedUp.cpp:1365-1368)
+    t0 = (cfg.sample_freq - 1) * cfg.timestep + cfg.timestep / cfg.ratio
+    assert vaf[0, 0] == pytest.approx(t0, rel=1e-6)
     assert vaf[0, 1] > 0.0

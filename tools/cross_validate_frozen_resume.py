@@ -98,17 +98,17 @@ def splice_ok(e: np.ndarray, n_first_leg: int, label: str) -> bool:
 
 def grid_ok(e: np.ndarray, label: str) -> bool:
     """All rows 40 MD steps (0.08 w_E^-1) apart — one unbroken sample
-    grid across the splice.  The interval that straddles the splice may
-    differ by up to one MD step: the reference emits one quantum tick
-    into the sampling MD step while the framework emits at MD-step
-    completion (PARITY.md documented delta #2), so handing off between
-    the codes shifts that single interval by dt - qdt = 0.0019.  The
-    tolerance sits BETWEEN that offset and one full MD step (0.002), so
-    a genuinely dropped or duplicated step at the splice still fails."""
+    grid across the splice with NO tolerance for a sub-step offset:
+    since round 4 the framework stamps rows at the reference's exact
+    gate instant (one quantum tick into the sampling MD step, PARITY.md
+    delta #2 closed), so the splice interval must be identical to every
+    other interval to f64 print precision."""
     dt_rows = np.diff(e[:, 0])
-    ok = bool(np.all(np.abs(dt_rows - 0.08) < 0.00195))
-    print(f"  {label}: row spacing {dt_rows.min():.4f}..{dt_rows.max():.4f}"
-          f" (want 0.0800 +- one MD step at the splice)")
+    # 4e-5 = well under one quantum tick (qdt = dt/ratio) yet above the
+    # %g 6-sig-digit print rounding of t <= 3
+    ok = bool(np.all(np.abs(dt_rows - 0.08) < 4e-5))
+    print(f"  {label}: row spacing {dt_rows.min():.6f}..{dt_rows.max():.6f}"
+          f" (want exactly 0.080000 everywhere, splice included)")
     return ok
 
 

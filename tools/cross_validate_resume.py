@@ -39,6 +39,19 @@ N0, TMAX1, TMAX2, SAMPLE_FREQ, TIMESTEP = 256, 1.0, 2.0, 10, 0.002
 TSTART_V0 = 0.5        # VAF interval 0 start (vaf directions)
 # off-grid chaining legs: 505 MD steps, 5 past the last output gate
 TMAX_OG1, TMAX_OG2 = 1.01, 2.01
+RATIO = 25             # CoolingConfig(timestep=0.002).ratio
+QDT = TIMESTEP / RATIO
+# both codes stamp rows at the identical gate instant since round 4
+# (PARITY delta #2 closed): one quantum tick into 0-based MD step c0,
+# t = (c0*ratio + 1)*qdt.  Grid checks are tight: 4e-5 is under one
+# quantum tick (8e-5) yet above %g print rounding of t <= 3.
+T_ATOL = 4e-5
+
+
+def gate_t(c0: int) -> float:
+    """Row timestamp of the (c0+1)%sampleFreq==0 && timeStepCounter==1
+    output gate (SpeedUp.cpp:1365-1368)."""
+    return (c0 * RATIO + 1) * QDT
 
 
 def patch_source(dst: str, *, new_run: int, c0: int, tmax: float,
@@ -147,8 +160,9 @@ def direction_a(workdir: str) -> bool:
     print(f"  rows: {n_rows1} (framework) + {e.shape[0] - n_rows1} "
           f"(reference continuation)")
     ok = e.shape[0] > n_rows1 + 10
-    # reference time reconstruction lands where the framework stopped
-    ok &= abs(e[n_rows1, 0] - (TMAX1 + SAMPLE_FREQ * TIMESTEP)) < 0.05
+    # the binary's first continuation row lands on the exact global gate
+    # grid: one tick into MD step 509 (t = 1.01808, zero offset)
+    ok &= abs(e[n_rows1, 0] - gate_t(509)) < T_ATOL
     ok &= splice_ok(e, n_rows1, "A")
     # counter restored from ions_: snapshot numbering continues
     first_k = n_rows1
@@ -231,8 +245,9 @@ def direction_c(workdir: str) -> bool:
           f"(reference continuation); first continuation t="
           f"{e[n_rows1, 0]:.4f}")
     ok = e.shape[0] > n_rows1 + 10
-    # the binary's global gate resumes at step 510 -> t = 1.02
-    ok &= abs(e[n_rows1, 0] - 1.02) < 2 * TIMESTEP + 1e-9
+    # the binary's global gate resumes one tick into step 509
+    # (t = 1.01808) — exact, no sub-step offset since round 4
+    ok &= abs(e[n_rows1, 0] - gate_t(509)) < T_ATOL
     ok &= splice_ok(e, n_rows1, "C")
     return bool(ok)
 
@@ -270,12 +285,12 @@ def direction_d(workdir: str) -> bool:
           f"(framework continuation); first continuation t="
           f"{e[n_rows1, 0]:.4f}, final t={float(final.t):.4f}")
     ok = e.shape[0] > n_rows1 + 10
-    ok &= abs(e[n_rows1, 0] - 1.02) < 2 * TIMESTEP + 1e-9
+    ok &= abs(e[n_rows1, 0] - gate_t(509)) < T_ATOL
     ok &= abs(float(final.t) - TMAX_OG2) < 1e-6
-    # one uniform global grid across the splice (binary stamps carry a
-    # sub-MD-step offset, see vaf_continuity)
+    # one uniform global grid across the splice — exact since round 4
+    # (both codes stamp at the identical gate instant)
     ok &= bool(np.allclose(np.diff(e[:, 0]), SAMPLE_FREQ * TIMESTEP,
-                           atol=2 * TIMESTEP))
+                           atol=T_ATOL))
     ok &= splice_ok(e, n_rows1, "D")
     return bool(ok)
 
@@ -295,13 +310,12 @@ def vaf_continuity(path: str, n_rows1: int, label: str) -> bool:
           f"step {typical:.3e}, scale {scale:.3e}")
     ok = v.shape[0] > n_rows1 + 10
     ok &= bool(np.all(dt_rows > 0))
-    # two-MD-step tolerance at the splice: the binary stamps VAF one
-    # quantum substep after the MD boundary (timeStepCounter==1, a
-    # (ratio-1)*qdt = 0.00192 offset from the framework's segment-
-    # boundary stamps) and its terminal checkpoint lands one MD step
-    # past tmax (c0=500 -> t=1.002), shifting the resumed grid by dt
+    # exact grid since round 4: both codes stamp VAF rows at the
+    # identical gate instant (one tick into the sampling MD step), and
+    # the global c0 gate makes the splice interval equal every other
+    # interval even when the terminal checkpoint lands past tmax
     ok &= bool(np.allclose(dt_rows, SAMPLE_FREQ * TIMESTEP,
-                           atol=2 * TIMESTEP))
+                           atol=T_ATOL))
     ok &= jump < 5 * typical + 0.02 * scale
     return ok
 
