@@ -109,6 +109,8 @@ def _build_cfg(cls, ns: argparse.Namespace):
 
 
 def main(argv=None) -> int:
+    from .util import enable_compilation_cache
+    enable_compilation_cache()
     from .experiments import (frozen_tagging, laser_cooling,
                               mc_md_anisotropy, mc_qt_tagging, three_state)
 
@@ -128,7 +130,7 @@ def main(argv=None) -> int:
         "three-state": three_state.run_ensemble,
     }
 
-    parser = argparse.ArgumentParser(prog="mdqtplasmasims_tpu")
+    parser = argparse.ArgumentParser(prog="mdqt")
     sub = parser.add_subparsers(dest="cmd", required=True)
     for name, (cls, _) in families.items():
         p = sub.add_parser(name)
