@@ -1,0 +1,164 @@
+"""Pooled curve-level cross-validation of the DISORDER-INDUCED-HEATING
+physics against the compiled reference (VERDICT round-3 item 8: the DIH
+curve — rise, peak, oscillation, plateau — was only ratio-level tested;
+pool >=8 jobs/side and z-score the EkinX(t) samples, then tighten the
+test_physics_targets Gamma_DIH band to the measured pooled interval).
+
+The flagship reference (laserCoolingPlusExpansionMDQTSpeedUp.cpp) at its
+default fracOfSig=0 IS the DIH configuration (frozen-gas start, Ge=0.1):
+this script patches a copy to N0=600 / tmax=6 / sampleFreq=20, compiles
+it with tools/arma_shim.hpp, runs JOBS jobs, runs the framework with
+JOBS seeds at the matched CoolingConfig (XLA f64), and compares:
+
+  * EkinX(t) per-sample z across the pools, reported by DIH era:
+    rise (t <= 0.8), peak (0.8-1.4), oscillation (1.4-3), plateau (>3)
+  * per-job scalars: peak EkinX, t_peak, post-peak dip ratio
+    (oscillation structure), Gamma_DIH = 1/(2 <EkinX>_{3<t<=6})
+
+PASS if every per-sample |z| < 3 and every scalar |z| < 3 (the shared
+compare_job_pools threshold).  The measured pooled Gamma_DIH interval
+is printed for the test-band tightening.
+
+Usage: python tools/cross_validate_dih_pooled.py [workdir]
+       (default /tmp/xval_dih; completed jobs there are reused)
+"""
+
+import glob
+import os
+import re
+import shutil
+import subprocess
+import sys
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+JOBS = 8
+N0, TMAX, SAMPLE_FREQ = 600, 6.0, 20
+DT = 0.002
+REF = "/root/reference/laserCoolingPlusExpansionMDQTSpeedUp.cpp"
+
+
+def patch_and_compile(workdir: str) -> str:
+    src = open(REF).read()
+    subs = [
+        (r"#define N0 3500", f"#define N0 {N0}"),
+        (r"#define tmax 30", f"#define tmax {TMAX:g}"),
+        (r"int sampleFreq = 40;", f"int sampleFreq = {SAMPLE_FREQ};"),
+        (r'char saveDirectory\[256\] = "dataLaserCool/";',
+         'char saveDirectory[256] = "refdata_dih/";'),
+    ]
+    for pat, rep in subs:
+        src, n = re.subn(pat, rep, src)
+        assert n == 1, pat
+    cpp = os.path.join(workdir, "ref_dih.cpp")
+    open(cpp, "w").write(src)
+    shim = os.path.join(workdir, "shim")
+    os.makedirs(shim, exist_ok=True)
+    shutil.copy(os.path.join(REPO, "tools", "arma_shim.hpp"),
+                os.path.join(shim, "armadillo"))
+    out = os.path.join(workdir, "ref_dih")
+    subprocess.run(["g++", "-std=c++11", "-fopenmp", "-O2", "-I", shim,
+                    "-o", out, cpp, "-lm"], check=True)
+    return out
+
+
+def scalars(t: np.ndarray, ekx: np.ndarray) -> dict:
+    """Per-job DIH curve scalars from one EkinX(t) trace."""
+    pk = int(np.argmax(ekx[t <= 2.0]))
+    peak = float(ekx[pk])
+    # post-peak dip: the DIH kinetic-energy oscillation at ~2 omega_E
+    lo = ekx[(t > t[pk]) & (t <= t[pk] + 1.5)].min()
+    return dict(peak_ekx=peak, t_peak=float(t[pk]),
+                dip_ratio=float(lo / peak),
+                gamma_dih=float(1.0 / (2.0 * ekx[(t > 3.0)].mean())))
+
+
+def main() -> int:
+    workdir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/xval_dih"
+    os.makedirs(workdir, exist_ok=True)
+    binary = patch_and_compile(workdir)
+    print(f"== compiled {binary}; running {JOBS} reference jobs",
+          flush=True)
+    n_rows_full = int(round(TMAX / DT)) // SAMPLE_FREQ
+    for j in range(1, JOBS + 1):
+        done = glob.glob(os.path.join(workdir, "refdata_dih", "*",
+                                      f"job{j}", "energies.dat"))
+        if done and len(np.loadtxt(done[0])) >= n_rows_full:
+            print(f"   job{j}: already complete, skipping", flush=True)
+            continue
+        if done:      # the binary appends: partial dirs must go
+            shutil.rmtree(os.path.dirname(done[0]))
+        subprocess.run([binary, str(j)], cwd=workdir, check=True,
+                       timeout=7200, stdout=subprocess.DEVNULL)
+        print(f"   job{j}: done", flush=True)
+    fam = glob.glob(os.path.join(workdir, "refdata_dih", "*"))
+    assert len(fam) == 1, fam
+    ref_e = [np.loadtxt(os.path.join(fam[0], f"job{j}", "energies.dat"))
+             for j in range(1, JOBS + 1)]
+    nmin = min(e.shape[0] for e in ref_e)
+    ref_e = [e[:nmin] for e in ref_e]
+
+    print(f"== running {JOBS} framework jobs (XLA f64)", flush=True)
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_enable_x64", True)
+    from mdqtplasmasims_tpu.util import enable_compilation_cache
+    enable_compilation_cache()
+    from mdqtplasmasims_tpu.analysis import (compare_job_pools,
+                                             two_sample_z_columns)
+    from mdqtplasmasims_tpu.experiments.laser_cooling import (
+        CoolingConfig, run)
+    fw_rows = []
+    for j in range(1, JOBS + 1):
+        cache = os.path.join(workdir, f"fw_dih_job{j}.npz")
+        stamp = np.array([N0, TMAX, SAMPLE_FREQ, nmin])
+        if os.path.exists(cache):
+            z = np.load(cache)
+            if "stamp" in z.files and np.array_equal(z["stamp"], stamp):
+                fw_rows.append(z["row"])
+                print(f"   fw job{j}: cached", flush=True)
+                continue
+        cfg = CoolingConfig(n0=N0, tmax=TMAX, sample_freq=SAMPLE_FREQ,
+                            use_pallas=False, dtype="float64", job=j)
+        final, res = run(cfg)
+        o = res["outs"]
+        row = np.stack([np.asarray(o["t"], np.float64),
+                        np.asarray(o["ekin"], np.float64)[:, 0]],
+                       axis=-1)[:nmin]
+        np.savez(cache, row=row, stamp=stamp)
+        fw_rows.append(row)
+        print(f"   fw job{j}: done", flush=True)
+
+    t = fw_rows[0][:, 0]
+    # both sides emit at the reference's exact output gate (round 4):
+    # the time grids must agree sample for sample
+    np.testing.assert_allclose(t, ref_e[0][:, 0], atol=5e-5)
+
+    z = two_sample_z_columns([e[:, 1] for e in ref_e],
+                             [f[:, 1] for f in fw_rows])
+    eras = [("rise", t <= 0.8), ("peak", (t > 0.8) & (t <= 1.4)),
+            ("oscillation", (t > 1.4) & (t <= 3.0)), ("plateau", t > 3.0)]
+    ok = True
+    print(f"  EkinX(t) per-sample z by DIH era ({JOBS}v{JOBS} pooled):")
+    for name, sel in eras:
+        zmax = float(np.abs(z[sel]).max())
+        print(f"    {name:12s} max|z| {zmax:.2f}  "
+              f"(median {np.median(np.abs(z[sel])):.2f})")
+        ok &= zmax < 3.0
+
+    refs = [scalars(e[:, 0], e[:, 1]) for e in ref_e]
+    fws = [scalars(f[:, 0], f[:, 1]) for f in fw_rows]
+    ok &= compare_job_pools(refs, fws, list(refs[0]), z_max=3.0)
+    g = np.array([s["gamma_dih"] for s in fws])
+    gr = np.array([s["gamma_dih"] for s in refs])
+    print(f"  pooled Gamma_DIH: framework {g.mean():.3f} +- {g.std(ddof=1):.3f}"
+          f" | reference {gr.mean():.3f} +- {gr.std(ddof=1):.3f}")
+    print("POOLED DIH CROSS-VALIDATION", "PASS" if ok else "FAIL")
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())
