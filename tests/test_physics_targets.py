@@ -54,7 +54,9 @@ class TestDIH:
         assert 0.3 < t_peak < 2.0
         assert 0.30 < T[:800].max() < 0.55
         gamma_final = 1.0 / T[1500:].mean()
-        assert 2.0 < gamma_final < 3.8
+        # deterministic seed lands at 2.83; band tightened around it
+        # after the pooled 8v8 curve-level xval (RESULTS.md round 4)
+        assert 2.4 < gamma_final < 3.3
         # kinetic-energy oscillation: a dip after the first peak
         assert T[500:1200].min() < 0.95 * T[:800].max()
 
@@ -239,8 +241,9 @@ class TestFullScaleSoak:
         # DIH: EkinX peaks near omega_p t ~ 1 at the Ge=0.1 coupling
         assert 0.3 < c["dih_peak_t"] < 2.0
         assert 0.10 < c["dih_peak_ekin_x"] < 0.25
-        # post-DIH coupling lands at the known Gamma ~ 2-4 window
-        assert 2.0 < c["gamma_dih"] < 4.5
+        # post-DIH coupling: 2-sigma single-job interval from the pooled
+        # 8v8 curve-level xval (fw 3.52+-0.53, ref 3.77+-0.53, RESULTS.md)
+        assert 2.46 < c["gamma_dih"] < 4.59
         # laser cooling beats DIH: late EkinX well below the peak
         # (README.md:107 monotone-decrease signature)
         assert 0.4 < c["cooling_ratio"] < 0.85
