@@ -350,11 +350,16 @@ def direction_a_vaf(workdir: str) -> bool:
 
 def direction_b_vaf(workdir: str) -> bool:
     """Patched reference binary (Zfunc re-enabled) writes real VZERO at
-    its checkpoint -> framework restores Vholder (resume_vholder) and
-    keeps streaming the same interval."""
+    its checkpoint -> framework ``run(resume=True)`` restores Vholder
+    (via resume_vholder on the ASCII-resume path) and keeps streaming
+    the same interval.  The user-facing resume entry realigns to the
+    *global* output gate (the binary's terminal c0 is one MD step past
+    it), so the chained VAF rows land on the identical grid — a manual
+    ``run(cfg, state=...)`` window would start a fresh local gate one
+    step off it."""
     print("direction B-vaf: reference VZERO -> framework vholder restore")
     from mdqtplasmasims_tpu.experiments.laser_cooling import (
-        CoolingConfig, resume_state, resume_vholder, run, write_outputs)
+        CoolingConfig, _save_dir, run)
     patch_source(os.path.join(workdir, "reffreshv.cpp"), new_run=1, c0=0,
                  tmax=TMAX1, save_dir="dataBV", enable_vaf=True)
     binary = compile_ref(workdir, "reffreshv")
@@ -362,24 +367,25 @@ def direction_b_vaf(workdir: str) -> bool:
 
     job_dirs = glob.glob(os.path.join(workdir, "dataBV", "*", "job1"))
     assert len(job_dirs) == 1, job_dirs
-    job_dir = job_dirs[0]
-    ions = glob.glob(os.path.join(job_dir, "ions_timestep*.dat"))
+    src_dir = job_dirs[0]
+    ions = glob.glob(os.path.join(src_dir, "ions_timestep*.dat"))
     c0 = max(int(re.search(r"(\d{6})", os.path.basename(f)).group(1))
              for f in ions)
-    vh = resume_vholder(job_dir, c0)
-    assert np.any(vh[0]), "reference leg wrote a zero VZERO snapshot"
-    n_rows1 = np.loadtxt(os.path.join(job_dir, "VAF_interval0.dat")) \
+    vzero = os.path.join(src_dir,
+                         f"VZERO_timestep{c0:06d}_interval0.dat")
+    assert np.any(np.loadtxt(vzero)), \
+        "reference leg wrote no/zero VZERO snapshot"
+    n_rows1 = np.loadtxt(os.path.join(src_dir, "VAF_interval0.dat")) \
         .reshape(-1, 2).shape[0]
-    n_e1 = load_energies(os.path.join(job_dir, "energies.dat")).shape[0]
 
-    cfg = CoolingConfig(n0=N0, tmax=TMAX2 - TMAX1, sample_freq=SAMPLE_FREQ,
+    base = os.path.join(workdir, "dataBV_fw")
+    cfg = CoolingConfig(n0=N0, tmax=TMAX2, sample_freq=SAMPLE_FREQ,
                         use_pallas=False, dtype="float64",
-                        vaf_intervals=(TSTART_V0,))
-    state = resume_state(job_dir, c0, cfg)
-    final, res = run(cfg, state=state)
-    write_outputs(job_dir, cfg, res["outs"], res["epot0"], final,
-                  int(round(TMAX2 / TIMESTEP)), sample_offset=n_e1,
-                  vholder0=vh)
+                        vaf_intervals=(TSTART_V0,), save_directory=base)
+    job_dir = _save_dir(cfg)
+    os.makedirs(os.path.dirname(job_dir), exist_ok=True)
+    shutil.copytree(src_dir, job_dir)
+    run(cfg, resume=True)
     return vaf_continuity(os.path.join(job_dir, "VAF_interval0.dat"),
                           n_rows1, "B-vaf")
 
