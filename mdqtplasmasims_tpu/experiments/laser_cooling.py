@@ -1530,7 +1530,15 @@ def resume_state(directory: str, c0: int, cfg: CoolingConfig) -> SimState:
     """Reference-compatible restart (readConditions, SpeedUp.cpp:785-916).
     The ions_ N pins the conditions_/wvFns_ row counts — a truncated or
     mismatched file raises a ValueError naming the file, where the
-    reference's fscanf would silently misparse."""
+    reference's fscanf would silently misparse.
+
+    For walltime chaining prefer ``run(cfg, resume=True)``: it realigns
+    to the *global* output gate ((c0+1)%sampleFreq==0, SpeedUp.cpp:1365)
+    with a partial first segment.  Feeding this state to a fresh-window
+    ``run(cfg2, state=...)`` starts a new local gate instead, which is
+    one MD step off the global grid whenever the checkpoint's c0+1 is
+    not a sample_freq multiple (the reference's terminal checkpoints
+    always land one step past the gate)."""
     n_exp = None
     try:
         n_exp, _ = ckpt.read_ions(directory, c0)
