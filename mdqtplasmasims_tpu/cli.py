@@ -226,7 +226,22 @@ def main(argv=None) -> int:
         pq.add_argument("--seed", type=int, default=0)
         _add_mesh_args(pq)
 
+    pp = sub.add_parser(
+        "plot",
+        help="render the quicklook PNG summary of a job directory's "
+             ".dat output tree (any family; see quicklook.py)")
+    pp.add_argument("job_dir")
+    pp.add_argument("-o", "--out", default=None,
+                    help="output PNG (default <job_dir>/quicklook.png)")
+
     ns = parser.parse_args(argv)
+    if ns.cmd == "plot":
+        from .quicklook import render
+        try:
+            print(render(ns.job_dir, ns.out))
+        except ValueError as e:
+            parser.error(str(e))
+        return 0
     t0 = time.perf_counter()
     if ns.cmd == "cooling-sweep":
         cfg = _build_cfg(laser_cooling.CoolingConfig, ns)

@@ -328,11 +328,11 @@ class TestSweepCLI:
 
 class TestQuicklook:
     def test_plot_run_renders_panels(self, tmp_path):
-        """tools/plot_run.py turns a job directory's .dat tree into a
-        quicklook PNG: the recognized observables become panels and the
-        append-mode restart (two runs in one energies.dat) keeps only
-        the newest run's rows."""
-        import sys
+        """mdqt plot (quicklook.py; tools/plot_run.py is a shim) turns a
+        job directory's .dat tree into a quicklook PNG: the recognized
+        observables become panels and the append-mode restart (two runs
+        in one energies.dat) keeps only the newest run's rows."""
+        from mdqtplasmasims_tpu import quicklook
         from mdqtplasmasims_tpu.experiments.laser_cooling import (
             CoolingConfig, run)
         pytest.importorskip("matplotlib")
@@ -343,13 +343,7 @@ class TestQuicklook:
         run(cfg, seed=0)
         d = str(next(tmp_path.rglob("energies.dat")).parent)
 
-        sys.path.insert(0, os.path.join(os.path.dirname(__file__),
-                                        os.pardir, "tools"))
-        try:
-            import plot_run
-        finally:
-            sys.path.pop(0)
-        titles = [t for t, _ in plot_run.collect_panels(d)]
+        titles = [t for t, _ in quicklook.collect_panels(d)]
         assert "Kinetic energies" in titles
         assert any("Velocity distribution" in t for t in titles)
         assert any("autocorrelation" in t for t in titles)
@@ -358,18 +352,21 @@ class TestQuicklook:
         e1 = np.loadtxt(os.path.join(d, "energies.dat"), ndmin=2)
         with open(os.path.join(d, "energies.dat"), "a") as f:
             np.savetxt(f, e1[:1])
-        e2 = plot_run._load(os.path.join(d, "energies.dat"),
-                            time_indexed=True)
+        e2 = quicklook._load(os.path.join(d, "energies.dat"),
+                             time_indexed=True)
         assert e2.shape[0] == 1
 
+        # through the console entry point
+        from mdqtplasmasims_tpu.cli import main as cli_main
         out = os.path.join(str(tmp_path), "ql.png")
-        old = sys.argv
-        sys.argv = ["plot_run.py", d, "-o", out]
-        try:
-            plot_run.main()
-        finally:
-            sys.argv = old
+        assert cli_main(["plot", d, "-o", out]) == 0
         assert os.path.getsize(out) > 10_000
+
+        # an empty directory is a clean CLI error, not a traceback
+        empty = tmp_path / "empty"
+        empty.mkdir()
+        with pytest.raises(SystemExit):
+            cli_main(["plot", str(empty)])
 
 
 class TestLCCFSpectrum:
