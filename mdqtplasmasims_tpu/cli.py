@@ -131,6 +131,13 @@ def main(argv=None) -> int:
     }
 
     parser = argparse.ArgumentParser(prog="mdqt")
+    try:
+        from importlib.metadata import version
+        ver = version("mdqtplasmasims_tpu")
+    except Exception:          # running from a source tree, not installed
+        ver = "0.1.0+src"
+    parser.add_argument("--version", action="version",
+                        version=f"%(prog)s {ver}")
     sub = parser.add_subparsers(dest="cmd", required=True)
     for name, (cls, _) in families.items():
         p = sub.add_parser(name)
