@@ -276,3 +276,94 @@ def lccf_spectrum(job_dir: str, timestep: float = 0.002,
     omega_peak = omega[1 + spec[:, 1:].argmax(axis=1)]
     return dict(k_int2=shells, k=np.sqrt(shells.astype(float)),
                 omega=omega, spectrum=spec, omega_peak=omega_peak)
+
+
+def green_kubo_diffusion(vaf, *, plateau_frac: float = 0.25) -> dict:
+    """Self-diffusion coefficient from the VAF via Green-Kubo:
+    D(t) = (1/3) int_0^t <v(0).v(t')> dt'.
+
+    The reference's transport program records the VAF
+    (recordVAF, MonteCarloFollowedByMDAndTempAnisotropy.cpp:655-693 —
+    the 3-axis sum per ion, so VAF(0) = 3/Gamma in plasma units) and
+    leaves the transport coefficient to the user; this completes the
+    pipeline.  ``vaf`` is the VAF.dat content — an [T, 2] array of
+    (t, VAF) rows, or a path to the file.
+
+    Returns ``t`` [T], the running integral ``d_of_t`` [T] (units
+    a^2 omega_E), the plateau estimate ``d`` (mean of the trailing
+    ``plateau_frac`` of the window), and ``drift`` — the relative
+    change of D(t) across that trailing window (|last-first|/|d|),
+    a convergence diagnostic: a large drift means the VAF has not
+    decayed within the recorded window and ``d`` is still truncated."""
+    if isinstance(vaf, (str, os.PathLike)):
+        vaf = read_rows(os.fspath(vaf), expect_cols=2)
+    vaf = np.asarray(vaf, dtype=float)
+    if vaf.ndim != 2 or vaf.shape[1] < 2 or vaf.shape[0] < 4:
+        raise ValueError("expected [T>=4, 2] rows of (t, VAF)")
+    t, c = vaf[:, 0], vaf[:, 1]
+    dt = np.diff(t)
+    if np.any(dt <= 0):
+        raise ValueError("VAF time axis is not strictly increasing "
+                         "(an appended restart? keep one run)")
+    d_of_t = np.concatenate(
+        [[0.0], np.cumsum(0.5 * (c[1:] + c[:-1]) * dt)]) / 3.0
+    k0 = int(round((1.0 - plateau_frac) * (len(t) - 1)))
+    window = d_of_t[k0:]
+    d = float(window.mean())
+    drift = float(abs(window[-1] - window[0]) / (abs(d) or 1.0))
+    return dict(t=t, d_of_t=d_of_t, d=d, drift=drift)
+
+
+def structure_factor_shells(R, L: float, *, lambda_frac: int = 12,
+                            max_shell: Optional[int] = None) -> dict:
+    """Static structure factor S(k) on the LCCF's integer-k grid,
+    shell-averaged over equal |n|^2.
+
+    Host-side numpy twin of :func:`ops.structure.static_structure_factor`
+    (bit-compatible per tests) so offline analysis never dispatches to a
+    device.  ``R`` is [N, 3] positions in units of a; ``L`` the cubic box
+    edge (``units.PlasmaUnits.box_length``).  Returns ``k_int2``
+    [n_shells] integer |n|^2 per shell, ``k`` [n_shells] = 2 pi |n| / L
+    in 1/a, and ``s`` [n_shells]; the k = 0 forward term is dropped."""
+    from .ops.structure import k_grid
+    R = np.asarray(R, dtype=float)
+    kvecs = k_grid(L, lambda_frac)                   # [K, 3]
+    n_int = np.rint(kvecs * (L / (2.0 * np.pi))).astype(int)
+    k2 = (n_int ** 2).sum(axis=1)
+    sel = k2 > 0
+    if max_shell is not None:
+        sel &= k2 <= max_shell
+    rho = np.exp(1j * (R @ kvecs[sel].T)).sum(axis=0)     # [K']
+    s = (rho * rho.conj()).real / R.shape[0]
+    shells = np.unique(k2[sel])
+    s_avg = np.array([s[k2[sel] == q].mean() for q in shells])
+    return dict(k_int2=shells,
+                k=2.0 * np.pi * np.sqrt(shells.astype(float)) / L,
+                s=s_avg)
+
+
+def structure_factor_from_checkpoint(job_dir: str, *,
+                                     n0: Optional[int] = None,
+                                     lambda_frac: int = 12,
+                                     max_shell: Optional[int] = None
+                                     ) -> dict:
+    """S(k) shells from a job directory's newest ASCII checkpoint
+    positions (``conditions_timestepXXXXXX.dat``).
+
+    ``n0`` sets the box via ``PlasmaUnits.box_length(n0)`` when the
+    configured ion count differs from the realized one (Poissonian-N
+    runs sample N around N0 but the cell is sized by N0,
+    laserCooling...SpeedUp.cpp:297); by default the row count is used
+    (exact for ``exact_n`` runs and the whole transport family)."""
+    from .io.checkpoint import latest_ascii_checkpoint, read_conditions
+    from .units import PlasmaUnits
+    c0 = latest_ascii_checkpoint(job_dir)
+    if c0 is None:
+        raise ValueError(f"{job_dir}: no ions_timestep*.dat checkpoint "
+                         "to read positions from")
+    R, _ = read_conditions(job_dir, c0)
+    out = structure_factor_shells(
+        R, PlasmaUnits.box_length(n0 if n0 is not None else R.shape[0]),
+        lambda_frac=lambda_frac, max_shell=max_shell)
+    out["c0"] = c0
+    return out

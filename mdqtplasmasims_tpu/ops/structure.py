@@ -64,6 +64,23 @@ def k_grid(L: float, lambda_frac: int = 12) -> np.ndarray:
         [kx.ravel(), ky.ravel(), kz.ravel()], axis=-1)
 
 
+def static_structure_factor(R: jax.Array, kvecs: jax.Array) -> jax.Array:
+    """S[k] = |rho(k)|^2 / N with rho(k) = sum_j exp(i k.R_j): the
+    density analog of :func:`current_fourier`, one [N,K] complex matmul.
+
+    The reference records g(r) and J(k) but not S(k) (its README stops
+    at the output schema); this completes the static structure picture
+    on the same integer-k grid as the LCCF (``k_grid``), e.g. for
+    locating the correlation-driven first peak at k*a ~ 4.4 in the
+    strongly coupled regime.  S(k=0) = N by this definition (the
+    forward term); callers drop the zero vector."""
+    phase = R @ kvecs.T                                  # [N, K]
+    e = jnp.exp(1j * phase.astype(
+        jnp.complex64 if R.dtype == jnp.float32 else jnp.complex128))
+    rho = jnp.sum(e, axis=0)                             # [K]
+    return (rho * jnp.conj(rho)).real / R.shape[0]
+
+
 def current_fourier(R: jax.Array, V: jax.Array, kvecs: jax.Array) -> jax.Array:
     """J[a, k] = sum_j V[a,j] exp(i k.R_j): one [K,N]x[N,3] complex matmul
     (the reference's O(N*12^3) triple loop, SpeedUp.cpp:1060-1065)."""

@@ -458,3 +458,112 @@ class TestLCCFSpectrum:
         assert out["omega"].size == 1 + 128 // 2  # S from the new run
         for q, pk in zip(out["k_int2"], out["omega_peak"]):
             assert abs(pk - om[q]) <= dw + 1e-12, (q, pk, om[q])
+
+
+class TestGreenKuboDiffusion:
+    def test_exponential_vaf_analytic(self, tmp_path):
+        """VAF(t) = (3/Gamma) exp(-nu t)  =>  D = 1/(Gamma nu)."""
+        from mdqtplasmasims_tpu.analysis import green_kubo_diffusion
+        gamma, nu = 3.0, 2.0
+        t = np.linspace(0.0, 20.0, 2001)
+        vaf = np.stack([t, (3.0 / gamma) * np.exp(-nu * t)], -1)
+        r = green_kubo_diffusion(vaf)
+        assert abs(r["d"] - 1.0 / (gamma * nu)) < 2e-4
+        assert r["drift"] < 1e-3
+        assert r["d_of_t"].shape == t.shape and r["d_of_t"][0] == 0.0
+
+        # path form (the VAF.dat schema)
+        p = tmp_path / "VAF.dat"
+        np.savetxt(p, vaf)
+        assert abs(green_kubo_diffusion(str(p))["d"] - r["d"]) < 1e-12
+
+    def test_guards(self):
+        from mdqtplasmasims_tpu.analysis import green_kubo_diffusion
+        with pytest.raises(ValueError, match="increasing"):
+            green_kubo_diffusion(
+                np.array([[0.0, 1.0], [1.0, 0.5], [0.5, 0.2], [2.0, 0.1]]))
+        with pytest.raises(ValueError, match=r"\[T>=4, 2\]"):
+            green_kubo_diffusion(np.zeros((2, 2)))
+
+    def test_transport_soak_artifact_plateaus(self):
+        """The committed production transport soak (Gamma=3, kappa=0.5,
+        N=4096) yields a converged positive D."""
+        import glob
+        from mdqtplasmasims_tpu.analysis import green_kubo_diffusion
+        hits = glob.glob(os.path.join(
+            os.path.dirname(__file__), os.pardir, "artifacts", "soak",
+            "transport", "*", "job1", "VAF.dat"))
+        if not hits:
+            pytest.skip("soak artifact not present")
+        r = green_kubo_diffusion(hits[0])
+        assert 0.0 < r["d"] < 3.0
+        assert r["drift"] < 0.1
+
+
+class TestStaticStructureFactor:
+    def test_ideal_gas_is_unity(self):
+        """Uncorrelated positions: S(k) = 1 for every k != 0 (up to
+        1/sqrt(K N-ish) sampling noise), and the on-device ops kernel
+        matches the host numpy twin."""
+        from mdqtplasmasims_tpu.analysis import structure_factor_shells
+        from mdqtplasmasims_tpu.ops.structure import (k_grid,
+                                                      static_structure_factor)
+        from mdqtplasmasims_tpu.units import PlasmaUnits
+        n = 4096
+        L = PlasmaUnits.box_length(n)
+        rng = np.random.default_rng(3)
+        R = rng.uniform(0.0, L, size=(n, 3))
+        out = structure_factor_shells(R, L)
+        mean = float(np.mean(out["s"]))
+        assert abs(mean - 1.0) < 0.1
+
+        kvecs = k_grid(L)
+        s_dev = np.asarray(static_structure_factor(jnp.asarray(R),
+                                                   jnp.asarray(kvecs)))
+        # rebuild the same shell average from the device values
+        n_int = np.rint(kvecs * (L / (2 * np.pi))).astype(int)
+        k2 = (n_int ** 2).sum(1)
+        s_avg = np.array([s_dev[k2 == q].mean() for q in out["k_int2"]])
+        np.testing.assert_allclose(s_avg, out["s"], rtol=1e-8, atol=1e-8)
+
+    def test_lattice_bragg_peaks(self):
+        """A perfect 8^3 cubic lattice: S = N exactly on the Bragg
+        shells (|n| multiple of 8) and 0 elsewhere."""
+        from mdqtplasmasims_tpu.analysis import structure_factor_shells
+        from mdqtplasmasims_tpu.units import PlasmaUnits
+        m = 8
+        n = m ** 3
+        L = PlasmaUnits.box_length(n)
+        g = (np.arange(m) + 0.5) * (L / m)
+        R = np.stack(np.meshgrid(g, g, g, indexing="ij"),
+                     -1).reshape(-1, 3)
+        out = structure_factor_shells(R, L)
+        # every n-component must be 0 mod 8: (8,0,0), (8,8,0), (8,8,8)
+        bragg = np.isin(out["k_int2"], [64, 128, 192])
+        assert bragg.sum() == 3
+        np.testing.assert_allclose(out["s"][bragg], n, rtol=1e-9)
+        assert np.all(out["s"][~bragg] < 1e-6)
+
+    def test_from_cooling_checkpoint(self):
+        """The committed cooled-plasma checkpoint shows the
+        strongly-coupled OCP signature: a correlation peak near
+        k a ~ 4.4 and suppressed long-wavelength fluctuations."""
+        import glob
+        from mdqtplasmasims_tpu.analysis import (
+            structure_factor_from_checkpoint)
+        hits = glob.glob(os.path.join(
+            os.path.dirname(__file__), os.pardir, "artifacts", "soak",
+            "cooling", "*", "job1"))
+        if not hits:
+            pytest.skip("soak artifact not present")
+        out = structure_factor_from_checkpoint(hits[0], n0=3500)
+        i = int(np.argmax(out["s"]))
+        assert 3.5 < out["k"][i] < 5.5       # first peak position
+        assert out["s"][i] > 1.5             # strongly coupled
+        assert np.all(out["s"][1:5] < 0.5)   # small-k suppression
+
+    def test_missing_checkpoint_raises(self, tmp_path):
+        from mdqtplasmasims_tpu.analysis import (
+            structure_factor_from_checkpoint)
+        with pytest.raises(ValueError, match="no ions_timestep"):
+            structure_factor_from_checkpoint(str(tmp_path))
