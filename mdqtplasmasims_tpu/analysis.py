@@ -186,8 +186,8 @@ def state_population_profile(job_dir: str, vel_scale: float = 1.0,
 
 def lccf_spectrum(job_dir: str, timestep: float = 0.002,
                   max_shell: Optional[int] = None, skip: int = 0):
-    """Longitudinal-current power spectrum and dispersion from the
-    emitted ``J_interval0.dat``.
+    """Longitudinal AND transverse current power spectra and dispersion
+    from the emitted ``J_interval0.dat``.
 
     The reference computes and stores the Fourier-space ion current
     J(k, t) on an integer-k grid (``LCCF``/``printJ``,
@@ -200,14 +200,26 @@ def lccf_spectrum(job_dir: str, timestep: float = 0.002,
     shell is the plasma's longitudinal collective-mode dispersion
     omega_L(k) (the k -> 0 limit is the plasmon at omega_pl = sqrt(3)
     omega_E in Einstein-frequency units; screening bends it down at
-    finite k).
+    finite k) — plus the same analysis of the transverse residual
+    J_T = J - (k_hat.J) k_hat, whose peak is the shear-wave dispersion
+    omega_T(k).  Transverse sound only propagates in the strongly
+    coupled regime (Gamma >~ 5; below that the shear spectrum peaks at
+    omega = 0), so the two branches together diagnose where a run sits
+    relative to the liquid/gas crossover from one recorded file.
 
     ``timestep`` is the MD step in omega_E^-1 (the file's first column
     counts MD steps, so the sample spacing is read off the data).
     Returns a dict with ``k_int2`` [n_shells] integer |k|^2 per shell,
     ``k`` [n_shells] the integer-k magnitude |n| = L*|k|/(2*pi),
     ``omega`` [n_freq] the positive angular-frequency grid in omega_E,
-    ``spectrum`` [n_shells, n_freq], and ``omega_peak`` [n_shells]."""
+    ``spectrum``/``spectrum_t`` [n_shells, n_freq] (transverse is the
+    per-polarization mean over the two shear polarizations), and
+    ``omega_peak``/``omega_peak_t`` [n_shells].  ``omega_peak_t`` is 0
+    where the shear spectrum's maximum sits in the FIRST nonzero bin:
+    an overdamped (Lorentzian-at-0) spectrum is monotone in omega, and
+    after mean subtraction + windowing its power lands exactly there,
+    so "peak at bin 1" and "no propagating mode" are indistinguishable
+    at the window's resolution — 0 is the honest report."""
     rows = read_rows(os.path.join(job_dir, "J_interval0.dat"))
     # append-mode files can hold several runs (the reference's fopen
     # "a" convention); the step counter resets at each restart.  Keep
@@ -256,26 +268,45 @@ def lccf_spectrum(job_dir: str, timestep: float = 0.002,
     if max_shell is not None:
         sel &= k2 <= max_shell
     khat = kint[sel] / np.sqrt(k2[sel])[:, None]
-    JL = np.einsum("ska,ka->sk", J[:, sel], khat)  # [S, K']
+    JL = np.einsum("ska,ka->sk", J[:, sel], khat)       # [S, K']
+    JT = J[:, sel] - JL[..., None] * khat[None]         # [S, K', 3]
 
-    win = np.hanning(S)[:, None]
-    JLw = (JL - JL.mean(axis=0)) * win
-    # J_L(k,t) is complex per k; fold the two-sided spectrum onto
-    # positive omega (statistically symmetric for a stationary current)
-    full = np.abs(np.fft.fft(JLw, axis=0)) ** 2     # [S, K']
     omega = 2.0 * np.pi * np.fft.rfftfreq(S, d=dt)
-    power = full[:omega.size].copy()
-    pos = np.arange(1, omega.size)
-    neg = S - pos
-    keep = neg != pos                   # even-S Nyquist bin is its own pair
-    power[pos[keep]] += full[neg[keep]]
+    win = np.hanning(S)
+
+    def folded_power(x):
+        # x [S, ...]: J(k,t) is complex per k; fold the two-sided
+        # spectrum onto positive omega (statistically symmetric for a
+        # stationary current)
+        xw = (x - x.mean(axis=0)) * win.reshape(
+            (S,) + (1,) * (x.ndim - 1))
+        full = np.abs(np.fft.fft(xw, axis=0)) ** 2      # [S, ...]
+        power = full[:omega.size].copy()
+        pos = np.arange(1, omega.size)
+        neg = S - pos
+        keep = neg != pos               # even-S Nyquist bin is its own pair
+        power[pos[keep]] += full[neg[keep]]
+        return power
+
+    power_l = folded_power(JL)                          # [F, K']
+    # two shear polarizations: sum component powers (the residual's
+    # basis-free invariant), then report the per-polarization mean
+    power_t = folded_power(JT).sum(axis=2) / 2.0        # [F, K']
 
     shells = np.unique(k2[sel])
-    spec = np.stack([power[:, k2[sel] == s].mean(axis=1) for s in shells])
-    # peak above omega=0 (the DC/hydrodynamic bin is excluded)
+    shell_avg = lambda p: np.stack(
+        [p[:, k2[sel] == s].mean(axis=1) for s in shells])
+    spec = shell_avg(power_l)
+    spec_t = shell_avg(power_t)
+    # longitudinal peak above omega=0 (the DC/hydrodynamic bin is
+    # excluded: the plasmon branch never sits at 0); transverse: a max
+    # in the first nonzero bin is overdamped relaxation, reported as 0
     omega_peak = omega[1 + spec[:, 1:].argmax(axis=1)]
+    idx_t = 1 + spec_t[:, 1:].argmax(axis=1)
+    omega_peak_t = np.where(idx_t > 1, omega[idx_t], 0.0)
     return dict(k_int2=shells, k=np.sqrt(shells.astype(float)),
-                omega=omega, spectrum=spec, omega_peak=omega_peak)
+                omega=omega, spectrum=spec, omega_peak=omega_peak,
+                spectrum_t=spec_t, omega_peak_t=omega_peak_t)
 
 
 def green_kubo_diffusion(vaf, *, plateau_frac: float = 0.25) -> dict:

@@ -673,15 +673,8 @@ def canonical_run_cfg(cfg: CoolingConfig) -> CoolingConfig:
 
 def latest_checkpoint(directory: str) -> Optional[int]:
     """Highest c0 among native checkpoints in a run directory."""
-    import glob
-    import os
-    import re
-    cs = []
-    for p in glob.glob(os.path.join(directory, "checkpoint_*.npz")):
-        m = re.search(r"checkpoint_(\d+)\.npz$", p)
-        if m:
-            cs.append(int(m.group(1)))
-    return max(cs) if cs else None
+    from ..io.checkpoint import latest_native_checkpoint
+    return latest_native_checkpoint(directory)
 
 
 def run(cfg: CoolingConfig, seed: Optional[int] = None,

@@ -209,3 +209,15 @@ def latest_ascii_checkpoint(directory: str) -> Optional[int]:
           for p in glob.glob(os.path.join(directory, "ions_timestep*.dat"))
           if (m := re.search(r"ions_timestep(\d+)\.dat$", p))]
     return max(cs) if cs else None
+
+
+def latest_native_checkpoint(directory: str) -> Optional[int]:
+    """Highest c0 among the native ``checkpoint_*.npz`` files (the
+    counterpart of :func:`latest_ascii_checkpoint` for newest-wins
+    cross-format discovery)."""
+    import glob
+    import re
+    cs = [int(m.group(1))
+          for p in glob.glob(os.path.join(directory, "checkpoint_*.npz"))
+          if (m := re.search(r"checkpoint_(\d+)\.npz$", p))]
+    return max(cs) if cs else None

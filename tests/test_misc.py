@@ -409,13 +409,9 @@ class TestLCCFSpectrum:
         for q, pk in zip(out["k_int2"], out["omega_peak"]):
             assert abs(pk - om[q]) <= dw + 1e-12, (q, pk, om[q])
 
-    def test_transverse_current_is_silent(self, tmp_path):
-        """A purely transverse J leaves the longitudinal spectrum at the
-        noise floor — the k_hat projection really selects the
-        longitudinal mode."""
-        from mdqtplasmasims_tpu.analysis import lccf_spectrum
-        d = str(tmp_path)
-        S, lam, sf, dt = 128, 2, 40, 0.002
+    @staticmethod
+    def _write_transverse_j(d, signal, S=128, lam=2, sf=40, dt=0.002):
+        """J(k,t) = perp_hat(k) * signal(t): purely transverse current."""
         ks = np.stack(np.meshgrid(*[np.arange(lam)] * 3,
                                   indexing="ij"), -1).reshape(-1, 3)
         rows = []
@@ -431,12 +427,42 @@ class TestLCCFSpectrum:
             block = np.zeros((ks.shape[0], 10))
             block[:, 0] = s * sf
             block[:, 1:4] = ks
-            block[:, 4:10:2] = perp * np.cos(1.3 * t)
+            block[:, 4:10:2] = perp * signal(t)
             rows.append(block)
         np.savetxt(os.path.join(d, "J_interval0.dat"),
                    np.concatenate(rows))
+
+    def test_transverse_current_is_silent(self, tmp_path):
+        """A purely transverse J leaves the longitudinal spectrum at the
+        noise floor — the k_hat projection really selects the
+        longitudinal mode — while the transverse branch recovers the
+        injected shear frequency."""
+        from mdqtplasmasims_tpu.analysis import lccf_spectrum
+        d = str(tmp_path)
+        self._write_transverse_j(d, lambda t: np.cos(1.3 * t))
         out = lccf_spectrum(d)
         assert float(out["spectrum"].max()) < 1e-12
+        dw = out["omega"][1] - out["omega"][0]
+        assert np.all(np.abs(out["omega_peak_t"] - 1.3) <= dw + 1e-12)
+
+    def test_longitudinal_current_leaves_transverse_silent(self, tmp_path):
+        """The converse projection check: a purely longitudinal J puts
+        nothing in the transverse residual."""
+        from mdqtplasmasims_tpu.analysis import lccf_spectrum
+        d = str(tmp_path)
+        self._write_j(d, {1: 1.7, 2: 1.4, 3: 1.1}, noise=0.0)
+        out = lccf_spectrum(d)
+        assert float(out["spectrum_t"].max()) < 1e-12
+
+    def test_nonpropagating_shear_peaks_at_zero(self, tmp_path):
+        """An overdamped (monotone-relaxing) transverse current reports
+        omega_peak_t = 0 — the physical no-propagating-shear answer the
+        omega=0 bin is kept in the transverse search for."""
+        from mdqtplasmasims_tpu.analysis import lccf_spectrum
+        d = str(tmp_path)
+        self._write_transverse_j(d, lambda t: np.exp(-0.1 * t))
+        out = lccf_spectrum(d)
+        assert np.all(out["omega_peak_t"] == 0.0)
 
     def test_append_mode_restart_uses_newest_run(self, tmp_path):
         """An append-mode J_interval0.dat holding two runs (the

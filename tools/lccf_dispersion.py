@@ -8,8 +8,9 @@ analysis.  This tool completes the physics: it runs a laser-free
 flagship config (om = om_dp = 0 — a pure Yukawa OCP that
 disorder-induced-heats to Gamma ~ 2.5 and then evolves freely), records
 J_interval0.dat, and extracts the longitudinal mode dispersion
-omega_L(k) via analysis.lccf_spectrum, comparing each k-shell's peak
-against the Debye-screened cold-plasmon law
+omega_L(k) via analysis.lccf_spectrum (plus the transverse shear branch
+omega_T(k) — 0 where no propagating mode resolves), comparing each
+k-shell's longitudinal peak against the Debye-screened cold-plasmon law
 
     omega(k) = omega_pl * k / sqrt(k^2 + kappa^2),
     omega_pl = sqrt(3) omega_E,  kappa = sqrt(3 Ge)
@@ -75,15 +76,20 @@ def main():
           f"omega_pl={math.sqrt(3):.3f} omega_E  "
           f"(wall {wall:.1f}s, {len(spec['k_int2'])} shells, "
           f"d_omega={dw:.3f})")
-    print("# |n|^2   k [1/a]   omega_peak   omega_theory   ratio")
+    print("# |n|^2   k [1/a]   omega_peak   omega_theory   ratio   omega_T")
     rows = []
-    for q, kn, pk in zip(spec["k_int2"], spec["k"], spec["omega_peak"]):
+    for q, kn, pk, pt in zip(spec["k_int2"], spec["k"],
+                             spec["omega_peak"], spec["omega_peak_t"]):
         k = 2.0 * math.pi * kn / L
         th = math.sqrt(3.0) * k / math.sqrt(k * k + kappa * kappa)
         rows.append(dict(n2=int(q), k=k, omega_peak=float(pk),
-                         omega_theory=th, ratio=float(pk) / th))
+                         omega_theory=th, ratio=float(pk) / th,
+                         omega_peak_t=float(pt)))
+        # omega_T: shear-wave branch (0 = no propagating mode resolved;
+        # expected at the post-DIH Gamma ~ 2.5 — transverse sound needs
+        # Gamma >~ 5)
         print(f"  {q:5d}   {k:7.3f}   {pk:10.3f}   {th:12.3f}   "
-              f"{pk / th:5.3f}")
+              f"{pk / th:5.3f}   {pt:7.3f}")
     with open(os.path.join(args.out, "dispersion.json"), "w") as f:
         json.dump(dict(n0=cfg.n0, tmax=cfg.tmax, kappa=kappa,
                        d_omega=dw, wall_s=wall, rows=rows), f, indent=1)
