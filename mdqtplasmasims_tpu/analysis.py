@@ -378,23 +378,240 @@ def structure_factor_from_checkpoint(job_dir: str, *,
                                      lambda_frac: int = 12,
                                      max_shell: Optional[int] = None
                                      ) -> dict:
-    """S(k) shells from a job directory's newest ASCII checkpoint
-    positions (``conditions_timestepXXXXXX.dat``).
+    """S(k) shells from a job directory's newest checkpoint positions —
+    ASCII (``conditions_timestepXXXXXX.dat``) or native
+    (``checkpoint_XXXXXX.npz``), whichever is later (the same
+    newest-wins cross-format rule the resume paths use).
 
     ``n0`` sets the box via ``PlasmaUnits.box_length(n0)`` when the
     configured ion count differs from the realized one (Poissonian-N
     runs sample N around N0 but the cell is sized by N0,
     laserCooling...SpeedUp.cpp:297); by default the row count is used
     (exact for ``exact_n`` runs and the whole transport family)."""
-    from .io.checkpoint import latest_ascii_checkpoint, read_conditions
+    from .io.checkpoint import (latest_ascii_checkpoint,
+                                latest_native_checkpoint, load_native,
+                                read_conditions)
     from .units import PlasmaUnits
-    c0 = latest_ascii_checkpoint(job_dir)
-    if c0 is None:
-        raise ValueError(f"{job_dir}: no ions_timestep*.dat checkpoint "
-                         "to read positions from")
-    R, _ = read_conditions(job_dir, c0)
+    ca = latest_ascii_checkpoint(job_dir)
+    cn = latest_native_checkpoint(job_dir)
+    if ca is None and cn is None:
+        raise ValueError(f"{job_dir}: no ions_timestep*.dat or "
+                         "checkpoint_*.npz checkpoint to read positions "
+                         "from")
+    if cn is not None and (ca is None or cn >= ca):
+        R, c0 = load_native(job_dir, cn)["R"], cn
+    else:
+        (R, _), c0 = read_conditions(job_dir, ca), ca
     out = structure_factor_shells(
         R, PlasmaUnits.box_length(n0 if n0 is not None else R.shape[0]),
         lambda_frac=lambda_frac, max_shell=max_shell)
     out["c0"] = c0
     return out
+
+
+def analyze_job(job_dir: str, *, timestep: float = 0.002,
+                max_shell: Optional[int] = None, skip: int = 0) -> dict:
+    """One-call numeric summary of everything a job directory's .dat
+    output tree supports: energies/audit, per-axis temperatures,
+    Green-Kubo diffusion from the VAF, longitudinal + transverse
+    collective-mode dispersion from J_interval0.dat, static structure
+    from the newest checkpoint, g(r) first peak, tagged moments.
+
+    The reference leaves all post-processing to the user (README.md:
+    61-67 stops at "average the quantities recorded in each job
+    subfolder"); this is the companion the quicklook plots
+    (:mod:`quicklook`) draw from, as numbers.  Every section is gated
+    on its file being present and parseable — a partial tree yields a
+    partial report plus a ``notes`` list naming what was skipped and
+    why, never an exception.  Exposed as ``mdqt analyze``."""
+    from .quicklook import _latest, _load
+
+    report: dict = {"job_dir": job_dir, "notes": []}
+    if not os.path.isdir(job_dir):
+        raise ValueError(f"{job_dir}: not a directory")
+
+    e = _load(os.path.join(job_dir, "energies.dat"), time_indexed=True)
+    if e is not None:
+        sec = {"n_samples": int(e.shape[0]),
+               "t_first": float(e[0, 0]), "t_last": float(e[-1, 0])}
+        if e.shape[1] >= 4:
+            sec["ekin_final"] = [float(v) for v in e[-1, 1:4]]
+            if e.shape[1] >= 6:
+                # col 5 is E(t) - E(0): 0 for closed MD, monotone
+                # negative while lasers cool (laser_cooling.py writer)
+                sec["audit_final"] = float(e[-1, 5])
+                sec["audit_max_abs"] = float(np.abs(e[:, 5]).max())
+        else:                        # three-state layout: t, EkinX
+            sec["ekin_final"] = [float(e[-1, 1])]
+        report["energies"] = sec
+
+    ta = _load(os.path.join(job_dir,
+                            "TemperaturesAlongAxesInstantaneous.dat"),
+               time_indexed=True)
+    if ta is not None and ta.shape[1] >= 4:
+        tf = ta[-1, 1:4]
+        report["temperature"] = {
+            "t_final": [float(v) for v in tf],
+            "anisotropy_final": float(
+                (tf.max() - tf.min()) / (tf.mean() or 1.0)),
+            "n_samples": int(ta.shape[0])}
+    else:
+        tmp = _load(os.path.join(job_dir, "temperature.dat"))
+        if tmp is not None:
+            report["temperature"] = {"t_final": [float(tmp[-1, 0])],
+                                     "n_samples": int(tmp.shape[0])}
+
+    vaf_path = os.path.join(job_dir, "VAF.dat")
+    if not os.path.exists(vaf_path):
+        vaf_path = _latest(job_dir, "VAF_interval*.dat")
+    if vaf_path:
+        try:
+            gk = green_kubo_diffusion(vaf_path)
+            report["diffusion"] = {
+                "d": gk["d"], "drift": gk["drift"],
+                "vaf0": float(np.loadtxt(vaf_path, ndmin=2)[0, 1]),
+                "source": os.path.basename(vaf_path)}
+        except ValueError as err:
+            report["notes"].append(f"diffusion skipped: {err}")
+
+    if os.path.exists(os.path.join(job_dir, "J_interval0.dat")):
+        try:
+            sp = lccf_spectrum(job_dir, timestep=timestep,
+                               max_shell=max_shell, skip=skip)
+            report["dispersion"] = {
+                "k_int2": [int(q) for q in sp["k_int2"]],
+                "omega_peak": [float(v) for v in sp["omega_peak"]],
+                "omega_peak_t": [float(v) for v in sp["omega_peak_t"]],
+                "d_omega": float(sp["omega"][1] - sp["omega"][0])}
+        except ValueError as err:
+            report["notes"].append(f"dispersion skipped: {err}")
+
+    try:
+        sf = structure_factor_from_checkpoint(job_dir,
+                                              max_shell=max_shell)
+        i = int(np.argmax(sf["s"]))
+        report["structure"] = {
+            "s_peak": float(sf["s"][i]), "k_peak": float(sf["k"][i]),
+            "checkpoint": int(sf["c0"])}
+    except ValueError:
+        pass                      # no checkpoint in the tree — common
+
+    gr = _latest(job_dir, "pairPairCorrStepNum*.dat")
+    gra = _load(gr) if gr else None
+    if gra is not None and gra.shape[1] >= 2:
+        i = int(np.argmax(gra[:, 1]))
+        report["gofr"] = {"peak_g": float(gra[i, 1]),
+                          "peak_r": float(gra[i, 0]),
+                          "source": os.path.basename(gr)}
+
+    tm = _load(os.path.join(job_dir, "taggedMoments.dat"),
+               time_indexed=True)
+    if tm is not None and tm.shape[1] >= 3:
+        report["tagged"] = {
+            "n_samples": int(tm.shape[0]),
+            "first": [float(v) for v in tm[0, 1:]],
+            "final": [float(v) for v in tm[-1, 1:]]}
+
+    if len(report) == 2:          # only job_dir + notes
+        raise ValueError(f"{job_dir}: no recognized .dat output found")
+    return report
+
+
+def format_job_report(report: dict) -> str:
+    """Render :func:`analyze_job`'s dict as an aligned text report."""
+    L = [f"job: {report['job_dir']}"]
+    if "energies" in report:
+        s = report["energies"]
+        ek = "  ".join(f"{v:.4g}" for v in s["ekin_final"])
+        L.append(f"energies     {s['n_samples']} samples, "
+                 f"t = {s['t_first']:g} .. {s['t_last']:g};  "
+                 f"Ekin final [{ek}]")
+        if "audit_final" in s:
+            L.append(f"  audit      E(t)-E(0) final {s['audit_final']:+.4g}"
+                     f"  (max |.| {s['audit_max_abs']:.4g})")
+    if "temperature" in report:
+        s = report["temperature"]
+        tf = "  ".join(f"{v:.4g}" for v in s["t_final"])
+        extra = (f"  anisotropy {s['anisotropy_final']:+.3f}"
+                 if "anisotropy_final" in s else "")
+        L.append(f"temperature  final [{tf}]{extra}")
+    if "diffusion" in report:
+        s = report["diffusion"]
+        L.append(f"diffusion    D = {s['d']:.4g} a^2 omega_E  "
+                 f"(plateau drift {100 * s['drift']:.1f}%, "
+                 f"VAF(0) = {s['vaf0']:.4g}, {s['source']})")
+    if "dispersion" in report:
+        s = report["dispersion"]
+        L.append(f"dispersion   {len(s['k_int2'])} shells, "
+                 f"d_omega = {s['d_omega']:.3f} omega_E   "
+                 "(omega_T = 0: no propagating shear)")
+        L.append("  |n|^2  omega_L  omega_T")
+        for q, wl, wt in zip(s["k_int2"], s["omega_peak"],
+                             s["omega_peak_t"]):
+            L.append(f"  {q:5d}  {wl:7.3f}  {wt:7.3f}")
+    if "structure" in report:
+        s = report["structure"]
+        L.append(f"structure    S(k) peak {s['s_peak']:.3f} at "
+                 f"k = {s['k_peak']:.3f}/a  "
+                 f"(checkpoint {s['checkpoint']})")
+    if "gofr" in report:
+        s = report["gofr"]
+        L.append(f"g(r)         peak {s['peak_g']:.3f} at "
+                 f"r = {s['peak_r']:.3f} a  ({s['source']})")
+    if "tagged" in report:
+        s = report["tagged"]
+        fin = "  ".join(f"{v:.4g}" for v in s["final"])
+        L.append(f"tagged       {s['n_samples']} samples, final [{fin}]")
+    for n in report.get("notes", []):
+        L.append(f"note: {n}")
+    return "\n".join(L)
+
+
+def analyze_ensemble(param_dir: str, **kw) -> dict:
+    """:func:`analyze_job` over every ``job*`` subdirectory of one
+    parameter directory, plus pooled mean +- sd of the scalar
+    observables across jobs (the reference README's "average the
+    quantities recorded in each job subfolder", README.md:61-67, as one
+    call).  ``kw`` is forwarded to :func:`analyze_job`.
+
+    Returns ``jobs`` (per-job reports, job order) and ``pooled``:
+    {section.key: {mean, sd, n}} for every numeric scalar that at least
+    two jobs report."""
+    dirs = job_dirs(param_dir)
+    if not dirs:
+        raise ValueError(f"{param_dir}: no job* subdirectories")
+    jobs = []
+    for d in dirs:
+        try:
+            jobs.append(analyze_job(d, **kw))
+        except ValueError as err:
+            jobs.append({"job_dir": d, "notes": [f"skipped: {err}"]})
+    pooled: Dict[str, dict] = {}
+    scalar_keys = [("diffusion", "d"), ("diffusion", "vaf0"),
+                   ("structure", "s_peak"), ("structure", "k_peak"),
+                   ("gofr", "peak_g"), ("gofr", "peak_r"),
+                   ("energies", "audit_final")]
+    for sec, key in scalar_keys:
+        vals = np.array([j[sec][key] for j in jobs
+                         if sec in j and key in j[sec]], np.float64)
+        if len(vals) >= 2:
+            pooled[f"{sec}.{key}"] = {
+                "mean": float(vals.mean()),
+                "sd": float(vals.std(ddof=1)), "n": int(len(vals))}
+    return {"param_dir": param_dir, "jobs": jobs, "pooled": pooled}
+
+
+def format_ensemble_report(report: dict) -> str:
+    """Render :func:`analyze_ensemble` as text: the pooled table, then
+    each job's report."""
+    L = [f"ensemble: {report['param_dir']} "
+         f"({len(report['jobs'])} jobs)"]
+    if report["pooled"]:
+        L.append(f"  {'observable':22s} {'mean':>10s} {'sd':>10s}  n")
+        for k, s in report["pooled"].items():
+            L.append(f"  {k:22s} {s['mean']:10.4g} {s['sd']:10.4g}  "
+                     f"{s['n']}")
+    for j in report["jobs"]:
+        L.append("")
+        L.append(format_job_report(j))
+    return "\n".join(L)

@@ -23,6 +23,7 @@ from __future__ import annotations
 
 import argparse
 import dataclasses
+import os
 import sys
 import time
 import types
@@ -241,6 +242,23 @@ def main(argv=None) -> int:
     pp.add_argument("-o", "--out", default=None,
                     help="output PNG (default <job_dir>/quicklook.png)")
 
+    pa = sub.add_parser(
+        "analyze",
+        help="numeric summary of a job directory's .dat tree: energies/"
+             "audit, temperatures, Green-Kubo D, L+T dispersion, S(k), "
+             "g(r), tagged moments (analysis.analyze_job)")
+    pa.add_argument("job_dir")
+    pa.add_argument("--timestep", type=float, default=0.002,
+                    help="MD step in omega_E^-1 for the dispersion time "
+                         "axis (default 0.002)")
+    pa.add_argument("--max-shell", type=int, default=None,
+                    help="largest integer |k|^2 shell for dispersion/S(k)")
+    pa.add_argument("--skip", type=int, default=0,
+                    help="initial J samples to drop (e.g. the DIH "
+                         "transient)")
+    pa.add_argument("--json", action="store_true", dest="as_json",
+                    help="emit the report as JSON instead of text")
+
     ns = parser.parse_args(argv)
     if ns.cmd == "plot":
         from .quicklook import render
@@ -248,6 +266,29 @@ def main(argv=None) -> int:
             print(render(ns.job_dir, ns.out))
         except ValueError as e:
             parser.error(str(e))
+        return 0
+    if ns.cmd == "analyze":
+        import glob as _glob
+        from .analysis import (analyze_ensemble, analyze_job,
+                               format_ensemble_report, format_job_report)
+        # a parameter directory (job* subdirs) pools across jobs
+        ensemble = bool(_glob.glob(os.path.join(ns.job_dir, "job*")))
+        try:
+            if ensemble:
+                rep = analyze_ensemble(ns.job_dir, timestep=ns.timestep,
+                                       max_shell=ns.max_shell,
+                                       skip=ns.skip)
+            else:
+                rep = analyze_job(ns.job_dir, timestep=ns.timestep,
+                                  max_shell=ns.max_shell, skip=ns.skip)
+        except ValueError as e:
+            parser.error(str(e))
+        if ns.as_json:
+            import json
+            print(json.dumps(rep, indent=1))
+        else:
+            print(format_ensemble_report(rep) if ensemble
+                  else format_job_report(rep))
         return 0
     t0 = time.perf_counter()
     if ns.cmd == "cooling-sweep":

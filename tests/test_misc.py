@@ -593,3 +593,120 @@ class TestStaticStructureFactor:
             structure_factor_from_checkpoint)
         with pytest.raises(ValueError, match="no ions_timestep"):
             structure_factor_from_checkpoint(str(tmp_path))
+
+
+class TestAnalyzeJob:
+    """analysis.analyze_job / mdqt analyze: the one-call numeric report."""
+
+    def _make_tree(self, d):
+        """A synthetic job dir with known-answer observables."""
+        t = np.linspace(0.0, 10.0, 201)
+        # energies.dat cooling schema: t EkinX EkinY EkinZ Epot dE vxAvg
+        e = np.stack([t, 0.5 + 0 * t, 0.6 + 0 * t, 0.7 + 0 * t,
+                      -1.0 + 0 * t, -0.01 * t, 0 * t], -1)
+        np.savetxt(os.path.join(d, "energies.dat"), e)
+        # VAF = A exp(-t/tau): D = A*tau/3 analytically
+        A, tau = 0.9, 1.5
+        np.savetxt(os.path.join(d, "VAF.dat"),
+                   np.stack([t, A * np.exp(-t / tau)], -1))
+        np.savetxt(os.path.join(d, "taggedMoments.dat"),
+                   np.stack([t[:5], 0.1 + 0 * t[:5], 0.2 + 0 * t[:5]], -1))
+        # longitudinal current with a known per-shell frequency
+        TestLCCFSpectrum._write_j(TestLCCFSpectrum(), d,
+                                  {1: 1.7, 2: 1.4, 3: 1.1}, S=64, lam=2)
+
+    def test_report_sections_and_numbers(self, tmp_path):
+        from mdqtplasmasims_tpu.analysis import (analyze_job,
+                                                 format_job_report)
+        d = str(tmp_path)
+        self._make_tree(d)
+        rep = analyze_job(d)
+        assert rep["energies"]["n_samples"] == 201
+        assert rep["energies"]["ekin_final"] == [0.5, 0.6, 0.7]
+        assert rep["energies"]["audit_final"] == pytest.approx(-0.1)
+        # Green-Kubo against the analytic integral (window cut < 0.2%)
+        assert rep["diffusion"]["d"] == pytest.approx(0.9 * 1.5 / 3.0,
+                                                      rel=5e-3)
+        assert rep["diffusion"]["vaf0"] == pytest.approx(0.9)
+        om = dict(zip(rep["dispersion"]["k_int2"],
+                      rep["dispersion"]["omega_peak"]))
+        dw = rep["dispersion"]["d_omega"]
+        for q, target in {1: 1.7, 2: 1.4, 3: 1.1}.items():
+            assert abs(om[q] - target) <= dw + 1e-12
+        assert rep["tagged"]["final"] == [pytest.approx(0.1),
+                                          pytest.approx(0.2)]
+
+        text = format_job_report(rep)
+        assert "diffusion" in text and "omega_L" in text
+        assert "tagged" in text and "audit" in text
+
+    def test_partial_tree_reports_notes_not_exceptions(self, tmp_path):
+        """A directory with only a too-short J file yields a note, and a
+        directory with nothing recognized is a clean ValueError."""
+        from mdqtplasmasims_tpu.analysis import analyze_job
+        d = str(tmp_path)
+        np.savetxt(os.path.join(d, "energies.dat"),
+                   np.stack([np.arange(3.0), np.ones(3)], -1))
+        TestLCCFSpectrum._write_j(TestLCCFSpectrum(), d, {1: 1.0},
+                                  S=4, lam=2)   # < 8 samples
+        rep = analyze_job(d)
+        assert "dispersion" not in rep
+        assert any("dispersion skipped" in n for n in rep["notes"])
+        assert rep["energies"]["ekin_final"] == [1.0]
+
+        empty = tmp_path / "empty"
+        empty.mkdir()
+        with pytest.raises(ValueError, match="no recognized"):
+            analyze_job(str(empty))
+
+    def test_cli_analyze(self, tmp_path):
+        import json
+        from mdqtplasmasims_tpu.cli import main as cli_main
+        d = str(tmp_path)
+        self._make_tree(d)
+        assert cli_main(["analyze", d]) == 0
+        # --json emits a parseable report (captured via a pipe file)
+        import contextlib
+        import io as _io
+        buf = _io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            assert cli_main(["analyze", d, "--json"]) == 0
+        rep = json.loads(buf.getvalue())
+        assert rep["energies"]["n_samples"] == 201
+        empty = tmp_path / "empty"
+        empty.mkdir()
+        with pytest.raises(SystemExit):
+            cli_main(["analyze", str(empty)])
+
+    def test_analyze_ensemble_pools_scalars(self, tmp_path):
+        """A parameter directory (job* subdirs) pools scalar observables
+        across jobs; the CLI auto-detects it."""
+        from mdqtplasmasims_tpu.analysis import (analyze_ensemble,
+                                                 format_ensemble_report)
+        for j in (1, 2, 3):
+            d = tmp_path / f"job{j}"
+            d.mkdir()
+            self._make_tree(str(d))
+        rep = analyze_ensemble(str(tmp_path))
+        assert len(rep["jobs"]) == 3
+        assert rep["pooled"]["diffusion.d"]["n"] == 3
+        assert rep["pooled"]["diffusion.d"]["mean"] == pytest.approx(
+            0.9 * 1.5 / 3.0, rel=5e-3)
+        assert rep["pooled"]["diffusion.d"]["sd"] == pytest.approx(0.0)
+        text = format_ensemble_report(rep)
+        assert "ensemble:" in text and "diffusion.d" in text
+
+        from mdqtplasmasims_tpu.cli import main as cli_main
+        import contextlib
+        import io as _io
+        buf = _io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            assert cli_main(["analyze", str(tmp_path)]) == 0
+        assert "3 jobs" in buf.getvalue()
+
+        # a job dir that fails to parse becomes a note, not a crash
+        bad = tmp_path / "job4"
+        bad.mkdir()
+        rep = analyze_ensemble(str(tmp_path))
+        assert any("skipped" in n for j in rep["jobs"]
+                   for n in j.get("notes", []))
