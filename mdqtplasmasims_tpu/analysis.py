@@ -320,29 +320,55 @@ def green_kubo_diffusion(vaf, *, plateau_frac: float = 0.25) -> dict:
     pipeline.  ``vaf`` is the VAF.dat content — an [T, 2] array of
     (t, VAF) rows, or a path to the file.
 
-    Returns ``t`` [T], the running integral ``d_of_t`` [T] (units
+    Interval-VAF files hold several appended segments (the reference
+    restarts the correlation window per interval and appends, each
+    segment's time axis starting at its interval's absolute start —
+    frozen-tag VAF.dat, VAF_interval*.dat across restarts).  Segments
+    are split at time-axis resets, rebased to lag tau = t - t0, and
+    C(tau) is averaged across them before integrating — the pooled
+    Green-Kubo estimator.
+
+    Returns ``t`` [T] (lag), the running integral ``d_of_t`` [T] (units
     a^2 omega_E), the plateau estimate ``d`` (mean of the trailing
-    ``plateau_frac`` of the window), and ``drift`` — the relative
-    change of D(t) across that trailing window (|last-first|/|d|),
-    a convergence diagnostic: a large drift means the VAF has not
-    decayed within the recorded window and ``d`` is still truncated."""
+    ``plateau_frac`` of the window), ``n_segments``, and ``drift`` —
+    the relative change of D(t) across that trailing window
+    (|last-first|/|d|), a convergence diagnostic: a large drift means
+    the VAF has not decayed within the recorded window and ``d`` is
+    still truncated."""
     if isinstance(vaf, (str, os.PathLike)):
         vaf = read_rows(os.fspath(vaf), expect_cols=2)
     vaf = np.asarray(vaf, dtype=float)
     if vaf.ndim != 2 or vaf.shape[1] < 2 or vaf.shape[0] < 4:
         raise ValueError("expected [T>=4, 2] rows of (t, VAF)")
-    t, c = vaf[:, 0], vaf[:, 1]
-    dt = np.diff(t)
+    resets = np.flatnonzero(np.diff(vaf[:, 0]) < 0)
+    segs = np.split(vaf, resets + 1)
+    n = min(s.shape[0] for s in segs)
+    if n < 4:
+        raise ValueError(f"VAF segments as short as {n} rows — need >= 4")
+    lag = segs[0][:n, 0] - segs[0][0, 0]
+    # interval starts need not sit on the sampling grid (the window
+    # opens mid-step), so per-segment lags can differ by a sub-spacing
+    # offset; only a genuinely different cadence (which diverges past a
+    # spacing fraction) is unpoolable
+    tol = 0.26 * float(np.median(np.diff(lag))) if n > 1 else 0.0
+    for s in segs[1:]:
+        if not np.allclose(s[:n, 0] - s[0, 0], lag, rtol=0.0, atol=tol):
+            raise ValueError(
+                "appended VAF segments have mismatched lag grids — "
+                "analyze the segments separately")
+    dt = np.diff(lag)
     if np.any(dt <= 0):
-        raise ValueError("VAF time axis is not strictly increasing "
-                         "(an appended restart? keep one run)")
+        raise ValueError("VAF lag axis is not strictly increasing "
+                         "within a segment")
+    c = np.mean([s[:n, 1] for s in segs], axis=0)
     d_of_t = np.concatenate(
         [[0.0], np.cumsum(0.5 * (c[1:] + c[:-1]) * dt)]) / 3.0
-    k0 = int(round((1.0 - plateau_frac) * (len(t) - 1)))
+    k0 = int(round((1.0 - plateau_frac) * (n - 1)))
     window = d_of_t[k0:]
     d = float(window.mean())
     drift = float(abs(window[-1] - window[0]) / (abs(d) or 1.0))
-    return dict(t=t, d_of_t=d_of_t, d=d, drift=drift)
+    return dict(t=lag, d_of_t=d_of_t, d=d, drift=drift,
+                n_segments=len(segs))
 
 
 def structure_factor_shells(R, L: float, *, lambda_frac: int = 12,
@@ -469,6 +495,7 @@ def analyze_job(job_dir: str, *, timestep: float = 0.002,
             gk = green_kubo_diffusion(vaf_path)
             report["diffusion"] = {
                 "d": gk["d"], "drift": gk["drift"],
+                "n_segments": gk["n_segments"],
                 "vaf0": float(np.loadtxt(vaf_path, ndmin=2)[0, 1]),
                 "source": os.path.basename(vaf_path)}
         except ValueError as err:
@@ -537,9 +564,11 @@ def format_job_report(report: dict) -> str:
         L.append(f"temperature  final [{tf}]{extra}")
     if "diffusion" in report:
         s = report["diffusion"]
+        nseg = (f", {s['n_segments']} intervals pooled"
+                if s.get("n_segments", 1) > 1 else "")
         L.append(f"diffusion    D = {s['d']:.4g} a^2 omega_E  "
                  f"(plateau drift {100 * s['drift']:.1f}%, "
-                 f"VAF(0) = {s['vaf0']:.4g}, {s['source']})")
+                 f"VAF(0) = {s['vaf0']:.4g}, {s['source']}{nseg})")
     if "dispersion" in report:
         s = report["dispersion"]
         L.append(f"dispersion   {len(s['k_int2'])} shells, "

@@ -505,11 +505,38 @@ class TestGreenKuboDiffusion:
 
     def test_guards(self):
         from mdqtplasmasims_tpu.analysis import green_kubo_diffusion
+        # duplicate time inside a segment
         with pytest.raises(ValueError, match="increasing"):
             green_kubo_diffusion(
-                np.array([[0.0, 1.0], [1.0, 0.5], [0.5, 0.2], [2.0, 0.1]]))
+                np.array([[0.0, 1.0], [1.0, 0.5], [1.0, 0.2], [2.0, 0.1]]))
         with pytest.raises(ValueError, match=r"\[T>=4, 2\]"):
             green_kubo_diffusion(np.zeros((2, 2)))
+        # a time reset splits segments; 2-row segments are too short
+        with pytest.raises(ValueError, match="as short as"):
+            green_kubo_diffusion(
+                np.array([[0.0, 1.0], [1.0, 0.5], [0.5, 0.2], [2.0, 0.1]]))
+        # appended segments with different lag spacings can't be pooled
+        a = np.stack([np.linspace(0, 2, 5), np.ones(5)], -1)
+        b = np.stack([np.linspace(0, 4, 5), np.ones(5)], -1)
+        with pytest.raises(ValueError, match="mismatched lag"):
+            green_kubo_diffusion(np.concatenate([a, b]))
+
+    def test_appended_intervals_are_pooled(self):
+        """The reference's interval-VAF convention — several segments
+        appended to one file, each time axis starting at its interval's
+        absolute start — is pooled: C(tau) averaged across segments
+        (frozen-tag VAF.dat holds exactly this)."""
+        from mdqtplasmasims_tpu.analysis import green_kubo_diffusion
+        nu = 2.0
+        t = np.linspace(0.0, 20.0, 2001)
+        seg = lambda t0, A: np.stack(
+            [t0 + t, A * np.exp(-nu * t)], -1)
+        pooled = green_kubo_diffusion(
+            np.concatenate([seg(15.0, 0.8), seg(10.0, 1.2)]))
+        assert pooled["n_segments"] == 2
+        # mean amplitude 1.0: D = A/(3 nu)
+        assert abs(pooled["d"] - 1.0 / (3.0 * nu)) < 2e-4
+        assert pooled["t"][0] == 0.0            # lag-rebased axis
 
     def test_transport_soak_artifact_plateaus(self):
         """The committed production transport soak (Gamma=3, kappa=0.5,
