@@ -330,7 +330,8 @@ def green_kubo_diffusion(vaf, *, plateau_frac: float = 0.25) -> dict:
 
     Returns ``t`` [T] (lag), the running integral ``d_of_t`` [T] (units
     a^2 omega_E), the plateau estimate ``d`` (mean of the trailing
-    ``plateau_frac`` of the window), ``n_segments``, and ``drift`` —
+    ``plateau_frac`` of the window), ``n_segments``, ``vaf0`` (the
+    segment-pooled C(0)), and ``drift`` —
     the relative change of D(t) across that trailing window
     (|last-first|/|d|), a convergence diagnostic: a large drift means
     the VAF has not decayed within the recorded window and ``d`` is
@@ -368,7 +369,7 @@ def green_kubo_diffusion(vaf, *, plateau_frac: float = 0.25) -> dict:
     d = float(window.mean())
     drift = float(abs(window[-1] - window[0]) / (abs(d) or 1.0))
     return dict(t=lag, d_of_t=d_of_t, d=d, drift=drift,
-                n_segments=len(segs))
+                n_segments=len(segs), vaf0=float(c[0]))
 
 
 def structure_factor_shells(R, L: float, *, lambda_frac: int = 12,
@@ -496,7 +497,7 @@ def analyze_job(job_dir: str, *, timestep: float = 0.002,
             report["diffusion"] = {
                 "d": gk["d"], "drift": gk["drift"],
                 "n_segments": gk["n_segments"],
-                "vaf0": float(np.loadtxt(vaf_path, ndmin=2)[0, 1]),
+                "vaf0": gk["vaf0"],
                 "source": os.path.basename(vaf_path)}
         except ValueError as err:
             report["notes"].append(f"diffusion skipped: {err}")
@@ -522,6 +523,9 @@ def analyze_job(job_dir: str, *, timestep: float = 0.002,
             "checkpoint": int(sf["c0"])}
     except ValueError:
         pass                      # no checkpoint in the tree — common
+    except OSError as err:        # half-written checkpoint set (e.g. a
+        report["notes"].append(   # crash between write_ions and
+            f"structure skipped: {err}")  # write_conditions)
 
     gr = _latest(job_dir, "pairPairCorrStepNum*.dat")
     gra = _load(gr) if gr else None

@@ -109,7 +109,93 @@ def _build_cfg(cls, ns: argparse.Namespace):
     return cls(**kwargs)
 
 
+def _version_string() -> str:
+    try:
+        from importlib.metadata import version
+        return version("mdqtplasmasims_tpu")
+    except Exception:          # running from a source tree, not installed
+        return "0.1.0+src"
+
+
+def _add_host_subcommands(sub) -> None:
+    """The host-only (no JAX) subcommands: plot and analyze."""
+    pp = sub.add_parser(
+        "plot",
+        help="render the quicklook PNG summary of a job directory's "
+             ".dat output tree (any family; see quicklook.py)")
+    pp.add_argument("job_dir")
+    pp.add_argument("-o", "--out", default=None,
+                    help="output PNG (default <job_dir>/quicklook.png)")
+
+    pa = sub.add_parser(
+        "analyze",
+        help="numeric summary of a job directory's .dat tree: energies/"
+             "audit, temperatures, Green-Kubo D, L+T dispersion, S(k), "
+             "g(r), tagged moments (analysis.analyze_job)")
+    pa.add_argument("job_dir")
+    pa.add_argument("--timestep", type=float, default=0.002,
+                    help="MD step in omega_E^-1 for the dispersion time "
+                         "axis (default 0.002)")
+    pa.add_argument("--max-shell", type=int, default=None,
+                    help="largest integer |k|^2 shell for dispersion/S(k)")
+    pa.add_argument("--skip", type=int, default=0,
+                    help="initial J samples to drop (e.g. the DIH "
+                         "transient)")
+    pa.add_argument("--json", action="store_true", dest="as_json",
+                    help="emit the report as JSON instead of text")
+
+
+def _dispatch_host(ns, parser) -> int:
+    """Run a host-only subcommand (returns 0; errors via parser.error)."""
+    if ns.cmd == "plot":
+        from .quicklook import render
+        try:
+            print(render(ns.job_dir, ns.out))
+        except ValueError as e:
+            parser.error(str(e))
+        return 0
+    import glob as _glob
+    from .analysis import (analyze_ensemble, analyze_job,
+                           format_ensemble_report, format_job_report)
+    # a parameter directory (job* subdirs) pools across jobs
+    ensemble = bool(_glob.glob(os.path.join(ns.job_dir, "job*")))
+    try:
+        if ensemble:
+            rep = analyze_ensemble(ns.job_dir, timestep=ns.timestep,
+                                   max_shell=ns.max_shell,
+                                   skip=ns.skip)
+        else:
+            rep = analyze_job(ns.job_dir, timestep=ns.timestep,
+                              max_shell=ns.max_shell, skip=ns.skip)
+    except ValueError as e:
+        parser.error(str(e))
+    if ns.as_json:
+        import json
+        print(json.dumps(rep, indent=1))
+    else:
+        print(format_ensemble_report(rep) if ensemble
+              else format_job_report(rep))
+    return 0
+
+
 def main(argv=None) -> int:
+    args = sys.argv[1:] if argv is None else list(argv)
+    # fast path: --version / plot / analyze are pure host commands —
+    # dispatch them before the JAX + experiment-family imports and the
+    # compile-cache setup so `mdqt plot <dir>` doesn't stall on the
+    # axon plugin load (quicklook keeps matplotlib lazy for the same
+    # reason)
+    first_pos = next((a for a in args if not a.startswith("-")), None)
+    if (args and args[0] == "--version") or first_pos in ("plot",
+                                                          "analyze"):
+        parser = argparse.ArgumentParser(prog="mdqt")
+        parser.add_argument("--version", action="version",
+                            version=f"%(prog)s {_version_string()}")
+        sub = parser.add_subparsers(dest="cmd", required=True)
+        _add_host_subcommands(sub)
+        return _dispatch_host(parser.parse_args(args), parser)
+    argv = args
+
     from .util import enable_compilation_cache
     enable_compilation_cache()
     from .experiments import (frozen_tagging, laser_cooling,
@@ -132,13 +218,8 @@ def main(argv=None) -> int:
     }
 
     parser = argparse.ArgumentParser(prog="mdqt")
-    try:
-        from importlib.metadata import version
-        ver = version("mdqtplasmasims_tpu")
-    except Exception:          # running from a source tree, not installed
-        ver = "0.1.0+src"
     parser.add_argument("--version", action="version",
-                        version=f"%(prog)s {ver}")
+                        version=f"%(prog)s {_version_string()}")
     sub = parser.add_subparsers(dest="cmd", required=True)
     for name, (cls, _) in families.items():
         p = sub.add_parser(name)
@@ -234,62 +315,11 @@ def main(argv=None) -> int:
         pq.add_argument("--seed", type=int, default=0)
         _add_mesh_args(pq)
 
-    pp = sub.add_parser(
-        "plot",
-        help="render the quicklook PNG summary of a job directory's "
-             ".dat output tree (any family; see quicklook.py)")
-    pp.add_argument("job_dir")
-    pp.add_argument("-o", "--out", default=None,
-                    help="output PNG (default <job_dir>/quicklook.png)")
-
-    pa = sub.add_parser(
-        "analyze",
-        help="numeric summary of a job directory's .dat tree: energies/"
-             "audit, temperatures, Green-Kubo D, L+T dispersion, S(k), "
-             "g(r), tagged moments (analysis.analyze_job)")
-    pa.add_argument("job_dir")
-    pa.add_argument("--timestep", type=float, default=0.002,
-                    help="MD step in omega_E^-1 for the dispersion time "
-                         "axis (default 0.002)")
-    pa.add_argument("--max-shell", type=int, default=None,
-                    help="largest integer |k|^2 shell for dispersion/S(k)")
-    pa.add_argument("--skip", type=int, default=0,
-                    help="initial J samples to drop (e.g. the DIH "
-                         "transient)")
-    pa.add_argument("--json", action="store_true", dest="as_json",
-                    help="emit the report as JSON instead of text")
+    _add_host_subcommands(sub)
 
     ns = parser.parse_args(argv)
-    if ns.cmd == "plot":
-        from .quicklook import render
-        try:
-            print(render(ns.job_dir, ns.out))
-        except ValueError as e:
-            parser.error(str(e))
-        return 0
-    if ns.cmd == "analyze":
-        import glob as _glob
-        from .analysis import (analyze_ensemble, analyze_job,
-                               format_ensemble_report, format_job_report)
-        # a parameter directory (job* subdirs) pools across jobs
-        ensemble = bool(_glob.glob(os.path.join(ns.job_dir, "job*")))
-        try:
-            if ensemble:
-                rep = analyze_ensemble(ns.job_dir, timestep=ns.timestep,
-                                       max_shell=ns.max_shell,
-                                       skip=ns.skip)
-            else:
-                rep = analyze_job(ns.job_dir, timestep=ns.timestep,
-                                  max_shell=ns.max_shell, skip=ns.skip)
-        except ValueError as e:
-            parser.error(str(e))
-        if ns.as_json:
-            import json
-            print(json.dumps(rep, indent=1))
-        else:
-            print(format_ensemble_report(rep) if ensemble
-                  else format_job_report(rep))
-        return 0
+    if ns.cmd in ("plot", "analyze"):   # reachable via `mdqt --help` path
+        return _dispatch_host(ns, parser)
     t0 = time.perf_counter()
     if ns.cmd == "cooling-sweep":
         cfg = _build_cfg(laser_cooling.CoolingConfig, ns)

@@ -796,7 +796,9 @@ def write_outputs(directory: str, cfg: FrozenTagConfig, res: dict,
     # output gate (c0+1)%sampleFreq==0 (randomFrozenStartTag422Linear.cpp
     # :1009) first fires at c0 = n_md_a + first - 1 and then every
     # sampleFreq steps; the 408 variants additionally emit at the tag
-    # instant itself (c0 = n_md_a).
+    # instant itself, labeled c0_tag = n_md_a - 1 (the reference's
+    # counter runs one behind its completed step() calls — see the
+    # c0_tag derivation above).
     f = cfg.sample_freq
     first_len = f - (res["n_md_a"] % f)
     labels = [res["n_md_a"] + first_len - 1 + j * f

@@ -83,7 +83,9 @@ def make_sharded_md_step(scheduler_factory: Callable[[Callable], "CoolingSchedul
     ``"gather"`` (one all_gather of positions per refresh) or ``"ring"``
     (ppermute circulation, O(N/k) peak memory per chip — for huge N).
     """
-    assert forces in ("gather", "ring"), forces
+    if forces not in ("gather", "ring"):
+        raise ValueError(f"forces must be 'gather' or 'ring', got "
+                         f"{forces!r}")
     fn = (ring_forces_fn(L, ldeb) if forces == "ring"
           else sharded_forces_fn(L, ldeb))
     sched = scheduler_factory(fn)
@@ -206,7 +208,9 @@ def fused_local_stepper(sched: "CoolingScheduler", ldeb: float,
     from ..ops.yukawa import (yukawa_forces_n3l_soa,
                               yukawa_forces_n3l_soa_batched,
                               yukawa_forces_soa_cols_batched)
-    assert ion_forces in ("gather", "ring_n3l"), ion_forces
+    if ion_forces not in ("gather", "ring_n3l"):
+        raise ValueError(f"ion_forces must be 'gather' or 'ring_n3l', "
+                         f"got {ion_forces!r}")
 
     def local_run(states: SimState, n_steps: int, mask=None,
                   sweep_e0=None, sweep_om=None, split_last: bool = False):

@@ -135,7 +135,11 @@ def collect_panels(d: str):
         panels.append(("State populations vs velocity (last sample)",
                        pops))
 
-    vafs = sorted(glob.glob(os.path.join(d, "VAF_interval*.dat")))[:4]
+    # numeric-counter order, not lexicographic — interval10 must not
+    # sort between interval1 and interval2 (same pitfall as _earliest)
+    vafs = sorted(
+        glob.glob(os.path.join(d, "VAF_interval*.dat")),
+        key=lambda p: int(re.search(r"(\d+)\.dat$", p).group(1)))[:4]
     if not vafs and os.path.exists(os.path.join(d, "VAF.dat")):
         vafs = [os.path.join(d, "VAF.dat")]
     if vafs:

@@ -686,6 +686,20 @@ class TestAnalyzeJob:
         with pytest.raises(ValueError, match="no recognized"):
             analyze_job(str(empty))
 
+    def test_half_written_checkpoint_is_a_note(self, tmp_path):
+        """A crash between write_ions and write_conditions leaves an
+        ions_ file with no matching conditions_ — the structure section
+        must degrade to a note, not leak FileNotFoundError."""
+        from mdqtplasmasims_tpu.analysis import analyze_job
+        d = str(tmp_path)
+        np.savetxt(os.path.join(d, "energies.dat"),
+                   np.stack([np.arange(3.0), np.ones(3)], -1))
+        np.savetxt(os.path.join(d, "ions_timestep000099.dat"),
+                   np.zeros((5, 6)))
+        rep = analyze_job(d)
+        assert "structure" not in rep
+        assert any("structure skipped" in n for n in rep["notes"])
+
     def test_cli_analyze(self, tmp_path):
         import json
         from mdqtplasmasims_tpu.cli import main as cli_main
