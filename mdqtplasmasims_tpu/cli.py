@@ -318,7 +318,9 @@ def main(argv=None) -> int:
     _add_host_subcommands(sub)
 
     ns = parser.parse_args(argv)
-    if ns.cmd in ("plot", "analyze"):   # reachable via `mdqt --help` path
+    # defensive fallback only: the fast path in main() intercepts every
+    # plot/analyze invocation before the full parser is built
+    if ns.cmd in ("plot", "analyze"):
         return _dispatch_host(ns, parser)
     t0 = time.perf_counter()
     if ns.cmd == "cooling-sweep":

@@ -136,10 +136,13 @@ def collect_panels(d: str):
                        pops))
 
     # numeric-counter order, not lexicographic — interval10 must not
-    # sort between interval1 and interval2 (same pitfall as _earliest)
-    vafs = sorted(
-        glob.glob(os.path.join(d, "VAF_interval*.dat")),
-        key=lambda p: int(re.search(r"(\d+)\.dat$", p).group(1)))[:4]
+    # sort between interval1 and interval2 (same pitfall as _earliest);
+    # names without a trailing counter (e.g. VAF_interval_old.dat) are
+    # dropped rather than crashing the render
+    vaf_hits = [(p, re.search(r"(\d+)\.dat$", p))
+                for p in glob.glob(os.path.join(d, "VAF_interval*.dat"))]
+    vafs = sorted((p for p, m in vaf_hits if m),
+                  key=lambda p: int(re.search(r"(\d+)\.dat$", p).group(1)))[:4]
     if not vafs and os.path.exists(os.path.join(d, "VAF.dat")):
         vafs = [os.path.join(d, "VAF.dat")]
     if vafs:
