@@ -234,6 +234,14 @@ def main(argv=None) -> int:
                                 "(the reference's newRun=0 walltime "
                                 "chaining; frozen-tag resumes post-tag "
                                 "recording)")
+        if name in ("mc-tag", "transport"):
+            p.add_argument("--resume", action="store_true",
+                           help="continue the staged pipeline from the "
+                                "newest native pipeline checkpoint "
+                                "(published when "
+                                "--checkpoint-every-chunks > 0; the "
+                                "reference cannot checkpoint these "
+                                "programs at all)")
         if name in ("frozen-tag", "mc-tag", "transport",
                     "three-state"):
             p.add_argument("--batch-jobs", type=int, default=0,

@@ -55,6 +55,12 @@ class MCTransportConfig:
     one_axis_force: bool = False
     gr_every_mc: int = 10_000
     gr_every_record: int = 100
+    # crash checkpointing (native-only: the reference's writeConditions
+    # never appears in this program — its multi-hour transport jobs lose
+    # everything on a crash; SURVEY.md §5 failure-detection gap).  >0 =
+    # publish a pipeline checkpoint every K MC/record chunks and at every
+    # stage boundary (needs save_directory); 0 = off.
+    checkpoint_every_chunks: int = 0
     job: int = 1
     dtype: str = "float32"
     save_directory: Optional[str] = None
@@ -139,46 +145,145 @@ def md_stage(cfg: MCTransportConfig, R, V, A, key, n_steps: int,
     return (R, V, A, key), rec
 
 
-@partial(jax.jit, static_argnames=("cfg",))
-def record_stage(cfg: MCTransportConfig, R, V, A, key, tags, gamma=None,
-                 ldeb=None):
-    """The collisionless recording phase (main :1095-1104): per step emit
-    tagged moments (all four taggings) and scalar temperature *before* the
-    MD step, store velocities *after* it (the reference order), with a
-    g(r) snapshot at the top of every ``gr_every_record``-step chunk."""
+def _make_record_chunk(cfg: MCTransportConfig, gamma=None, ldeb=None):
+    """One ``gr_every_record``-step recording chunk — g(r) of the incoming
+    configuration, then per step: tagged moments (all four taggings) and
+    scalar temperature *before* the MD step, velocity storage *after* it
+    (the reference order, main :1095-1104).  Shared by the scanned stage
+    (vmapped folds) and the host-chunked resumable runner so both paths
+    dispatch the same math."""
     step = make_md_stage(cfg, collision_freq=0.0, gamma=gamma, ldeb=ldeb)
-    t1, t2, t3, t4 = tags
     g_eq = cfg.gamma if gamma is None else gamma
-    assert cfg.record_steps % cfg.gr_every_record == 0
-    n_chunks = cfg.record_steps // cfg.gr_every_record
 
-    def body(carry, _):
-        R, V, A, key = carry
-        moments = jnp.stack([
-            tagged_moments(V[:, 0], t, subtract_equilibrium=True,
-                           gamma=g_eq)
-            for t in (t1, t2, t3, t4)])
-        temp = temperature(V)
-        (R, V, A, key), _ = step((R, V, A, key), None)
-        return (R, V, A, key), (moments, temp, V)
+    def chunk(carry, tags):
+        t1, t2, t3, t4 = tags
 
-    def chunk(carry, _):
+        def body(carry, _):
+            R, V, A, key = carry
+            moments = jnp.stack([
+                tagged_moments(V[:, 0], t, subtract_equilibrium=True,
+                               gamma=g_eq)
+                for t in (t1, t2, t3, t4)])
+            temp = temperature(V)
+            carry, _ = step((R, V, A, key), None)
+            return carry, (moments, temp, carry[1])
+
         g = pair_correlation(carry[0], cfg.L)
         carry, recs = jax.lax.scan(body, carry, None,
                                    length=cfg.gr_every_record)
         return carry, (g,) + recs
 
+    return chunk
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def record_stage(cfg: MCTransportConfig, R, V, A, key, tags, gamma=None,
+                 ldeb=None):
+    """The collisionless recording phase (main :1095-1104) as one scan of
+    :func:`_make_record_chunk` chunks."""
+    assert cfg.record_steps % cfg.gr_every_record == 0
+    n_chunks = cfg.record_steps // cfg.gr_every_record
+    chunk = _make_record_chunk(cfg, gamma=gamma, ldeb=ldeb)
+
     (R, V, A, key), (grs, moments, temps, vstore) = jax.lax.scan(
-        chunk, (R, V, A, key), None, length=n_chunks)
+        lambda c, _: chunk(c, tags), (R, V, A, key), None,
+        length=n_chunks)
     moments = moments.reshape((-1,) + moments.shape[2:])
     temps = temps.reshape(-1)
     vstore = vstore.reshape((-1,) + vstore.shape[2:])
     return (R, V, A, key), grs, moments, temps, vstore
 
 
-def run(cfg: MCTransportConfig, seed: Optional[int] = None) -> dict:
+def _mc_chunk_fn(cfg: MCTransportConfig, R, key, n_steps: int,
+                 gamma=None, ldeb=None):
+    """One Metropolis chunk: g(r) snapshot of the incoming configuration,
+    then ``n_steps`` single-particle moves (the reference's
+    g(r)-every-10k-MC-steps cadence, main :1069-1078)."""
+    g = cfg.gamma if gamma is None else gamma
+    ld = cfg.ldeb if ldeb is None else ldeb
+    mc = MetropolisMC(L=cfg.L, ldeb=ld, gamma=g,
+                      max_r_step=cfg.max_r_step)
+    gr = pair_correlation(R, cfg.L)
+    R, acc = mc.run(R, key, n_steps)
+    return R, acc, gr
+
+
+_mc_chunk = partial(jax.jit,
+                    static_argnames=("cfg", "n_steps"))(_mc_chunk_fn)
+_record_chunk = partial(jax.jit, static_argnames=("cfg",))(
+    lambda cfg, R, V, A, key, tags:
+    _make_record_chunk(cfg)((R, V, A, key), tags))
+
+
+class PipelinePublisher:
+    """Crash-checkpoint publisher for the staged experiment families
+    (io/checkpoint.save_pipeline_checkpoint: atomic, newest-only).
+    ``crash_after`` is a test hook: raise after the K-th publish to
+    simulate a walltime kill at a known point."""
+
+    def __init__(self, directory: str, family: str, meta: dict,
+                 crash_after: Optional[int] = None):
+        from ..io.checkpoint import save_pipeline_checkpoint
+        self._save = save_pipeline_checkpoint
+        self.directory = directory
+        self.family = family
+        self.meta = {k: np.asarray(v) for k, v in meta.items()}
+        self.seq = 0
+        self._crash_after = crash_after
+
+    def save(self, stage: int, chunk: int, **arrays) -> None:
+        payload = dict(self.meta, stage=np.int64(stage),
+                       chunk=np.int64(chunk))
+        payload.update(safe_device_get(
+            {k: v for k, v in arrays.items() if v is not None}))
+        self.seq += 1
+        self._save(self.directory, self.seq, self.family, payload)
+        if self._crash_after is not None and self.seq >= self._crash_after:
+            raise RuntimeError(
+                f"simulated crash after pipeline checkpoint {self.seq} "
+                "(test hook)")
+
+
+def check_pipeline_meta(z: dict, directory: str, **fields) -> None:
+    """Refuse to resume a pipeline checkpoint written under a different
+    configuration — a silent splice across mismatched physics would be
+    worse than restarting."""
+    for k, want in fields.items():
+        got = z.get(k)
+        if isinstance(want, str):
+            ok = got is not None and str(got) == want
+        else:
+            ok = got is not None and np.allclose(np.asarray(got),
+                                                 np.asarray(want))
+        if not ok:
+            raise ValueError(
+                f"{directory}: pipeline checkpoint was written with "
+                f"{k}={got}, this run is configured with {k}={want} — "
+                "refusing to splice")
+
+
+def _host_cat(chunks) -> np.ndarray:
+    """Concatenate accumulated per-chunk outputs (device and/or restored
+    host arrays) on the host, chunk-major."""
+    return np.concatenate([safe_device_get(c) for c in chunks], axis=0)
+
+
+def run(cfg: MCTransportConfig, seed: Optional[int] = None, *,
+        resume: bool = False,
+        _crash_after_checkpoints: Optional[int] = None) -> dict:
     """Execute the full staged pipeline; returns all observables and writes
-    reference-schema .dat files when save_directory is set."""
+    reference-schema .dat files when save_directory is set.
+
+    With ``cfg.checkpoint_every_chunks`` > 0 (requires save_directory)
+    the run publishes a native pipeline checkpoint every K MC/record
+    chunks and at every stage boundary; ``resume=True`` continues from
+    the newest one, bit-identical to the uninterrupted run (every RNG
+    stream is pre-derived per chunk or carried in the checkpoint, so the
+    replay dispatches the same per-chunk programs on the same operands).
+    The reference program cannot checkpoint at all — ``writeConditions``
+    exists only in the cooling and frozen-tag files, so its multi-hour
+    transport jobs restart from zero on a crash (SURVEY.md §5)."""
+    from ..io.checkpoint import load_pipeline_checkpoint
     dt = cfg.np_dtype
     key = jax.random.PRNGKey(cfg.job if seed is None else seed)
     k_lat, k_mc, k_tag, k_run = jax.random.split(key, 4)
@@ -187,66 +292,171 @@ def run(cfg: MCTransportConfig, seed: Optional[int] = None) -> dict:
     cfg_j = cfg
     cfg = dataclasses.replace(cfg, job=1, save_directory=None)
 
-    # Stage 1-2: lattice init + per-particle U (implicit in our dU rows)
-    R, V = lattice_init(k_lat, cfg.n, cfg.gamma, cfg.L, dtype=dt)
-
-    # Stage 3: Metropolis MC with g(r) snapshots every gr_every_mc steps
-    mc = MetropolisMC(L=cfg.L, ldeb=cfg.ldeb, gamma=cfg.gamma,
-                      max_r_step=cfg.max_r_step)
+    out_dir = (mc_transport_dir(cfg_j.save_directory, gamma=cfg_j.gamma,
+                                kappa=cfg_j.kappa, n=cfg_j.n, job=cfg_j.job)
+               if cfg_j.save_directory is not None else None)
+    meta = dict(n=cfg.n, gamma=cfg.gamma, kappa=cfg.kappa,
+                mc_steps=cfg.mc_steps, record_steps=cfg.record_steps,
+                instant_aniso_steps=cfg.instant_aniso_steps,
+                seed=cfg_j.job if seed is None else seed)
+    pub = None
+    if cfg.checkpoint_every_chunks > 0:
+        if out_dir is None:
+            raise ValueError("checkpoint_every_chunks needs "
+                             "save_directory")
+        pub = PipelinePublisher(out_dir, "transport", meta,
+                                crash_after=_crash_after_checkpoints)
 
     n_chunks = max(1, cfg.mc_steps // cfg.gr_every_mc)
+    mc_keys = jax.random.split(k_mc, n_chunks)
+    assert cfg.record_steps % cfg.gr_every_record == 0
+    n_rec = cfg.record_steps // cfg.gr_every_record
 
-    @jax.jit
-    def mc_chunked(R, key):
-        def chunk(carry, k):
-            R, n_acc = carry
-            g = pair_correlation(R, cfg.L)
-            R, acc = mc.run(R, k, cfg.mc_steps // n_chunks)
-            return (R, n_acc + acc), g
-        keys = jax.random.split(key, n_chunks)
-        (R, n_acc), gr = jax.lax.scan(chunk, (R, jnp.zeros((), jnp.int32)),
-                                      keys)
-        return R, n_acc, gr
+    # Pipeline stages: 0 MC, 1 pre-record MD, 2 tag+record, 3 instant
+    # anisotropy, 4 re-equilibration, 5 anisotropic force, 6 relaxation,
+    # 7 done.  Checkpoints are labeled with the NEXT (stage, chunk) to
+    # execute.
+    stage, chunk = 0, 0
+    R = V = A = tags = None
+    n_acc = jnp.zeros((), jnp.int32)
+    acc: dict = {k: [] for k in ("gr_mc", "gr_record", "moments",
+                                 "temps", "vstore")}
+    autoc: dict = {}
+    stage_rec: dict = {}
 
-    R, n_acc, gr_mc = mc_chunked(R, k_mc)
+    if resume:
+        if out_dir is None:
+            raise ValueError("resume=True needs save_directory")
+        z = load_pipeline_checkpoint(out_dir, "transport")
+        if z is None:
+            raise ValueError(
+                f"{out_dir}: no pipeline checkpoint to resume from "
+                "(runs publish them when checkpoint_every_chunks > 0)")
+        check_pipeline_meta(z, out_dir, **meta)
+        stage, chunk = int(z["stage"]), int(z["chunk"])
+        if pub is not None:
+            pub.seq = int(z["seq"])
+        R, V = jnp.asarray(z["R"], dt), jnp.asarray(z["V"], dt)
+        A = jnp.asarray(z["A"], dt) if "A" in z else None
+        k_run = jnp.asarray(z["k_run"])
+        n_acc = jnp.asarray(z["mc_accepted"], jnp.int32)
+        if "tags" in z:
+            tags = tuple(jnp.asarray(z["tags"][i]) for i in range(4))
+        for k in acc:
+            if k in z:
+                acc[k] = [z[k]]
+        for k in ("vaf", "long_visc", "v_cube", "v_fourth"):
+            if k in z:
+                autoc[k] = z[k]
+        for k in ("temps_inst", "temps_force", "temps_relax"):
+            if k in z:
+                stage_rec[k] = z[k]
 
-    # Stage 4: collisional MD equilibration
-    A = _forces(cfg)(R)
-    (R, V, A, k_run), _ = md_stage(cfg, R, V, A, k_run,
-                                   cfg.pre_record_md_steps,
-                                   collision_freq=cfg.collision_freq)
+    def _publish(stage_, chunk_, with_vstore=False):
+        if pub is None:
+            return
+        payload = dict(R=R, V=V, A=A, k_run=k_run, mc_accepted=n_acc,
+                       tags=None if tags is None else jnp.stack(tags),
+                       **autoc, **stage_rec)
+        for k in ("gr_mc", "gr_record", "moments", "temps"):
+            if acc[k]:
+                payload[k] = _host_cat(acc[k])
+        if with_vstore and acc["vstore"]:
+            payload["vstore"] = _host_cat(acc["vstore"])
+        pub.save(stage_, chunk_, **payload)
 
-    # Stage 5: tag + collisionless recording
-    tags = tag_classical(V[:, 0], k_tag, cfg.gamma)
-    (R, V, A, k_run), gr_record, moments, temps, vstore = record_stage(
-        cfg, R, V, A, k_run, tags)
+    # ---- stage 0: lattice init + Metropolis MC (resumable mid-stage)
+    if stage == 0:
+        if chunk == 0:
+            R, V = lattice_init(k_lat, cfg.n, cfg.gamma, cfg.L, dtype=dt)
+        for i in range(chunk, n_chunks):
+            R, acc_i, gr = _mc_chunk(cfg, R, mc_keys[i],
+                                     cfg.mc_steps // n_chunks)
+            acc["gr_mc"].append(gr[None])
+            n_acc = n_acc + acc_i
+            last = i + 1 == n_chunks
+            if pub is not None and (last or (i + 1)
+                                    % cfg.checkpoint_every_chunks == 0):
+                _publish(1 if last else 0, 0 if last else i + 1)
+        stage, chunk = 1, 0
 
-    # Stage 6: autocorrelation suite (FFT; reference O(T^2 N) post-pass)
-    vaf, long_visc, v_cube, v_fourth = autocorr_suite(
-        vstore, cfg.gamma)
+    # ---- stage 1: collisional MD equilibration
+    if stage == 1:
+        if A is None:
+            A = _forces(cfg)(R)
+        (R, V, A, k_run), _ = md_stage(cfg, R, V, A, k_run,
+                                       cfg.pre_record_md_steps,
+                                       collision_freq=cfg.collision_freq)
+        _publish(2, 0)
+        stage, chunk = 2, 0
 
-    # Stage 7: instantaneous anisotropy + relaxation
-    V = anisotropize_velocities(V, cfg.temp_percent_diff)
-    (R, V, A, k_run), temps_inst = md_stage(
-        cfg, R, V, A, k_run, cfg.instant_aniso_steps, record="temp_axes")
+    # ---- stage 2: classical tag + collisionless recording (resumable
+    # mid-stage), then the FFT autocorrelation suite (the reference's
+    # O(T^2 N) post-pass)
+    if stage == 2:
+        if tags is None:
+            tags = tag_classical(V[:, 0], k_tag, cfg.gamma)
+        for i in range(chunk, n_rec):
+            ((R, V, A, k_run),
+             (gr, moments, temps, vchunk)) = _record_chunk(
+                cfg, R, V, A, k_run, tags)
+            acc["gr_record"].append(gr[None])
+            acc["moments"].append(moments)
+            acc["temps"].append(temps)
+            acc["vstore"].append(vchunk)
+            if (pub is not None and i + 1 < n_rec
+                    and (i + 1) % cfg.checkpoint_every_chunks == 0):
+                _publish(2, i + 1, with_vstore=True)
+        vstore = jnp.concatenate([jnp.asarray(v) for v in acc["vstore"]])
+        vaf, long_visc, v_cube, v_fourth = autocorr_suite(vstore,
+                                                          cfg.gamma)
+        autoc = dict(vaf=vaf, long_visc=long_visc, v_cube=v_cube,
+                     v_fourth=v_fourth)
+        _publish(3, 0)
+        stage, chunk = 3, 0
 
-    # re-equilibration (collisional)
-    (R, V, A, k_run), _ = md_stage(cfg, R, V, A, k_run, cfg.reequil_steps,
-                                   collision_freq=cfg.collision_freq)
+    # ---- stage 3: instantaneous anisotropy + relaxation
+    if stage == 3:
+        V = anisotropize_velocities(V, cfg.temp_percent_diff)
+        (R, V, A, k_run), stage_rec["temps_inst"] = md_stage(
+            cfg, R, V, A, k_run, cfg.instant_aniso_steps,
+            record="temp_axes")
+        _publish(4, 0)
+        stage = 4
 
-    # Stage 8: anisotropic force application + relaxation
-    (R, V, A, k_run), temps_force = md_stage(
-        cfg, R, V, A, k_run, cfg.aniso_establish_steps,
-        add_laser_force=True, record="temp_axes")
-    (R, V, A, k_run), temps_relax = md_stage(
-        cfg, R, V, A, k_run, cfg.aniso_relax_steps, record="temp_axes")
+    # ---- stage 4: re-equilibration (collisional)
+    if stage == 4:
+        (R, V, A, k_run), _ = md_stage(cfg, R, V, A, k_run,
+                                       cfg.reequil_steps,
+                                       collision_freq=cfg.collision_freq)
+        _publish(5, 0)
+        stage = 5
 
-    results = {k: safe_device_get(v) for k, v in dict(
-        gr_mc=gr_mc, gr_record=gr_record, mc_accepted=n_acc,
-        moments=moments, temps=temps, vaf=vaf, long_visc=long_visc,
-        v_cube=v_cube, v_fourth=v_fourth, temps_inst=temps_inst,
-        temps_force=temps_force, temps_relax=temps_relax,
-        R=R, V=V).items()}
+    # ---- stage 5: anisotropic force application
+    if stage == 5:
+        (R, V, A, k_run), stage_rec["temps_force"] = md_stage(
+            cfg, R, V, A, k_run, cfg.aniso_establish_steps,
+            add_laser_force=True, record="temp_axes")
+        _publish(6, 0)
+        stage = 6
+
+    # ---- stage 6: post-force relaxation
+    if stage == 6:
+        (R, V, A, k_run), stage_rec["temps_relax"] = md_stage(
+            cfg, R, V, A, k_run, cfg.aniso_relax_steps,
+            record="temp_axes")
+        _publish(7, 0)
+        stage = 7
+
+    results = dict(
+        gr_mc=_host_cat(acc["gr_mc"]),
+        gr_record=_host_cat(acc["gr_record"]),
+        mc_accepted=safe_device_get(n_acc),
+        moments=_host_cat(acc["moments"]),
+        temps=_host_cat(acc["temps"]),
+        **{k: safe_device_get(v) for k, v in autoc.items()},
+        **{k: safe_device_get(v) for k, v in stage_rec.items()},
+        R=safe_device_get(R), V=safe_device_get(V))
 
     if cfg_j.save_directory is not None:
         _write_outputs(cfg_j, results)
@@ -263,18 +473,15 @@ def _pipeline(cfg: MCTransportConfig, key, gamma=None, ldeb=None) -> dict:
     the force kernel reads the member's 1/ldeb from its position operand,
     ops/yukawa._half_pair_tile)."""
     g = cfg.gamma if gamma is None else gamma
-    ld = cfg.ldeb if ldeb is None else ldeb
     n_chunks = max(1, cfg.mc_steps // cfg.gr_every_mc)
-    mc = MetropolisMC(L=cfg.L, ldeb=ld, gamma=g,
-                      max_r_step=cfg.max_r_step)
 
     k_lat, k_mc, k_tag, k_run = jax.random.split(key, 4)
     R, V = lattice_init(k_lat, cfg.n, g, cfg.L, dtype=cfg.np_dtype)
 
     def chunk(carry, k):
         R, n_acc = carry
-        gr = pair_correlation(R, cfg.L)
-        R, acc = mc.run(R, k, cfg.mc_steps // n_chunks)
+        R, acc, gr = _mc_chunk_fn(cfg, R, k, cfg.mc_steps // n_chunks,
+                                  gamma=gamma, ldeb=ldeb)
         return (R, n_acc + acc), gr
     (R, n_acc), gr_mc = jax.lax.scan(
         chunk, (R, jnp.zeros((), jnp.int32)),

@@ -211,6 +211,64 @@ def latest_ascii_checkpoint(directory: str) -> Optional[int]:
     return max(cs) if cs else None
 
 
+def save_pipeline_checkpoint(directory: str, seq: int, family: str,
+                             payload: dict) -> str:
+    """Atomic-publish a staged-pipeline crash checkpoint and prune older
+    ones (newest-only: the pipeline families replay forward from one
+    snapshot, so keeping history would only grow the job directory).
+
+    The staged experiment families (transport, MC->QT tagging) have no
+    reference checkpoint format to interop with — the reference's
+    ``writeConditions`` appears only in the cooling and frozen-tag
+    programs (grep over /root/reference) and a crash there loses the
+    whole multi-hour job.  This native-only format is the framework's
+    beyond-parity L7 coverage for them.  ``payload`` values must be host
+    arrays/scalars; ``family`` guards against resuming a directory with
+    the wrong experiment."""
+    import glob
+    os.makedirs(directory, exist_ok=True)
+    path = os.path.join(directory, f"pipeline_checkpoint_{seq:06d}.npz")
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        np.savez(f, family=np.str_(family), seq=np.int64(seq), **payload)
+    os.replace(tmp, path)       # atomic publish
+    for p in glob.glob(os.path.join(directory, "pipeline_checkpoint_*.npz")):
+        if p != path:
+            try:
+                os.remove(p)
+            except OSError:
+                pass            # concurrent cleanup — the publish stands
+    return path
+
+
+def load_pipeline_checkpoint(directory: str, family: str) -> Optional[dict]:
+    """Newest staged-pipeline checkpoint in ``directory`` or None.
+    Raises with a diagnostic when the newest file is corrupt or belongs
+    to a different experiment family."""
+    import glob
+    import re
+    best, best_seq = None, -1
+    for p in glob.glob(os.path.join(directory, "pipeline_checkpoint_*.npz")):
+        if (m := re.search(r"pipeline_checkpoint_(\d+)\.npz$", p)):
+            if int(m.group(1)) > best_seq:
+                best, best_seq = p, int(m.group(1))
+    if best is None:
+        return None
+    try:
+        with np.load(best) as z:
+            out = {k: z[k] for k in z.files}
+    except Exception as e:
+        raise ValueError(
+            f"{best}: corrupt or truncated pipeline checkpoint ({e}); "
+            "delete it to restart the run from scratch") from e
+    got = str(out.get("family", ""))
+    if got != family:
+        raise ValueError(
+            f"{best}: checkpoint belongs to the '{got}' pipeline, not "
+            f"'{family}' — wrong save_directory?")
+    return out
+
+
 def latest_native_checkpoint(directory: str) -> Optional[int]:
     """Highest c0 among the native ``checkpoint_*.npz`` files (the
     counterpart of :func:`latest_ascii_checkpoint` for newest-wins

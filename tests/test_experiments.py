@@ -363,6 +363,30 @@ class TestMCTagging:
         assert "taggedMoments.dat" in files
         assert "vel_distX_timestep000000.dat" in files
 
+    @pytest.mark.parametrize("crash_after", [2, 5, 8])
+    def test_crash_resume_bit_identical(self, tmp_path, crash_after):
+        """Crash-resume through every stage of the MC->pump->tag->record
+        pipeline (the three crash points land mid-MC, mid-pump and
+        mid-record at this config) reproduces the uninterrupted run
+        bit-for-bit, including the live mid-pump SimState (psi, t_part,
+        per-ion clocks, RNG)."""
+        import dataclasses as dc
+        cfg1 = MCTagConfig(variant="422linear", n=27, mc_steps=300,
+                           mc_chunk_steps=100, pre_record_md_steps=5,
+                           record_steps=20, gr_every_record=10,
+                           dtype="float64",
+                           save_directory=str(tmp_path / "a"),
+                           checkpoint_every_chunks=1)
+        ref = run_mctag(cfg1, seed=5)
+        cfg2 = dc.replace(cfg1, save_directory=str(tmp_path / "b"))
+        with pytest.raises(RuntimeError, match="simulated crash"):
+            run_mctag(cfg2, seed=5,
+                      _crash_after_checkpoints=crash_after)
+        res = run_mctag(cfg2, seed=5, resume=True)
+        for k in ref:
+            np.testing.assert_array_equal(np.asarray(ref[k]),
+                                          np.asarray(res[k]), err_msg=k)
+
     def test_run_ensemble_batched(self, tmp_path):
         """The whole MC->pump->tag->record pipeline vmapped over a job
         axis: per-job .dat trees, independent members, finite physics."""
@@ -396,6 +420,80 @@ class TestTransport:
         # VAF(0) = <v^2> ~ 3/gamma within thermal fluctuations
         assert 0.3 < res["vaf"][0] < 3.0
         assert res["temps_inst"].shape == (20, 3)
+
+    _RESUME_CFG = dict(n=27, mc_steps=400, gr_every_mc=100,
+                       pre_record_md_steps=10, record_steps=40,
+                       gr_every_record=20, instant_aniso_steps=20,
+                       reequil_steps=10, aniso_relax_steps=20,
+                       aniso_time_us=0.2, dtype="float64")
+
+    def test_run_matches_vmapped_pipeline(self):
+        """The host-chunked resumable runner and the single-program
+        traced pipeline (the batched/sweep fold member) are the same
+        math — only XLA fusion across the dispatch boundaries differs,
+        so f64 agreement at 1e-12 pins the two paths together."""
+        import dataclasses as dc
+        from mdqtplasmasims_tpu.experiments.mc_md_anisotropy import (
+            _pipeline)
+        cfg = MCTransportConfig(**self._RESUME_CFG)
+        res = run_transport(cfg, seed=3)
+        pip = jax.jit(lambda k: _pipeline(cfg, k))(jax.random.PRNGKey(3))
+        for k in res:
+            np.testing.assert_allclose(
+                np.asarray(res[k]), np.asarray(pip[k]), rtol=1e-12,
+                atol=1e-12, err_msg=k)
+
+    def test_crash_resume_bit_identical(self, tmp_path):
+        """A run killed mid-pipeline (simulated crash after the K-th
+        checkpoint publish) resumes from the newest native pipeline
+        checkpoint and reproduces the uninterrupted run bit-for-bit —
+        the framework's L7 standard, which the reference cannot meet
+        here (writeConditions exists only in the cooling and frozen-tag
+        programs)."""
+        import dataclasses as dc
+        cfg1 = MCTransportConfig(**self._RESUME_CFG,
+                                 save_directory=str(tmp_path / "a"),
+                                 checkpoint_every_chunks=1)
+        ref = run_transport(cfg1, seed=3)
+        cfg2 = dc.replace(cfg1, save_directory=str(tmp_path / "b"))
+        with pytest.raises(RuntimeError, match="simulated crash"):
+            run_transport(cfg2, seed=3, _crash_after_checkpoints=3)
+        res = run_transport(cfg2, seed=3, resume=True)
+        for k in ref:
+            np.testing.assert_array_equal(np.asarray(ref[k]),
+                                          np.asarray(res[k]), err_msg=k)
+        # the resumed job's .dat tree equals the uninterrupted one
+        a = sorted(p.relative_to(tmp_path / "a")
+                   for p in (tmp_path / "a").rglob("*.dat"))
+        b = sorted(p.relative_to(tmp_path / "b")
+                   for p in (tmp_path / "b").rglob("*.dat"))
+        assert a == b and a
+        for rel in a:
+            assert ((tmp_path / "a" / rel).read_bytes()
+                    == (tmp_path / "b" / rel).read_bytes()), rel
+        # resume on a completed run rebuilds the results from the
+        # terminal pipeline checkpoint (no recompute, same values)
+        res2 = run_transport(cfg2, seed=3, resume=True)
+        np.testing.assert_array_equal(res2["vaf"], ref["vaf"])
+
+    def test_resume_guards(self, tmp_path):
+        """Meta mismatches and missing checkpoints are refused with
+        diagnostics instead of splicing silently."""
+        import dataclasses as dc
+        cfg = MCTransportConfig(**self._RESUME_CFG,
+                                save_directory=str(tmp_path),
+                                checkpoint_every_chunks=2)
+        with pytest.raises(ValueError, match="no pipeline checkpoint"):
+            run_transport(cfg, seed=3, resume=True)
+        with pytest.raises(RuntimeError, match="simulated crash"):
+            run_transport(cfg, seed=3, _crash_after_checkpoints=1)
+        # a different seed (or any config field outside the directory
+        # encoding) must refuse to splice
+        with pytest.raises(ValueError, match="refusing to splice"):
+            run_transport(cfg, seed=4, resume=True)
+        with pytest.raises(ValueError, match="needs save_directory"):
+            run_transport(dc.replace(cfg, save_directory=None), seed=3,
+                          resume=True)
 
 
 class TestThreeState:
