@@ -25,11 +25,33 @@ import pytest  # noqa: E402
 
 def pytest_configure(config):
     config.addinivalue_line("markers", "tpu: requires real TPU hardware")
-    config.addinivalue_line("markers", "slow: long-running test")
+    config.addinivalue_line(
+        "markers", "slow: long-running test (skipped by the default "
+        "fast tier; run with -m full)")
+    config.addinivalue_line(
+        "markers", "full: every test (so `pytest -m full` overrides the "
+        "default `-m 'not slow'` and runs the whole suite)")
+
+
+def _slow_nodeids():
+    path = os.path.join(os.path.dirname(__file__), "slow_tests.txt")
+    try:
+        with open(path) as f:
+            return {line.strip() for line in f
+                    if line.strip() and not line.startswith("#")}
+    except FileNotFoundError:
+        return set()
 
 
 def pytest_collection_modifyitems(config, items):
     skip_tpu = pytest.mark.skip(reason="CPU-only test session")
+    slow_ids = _slow_nodeids()
     for item in items:
         if "tpu" in item.keywords:
             item.add_marker(skip_tpu)
+        # tier the suite: measured-slow tests (tests/slow_tests.txt) are
+        # deselected by the default addopts -m 'not slow'; `-m full`
+        # selects everything since every item carries `full`
+        if item.nodeid in slow_ids:
+            item.add_marker(pytest.mark.slow)
+        item.add_marker(pytest.mark.full)
