@@ -1,0 +1,298 @@
+"""One-command reproducible validation matrix (VERDICT round-4 item 2).
+
+The parity claim previously lived in 15 hand-run tools plus prose in
+RESULTS.md; this runner executes the full matrix at HEAD:
+
+  * compiles the reference binaries it needs (g++, with
+    tools/arma_shim.hpp as the Armadillo drop-in for the QT-bearing
+    programs) into per-step workdirs, reusing completed reference jobs
+    on re-runs;
+  * runs every end-to-end program cross-validation — flagship cooling,
+    expansion physics, pooled DIH curve, transport (curve-level AND the
+    16v16 pooled z-score suite with temperature-matched
+    autocorrelations), MC->QT tagging 408quad + 408linear, frozen-start
+    tagging 422 + 408linear pooled, and the 3-state toy;
+  * runs the checkpoint resume-interop proofs (flagship directions
+    A/B/A-vaf/B-vaf/C/D + frozen-tag A/B = all 8 interop directions);
+  * optionally (--with-analysis) the analysis-layer physics validation
+    (tools/validate_analysis.py);
+  * emits ONE machine-readable report with every step's PASS/FAIL, wall
+    time, and every z-score scraped from the pooled tables
+    (artifacts/validate_all/report.json + MATRIX.md), with full logs
+    under artifacts/validate_all/logs/.
+
+Each step runs in a fresh interpreter (the tools pin their own jax
+config).  Expect ~1-3 h on one CPU core for a cold run; reference jobs
+and workdirs are reused on re-runs.
+
+Usage: python tools/validate_all.py [--only STEP[,STEP..]] [--list]
+           [--workroot /tmp/validate_all] [--with-analysis]
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import json
+import os
+import re
+import shutil
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+REF = "/root/reference"
+PY = sys.executable
+
+
+def _patch(src_path: str, subs, dst: str) -> None:
+    src = open(src_path).read()
+    for pat, rep in subs:
+        src, n = re.subn(pat, rep, src)
+        assert n == 1, f"{os.path.basename(src_path)}: pattern not " \
+                       f"found exactly once: {pat}"
+    open(dst, "w").write(src)
+
+
+def _compile(cpp: str, out: str, shim: bool) -> None:
+    args = ["g++", "-std=c++11", "-fopenmp", "-O2"]
+    if shim:
+        shim_dir = os.path.join(os.path.dirname(out), "shim")
+        os.makedirs(shim_dir, exist_ok=True)
+        shutil.copy(os.path.join(REPO, "tools", "arma_shim.hpp"),
+                    os.path.join(shim_dir, "armadillo"))
+        args += ["-I", shim_dir]
+    subprocess.run(args + ["-o", out, cpp, "-lm"], check=True)
+
+
+def _run_ref_jobs(binary: str, cwd: str, jobs, done_glob: str) -> None:
+    """Run reference jobs (sequential; one CPU core) unless their output
+    tree already exists."""
+    have = glob.glob(os.path.join(cwd, done_glob))
+    if len(have) >= len(jobs):
+        print(f"    reusing {len(have)} completed reference jobs")
+        return
+    env = dict(os.environ, OMP_NUM_THREADS="1")
+    for j in jobs:
+        t0 = time.perf_counter()
+        subprocess.run([binary, str(j)], cwd=cwd, env=env, check=True,
+                       stdout=subprocess.DEVNULL,
+                       stderr=subprocess.DEVNULL)
+        print(f"    ref job {j}: {time.perf_counter() - t0:.0f}s",
+              flush=True)
+
+
+# ---------------------------------------------------------------- preps ----
+# Each prep returns the argv (after the tool path) for its tool, or None
+# to run the tool with its own defaults (self-automating tools).
+
+def prep_flagship(wd: str):
+    """Patch SpeedUp.cpp to the tool's matched single-job config
+    (N0=256, tmax=2, sampleFreq=10) and run job 1."""
+    binary = os.path.join(wd, "refflag")
+    if not os.path.exists(binary):
+        _patch(os.path.join(REF,
+                            "laserCoolingPlusExpansionMDQTSpeedUp.cpp"),
+               [(r"#define N0 3500", "#define N0 256"),
+                (r"#define tmax 30", "#define tmax 2"),
+                (r"int sampleFreq = 40;", "int sampleFreq = 10;"),
+                (r'char saveDirectory\[256\] = "dataLaserCool/";',
+                 'char saveDirectory[256] = "refdata/";')],
+               os.path.join(wd, "refflag.cpp"))
+        _compile(os.path.join(wd, "refflag.cpp"), binary, shim=True)
+    _run_ref_jobs(binary, wd, [1], "refdata/*/job1/energies.dat")
+    return [glob.glob(os.path.join(wd, "refdata", "*", "job1"))[0]]
+
+
+def prep_three_state(wd: str):
+    """Patch the 3-state toy to tmax=1500/gamma and run job 1."""
+    binary = os.path.join(wd, "ref3")
+    if not os.path.exists(binary):
+        _patch(os.path.join(REF, "laserCoolNoPlasmaThreeState.cpp"),
+               [(r"double tmax = 45000;", "double tmax = 1500;"),
+                (r'char saveDirectory\[256\] = '
+                 r'"dataLaserCoolTestDoppShift/";',
+                 'char saveDirectory[256] = "refdata/";')],
+               os.path.join(wd, "ref3.cpp"))
+        _compile(os.path.join(wd, "ref3.cpp"), binary, shim=True)
+    _run_ref_jobs(binary, wd, [1], "refdata/*/job1/energies.dat")
+    return [glob.glob(os.path.join(wd, "refdata", "*", "job1",
+                                   "energies.dat"))[0]]
+
+
+def prep_mc_tag_quad(wd: str):
+    """Patch 408Quad to the tool's matched config (N=216, 20k MC,
+    100 pre-record, 300 recording) and run 8 jobs."""
+    binary = os.path.join(wd, "refquad")
+    if not os.path.exists(binary):
+        _patch(os.path.join(REF,
+                            "MonteCarloFollowedByQTTagging408Quad.cpp"),
+               [(r"const int N = 4096;", "const int N = 216;"),
+                (r"const double monteCarloSteps = 100000;",
+                 "const double monteCarloSteps = 20000;"),
+                (r"const int numPreRecordMDSteps = 200;",
+                 "const int numPreRecordMDSteps = 100;"),
+                (r"const int numVelAutoCorrsSteps = 1500;",
+                 "const int numVelAutoCorrsSteps = 300;"),
+                (r'char saveDirectory\[256\] = "dataSpinTagQuad/";',
+                 'char saveDirectory[256] = "refdata/";')],
+               os.path.join(wd, "refquad.cpp"))
+        _compile(os.path.join(wd, "refquad.cpp"), binary, shim=True)
+    _run_ref_jobs(binary, wd, range(1, 9),
+                  "refdata/*/job8/taggedMoments.dat")
+    return [glob.glob(os.path.join(wd, "refdata", "*"))[0]]
+
+
+def prep_transport_curve(wd: str):
+    """Reuse the pooled transport workdir's reference job 1 (same
+    patched constants: N=512, 30k MC, 600 recording)."""
+    hits = glob.glob(os.path.join(wd, "refdata", "*", "job1", "VAF.dat"))
+    if not hits:
+        raise RuntimeError(
+            "transport_pooled must run first (shared refdata)")
+    return [os.path.dirname(hits[0])]
+
+
+# ---------------------------------------------------------------- steps ----
+# (name, tool file, prep or static argv, workdir key)
+
+def steps(workroot: str, xval_transport: str):
+    w = lambda name: os.path.join(workroot, name)
+    return [
+        ("transport_pooled", "cross_validate_transport_pooled.py",
+         [xval_transport, "16"], None),
+        ("transport_curve", "cross_validate_transport.py",
+         prep_transport_curve, xval_transport),
+        ("flagship", "cross_validate_flagship.py",
+         prep_flagship, w("flagship")),
+        ("expansion", "cross_validate_expansion.py",
+         [w("expansion")], None),
+        ("dih_pooled", "cross_validate_dih_pooled.py",
+         [w("dih")], None),
+        ("three_state", "cross_validate_three_state.py",
+         prep_three_state, w("three_state")),
+        ("mc_tag_408quad", "cross_validate_mc_tag.py",
+         prep_mc_tag_quad, w("mc_tag_quad")),
+        ("mc_tag_408linear", "cross_validate_mc_tag408linear.py",
+         [w("mc_tag_linear")], None),
+        ("frozen_pooled_422", "cross_validate_frozen_pooled.py",
+         ["422linear", w("frozen_422")], None),
+        ("frozen_pooled_408", "cross_validate_frozen_pooled.py",
+         ["408linear", w("frozen_408")], None),
+        ("resume_interop", "cross_validate_resume.py",
+         [w("resume")], None),
+        ("frozen_resume_interop", "cross_validate_frozen_resume.py",
+         [w("frozen_resume")], None),
+    ]
+
+
+_Z_TABLE = re.compile(r"^\s*(\S+)\s+[-+][\d.]+ \+- [\d.]+\s+"
+                      r"[-+][\d.]+ \+- [\d.]+\s+([-+][\d.]+)\s*$")
+_Z_INLINE = re.compile(r"\bz\s*[=:]?\s*([-+]?\d+\.\d+)")
+
+
+def scrape_z(log: str):
+    zs = {}
+    for line in log.splitlines():
+        m = _Z_TABLE.match(line)
+        if m:
+            zs[m.group(1)] = float(m.group(2))
+            continue
+        m = _Z_INLINE.search(line)
+        if m and "z" in line:
+            zs.setdefault(f"line:{line.strip()[:60]}",
+                          float(m.group(1)))
+    return zs
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--workroot", default="/tmp/validate_all")
+    ap.add_argument("--xval-transport",
+                    default="/tmp/xval_transport_pooled",
+                    help="pooled-transport workdir (its reference jobs "
+                         "are the long pole; reused when present)")
+    ap.add_argument("--only", default=None,
+                    help="comma-separated step names")
+    ap.add_argument("--list", action="store_true")
+    ap.add_argument("--with-analysis", action="store_true",
+                    help="also run tools/validate_analysis.py (adds "
+                         "~20 min)")
+    ap.add_argument("--out", default=os.path.join(REPO, "artifacts",
+                                                  "validate_all"))
+    args = ap.parse_args()
+
+    plan = steps(args.workroot, args.xval_transport)
+    if args.with_analysis:
+        plan.append(("analysis_physics", "validate_analysis.py",
+                     ["--xval-workdir", args.xval_transport], None))
+    if args.list:
+        for name, tool, _, _ in plan:
+            print(f"{name:24s} tools/{tool}")
+        return 0
+    if args.only:
+        keep = set(args.only.split(","))
+        unknown = keep - {n for n, _, _, _ in plan}
+        if unknown:
+            ap.error(f"unknown steps: {sorted(unknown)}")
+        plan = [s for s in plan if s[0] in keep]
+
+    os.makedirs(args.workroot, exist_ok=True)
+    logdir = os.path.join(args.out, "logs")
+    os.makedirs(logdir, exist_ok=True)
+    results = []
+    t_all = time.perf_counter()
+    for name, tool, argv_or_prep, wd in plan:
+        print(f"== {name} (tools/{tool})", flush=True)
+        t0 = time.perf_counter()
+        entry = dict(name=name, tool=f"tools/{tool}")
+        try:
+            if callable(argv_or_prep):
+                os.makedirs(wd, exist_ok=True)
+                argv = argv_or_prep(wd)
+            else:
+                argv = argv_or_prep
+            entry["argv"] = argv
+            p = subprocess.run([PY, os.path.join(REPO, "tools", tool),
+                                *argv], cwd=REPO, text=True,
+                               capture_output=True)
+            log = p.stdout + ("\n--- stderr ---\n" + p.stderr
+                              if p.returncode else "")
+            entry.update(rc=p.returncode, ok=p.returncode == 0,
+                         z_scores=scrape_z(p.stdout))
+        except Exception as e:       # prep/compile failure
+            log = f"PREP FAILED: {e}"
+            entry.update(rc=-1, ok=False, error=str(e), z_scores={})
+        entry["wall_s"] = round(time.perf_counter() - t0, 1)
+        open(os.path.join(logdir, f"{name}.log"), "w").write(log)
+        tail = [ln for ln in log.splitlines() if ln.strip()][-3:]
+        print("    " + "\n    ".join(tail))
+        print(f"    -> {'PASS' if entry['ok'] else 'FAIL'} "
+              f"({entry['wall_s']:.0f}s)", flush=True)
+        results.append(entry)
+
+    report = dict(ok=all(r["ok"] for r in results),
+                  wall_s=round(time.perf_counter() - t_all, 1),
+                  steps=results)
+    with open(os.path.join(args.out, "report.json"), "w") as f:
+        json.dump(report, f, indent=1)
+
+    md = ["# Validation matrix (tools/validate_all.py)", "",
+          f"Total wall: {report['wall_s']:.0f}s on one CPU core.  "
+          "Full logs: artifacts/validate_all/logs/.", "",
+          "| step | result | wall | max abs z (n) |", "|---|---|---|---|"]
+    for r in results:
+        zs = [abs(v) for v in r["z_scores"].values()]
+        ztxt = f"{max(zs):.2f} ({len(zs)})" if zs else "-"
+        md.append(f"| {r['name']} | {'PASS' if r['ok'] else 'FAIL'} | "
+                  f"{r['wall_s']:.0f}s | {ztxt} |")
+    open(os.path.join(args.out, "MATRIX.md"), "w").write("\n".join(md)
+                                                         + "\n")
+    print(f"\nVALIDATE ALL {'PASS' if report['ok'] else 'FAIL'} "
+          f"({report['wall_s']:.0f}s) -> {args.out}/report.json")
+    return 0 if report["ok"] else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())
