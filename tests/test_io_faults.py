@@ -228,3 +228,59 @@ def test_frozen_resume_names_spinup_mismatch(good_ckpt):
     with pytest.raises(ValueError, match="spinUpIonsList"):
         resume_run(good_ckpt, C0, FrozenTagConfig(n0=N, dtype="float64",
                                                   use_pallas=False))
+
+
+# ------------------------------------------- pipeline checkpoints (r5) ----
+
+def _write_pipeline(tmp_path, **extra):
+    payload = dict(stage=np.int64(0), chunk=np.int64(1),
+                   R=np.zeros((4, 3)), V=np.zeros((4, 3)),
+                   k_run=np.zeros(2, np.uint32),
+                   mc_accepted=np.int64(0), n=np.int64(4),
+                   gamma=np.float64(3.0))
+    payload.update(extra)
+    return ckpt.save_pipeline_checkpoint(str(tmp_path), 1, "transport",
+                                         payload)
+
+
+def test_pipeline_newest_only_pruning(tmp_path):
+    _write_pipeline(tmp_path)
+    ckpt.save_pipeline_checkpoint(str(tmp_path), 2, "transport",
+                                  dict(stage=np.int64(1),
+                                       chunk=np.int64(0)))
+    files = sorted(os.listdir(tmp_path))
+    assert files == ["pipeline_checkpoint_000002.npz"]
+    z = ckpt.load_pipeline_checkpoint(str(tmp_path), "transport")
+    assert int(z["stage"]) == 1
+
+
+def test_pipeline_wrong_family_named(tmp_path):
+    _write_pipeline(tmp_path)
+    with pytest.raises(ValueError, match="'transport' pipeline"):
+        ckpt.load_pipeline_checkpoint(str(tmp_path), "mc_tag")
+
+
+def test_pipeline_corrupt_archive_named(tmp_path):
+    p = _write_pipeline(tmp_path)
+    data = open(p, "rb").read()
+    with open(p, "wb") as f:
+        f.write(data[: len(data) // 2])
+    with pytest.raises(ValueError, match="corrupt or truncated"):
+        ckpt.load_pipeline_checkpoint(str(tmp_path), "transport")
+
+
+def test_pipeline_missing_returns_none(tmp_path):
+    assert ckpt.load_pipeline_checkpoint(str(tmp_path),
+                                         "transport") is None
+
+
+def test_pipeline_meta_mismatch_named(tmp_path):
+    from mdqtplasmasims_tpu.experiments.mc_md_anisotropy import (
+        check_pipeline_meta)
+    _write_pipeline(tmp_path)
+    z = ckpt.load_pipeline_checkpoint(str(tmp_path), "transport")
+    check_pipeline_meta(z, str(tmp_path), n=4, gamma=3.0)   # matches
+    with pytest.raises(ValueError, match="refusing to splice"):
+        check_pipeline_meta(z, str(tmp_path), n=8)
+    with pytest.raises(ValueError, match="refusing to splice"):
+        check_pipeline_meta(z, str(tmp_path), variant="422linear")
