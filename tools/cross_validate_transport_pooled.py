@@ -236,7 +236,7 @@ def covariate_matched(refs: list, fws: list, key: str, cov: str):
     xx = float(x @ x)
     b = float(x @ y) / xx if xx > 0 else 0.0
     t_all = np.concatenate([tr, tf]).mean()
-    return vr - b * (tr - t_all), vf - b * (tf - t_all)
+    return vr - b * (tr - t_all), vf - b * (tf - t_all), b
 
 
 def temperature_matched(refs: list, fws: list, key: str):
@@ -259,16 +259,27 @@ def main(workdir: str) -> int:
     ref_dirs = run_ref_jobs(binary, workdir)
     refs = [ref_job_stats(d) for d in ref_dirs]
 
-    print(f"== running {JOBS} framework jobs (one vmapped program)")
-    cfg = MCTransportConfig(
-        n=N, kappa=0.5, gamma=3.0, density=0.4, mc_steps=MC_STEPS,
-        gr_every_mc=10_000, pre_record_md_steps=200,
-        record_steps=RECORD_STEPS, gr_every_record=100,
-        instant_aniso_steps=INSTANT_STEPS, reequil_steps=REEQUIL_STEPS,
-        aniso_time_us=float(ANISO_TIME_US), aniso_relax_steps=RELAX_STEPS,
-        timestep=DT, dtype="float64")
-    assert cfg.aniso_establish_steps == 405, cfg.aniso_establish_steps
-    fws = [fw_job_stats(r) for r in run_ensemble(cfg, JOBS, seed=7)]
+    import json
+    fw_cache = os.path.join(workdir, f"fw_stats_{JOBS}_seed7.json")
+    if os.path.exists(fw_cache):
+        print(f"== reusing cached framework stats ({fw_cache})")
+        with open(fw_cache) as f:
+            fws = json.load(f)
+    else:
+        print(f"== running {JOBS} framework jobs (one vmapped program)")
+        cfg = MCTransportConfig(
+            n=N, kappa=0.5, gamma=3.0, density=0.4, mc_steps=MC_STEPS,
+            gr_every_mc=10_000, pre_record_md_steps=200,
+            record_steps=RECORD_STEPS, gr_every_record=100,
+            instant_aniso_steps=INSTANT_STEPS,
+            reequil_steps=REEQUIL_STEPS,
+            aniso_time_us=float(ANISO_TIME_US),
+            aniso_relax_steps=RELAX_STEPS, timestep=DT, dtype="float64")
+        assert cfg.aniso_establish_steps == 405, \
+            cfg.aniso_establish_steps
+        fws = [fw_job_stats(r) for r in run_ensemble(cfg, JOBS, seed=7)]
+        with open(fw_cache, "w") as f:
+            json.dump(fws, f)
 
     # covariate keys (tag-instant selection m2, post-rescale A(0)) are
     # conditioning inputs, not parity observables — the 28-key table is

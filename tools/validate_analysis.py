@@ -103,7 +103,8 @@ def hmp_d(gamma: float) -> float:
 
 def md_trajectory(n: int, gamma: float, kappa: float, *, mc_steps: int,
                   equil_steps: int, record_steps: int, seed: int,
-                  dt: float = 0.005):
+                  dt: float = 0.005,
+                  cache_dir: str = "/tmp/validate_analysis_cache"):
     """Equilibrated NVE Yukawa trajectory: lattice -> Metropolis ->
     collisional MD -> collisionless recording.  Returns host arrays
     vstore [T, N, 3], unwrapped displacements dr [T, N, 3] (exact
@@ -117,6 +118,18 @@ def md_trajectory(n: int, gamma: float, kappa: float, *, mc_steps: int,
     from mdqtplasmasims_tpu.core.md import wrap_pbc
     from mdqtplasmasims_tpu.core.thermostat import collide_and_kick
     from mdqtplasmasims_tpu.ops.yukawa import best_forces_fn
+
+    cache = None
+    if cache_dir:
+        os.makedirs(cache_dir, exist_ok=True)
+        cache = os.path.join(
+            cache_dir, f"traj_n{n}_g{gamma:g}_k{kappa:g}_mc{mc_steps}_"
+                       f"eq{equil_steps}_r{record_steps}_s{seed}_"
+                       f"dt{dt:g}.npz")
+        if os.path.exists(cache):
+            with np.load(cache) as z:
+                return (z["vs"], z["dr"], z["rs"], float(z["L"]),
+                        float(z["t"]))
 
     L = (n * 4.0 * np.pi / 3.0) ** (1.0 / 3.0)
     forces = best_forces_fn(n, L, 1.0 / kappa)
@@ -157,6 +170,10 @@ def md_trajectory(n: int, gamma: float, kappa: float, *, mc_steps: int,
     dr = np.cumsum(np.asarray(drifts), axis=0)   # exact VV displacement
     rs = np.asarray(rs)
     t_rec = float((vs ** 2).mean())              # <v_axis^2> = T
+    if cache:
+        tmp = cache + ".tmp.npz"
+        np.savez(tmp, vs=vs, dr=dr, rs=rs, L=L, t=t_rec)
+        os.replace(tmp, cache)
     return vs, dr, rs, L, t_rec
 
 
@@ -183,17 +200,28 @@ def fft_msd(dr: np.ndarray, dt: float):
     return tau * dt, msd
 
 
-def sinc_transform_of_g(r: np.ndarray, g: np.ndarray, k: np.ndarray,
+def sinc_transform_of_g(g_quirk: np.ndarray, k: np.ndarray, *,
+                        dr: float = 0.05,
                         density: float = 3.0 / (4.0 * np.pi)):
-    """S_g(k) = 1 + 4 pi n int r^2 (g-1) sin(kr)/(kr) dr (trapezoid)."""
+    """S_g(k) = 1 + 4 pi n int r^2 (g-1) sin(kr)/(kr) dr from the
+    EMITTED g(r) histogram, undoing the reference's integer-shell
+    normalization first: bin i >= 1 divides its count by 3 i^2 dr^3
+    instead of the exact shell volume ((i+1)^3 - i^3) dr^3
+    (MonteCarlo...cpp:626-635; ops.structure.pair_correlation reproduces
+    the quirk bit-for-bit), a (1 + 1/i)^2-level multiplicative bias that
+    matters at this check's accuracy.  Each bin contributes its exact
+    shell integral with the sinc kernel evaluated at the bin's
+    volume-centroid radius."""
+    i = np.arange(1, g_quirk.shape[0])           # bin 0 is exact & g~0
+    shell = ((i + 1) ** 3 - i ** 3) * dr ** 3    # exact /(4 pi / 3)
+    g_true = g_quirk[1:] * (3.0 * i ** 2) / ((i + 1) ** 3 - i ** 3)
+    r_c = 0.75 * ((i + 1) ** 4 - i ** 4) / ((i + 1) ** 3 - i ** 3) * dr
+    h = g_true - 1.0
     out = np.empty_like(k)
-    h = g - 1.0
-    for i, kk in enumerate(k):
-        kern = np.ones_like(r)
-        nz = kk * r > 1e-12
-        kern[nz] = np.sin(kk * r[nz]) / (kk * r[nz])
-        out[i] = 1.0 + 4.0 * np.pi * density * np.trapezoid(
-            r * r * h * kern, r)
+    vol = (4.0 * np.pi / 3.0) * shell            # exact shell volumes
+    for j, kk in enumerate(k):
+        kern = np.sin(kk * r_c) / (kk * r_c)
+        out[j] = 1.0 + density * np.sum(vol * h * kern)
     return out
 
 
@@ -244,8 +272,14 @@ def section_ad(args, report):
                                  gk_drift=gk["drift"], t_rec=t_rec,
                                  n=n, record_steps=rec, ok=bool(ok_a))
 
-    # ---- C: S(k) from positions vs Fourier transform of g(r)
-    snaps = rs[:: max(1, rec // 150)]
+    # ---- C: S(k) from positions vs Fourier transform of g(r).
+    # Individual shells average only a handful of k-vectors over ~15
+    # structurally independent configurations (the 40 omega_E^-1
+    # window), so per-shell S_pos carries ~0.05-0.1 statistical scatter
+    # while the g(r) transform (every pair pooled) is smooth; a
+    # normalization/units error is SYSTEMATIC, so the gate compares
+    # k-binned means, where the scatter averages down.
+    snaps = rs[:: max(1, rec // 400)]
     s_shells = None
     for R in snaps:
         s = structure_factor_shells(R, L)
@@ -258,19 +292,28 @@ def section_ad(args, report):
         g_acc = g1 if g_acc is None else g_acc + g1
     g_acc /= len(snaps)
     n_gr = int((L / 2.0) / 0.05)
-    r = (np.arange(n_gr) + 0.5) * 0.05    # bin centers
-    s_from_g = sinc_transform_of_g(r, g_acc[:n_gr], kk)
-    sel = kk >= 1.2
-    err = np.abs(s_shells[sel] - s_from_g[sel]).max()
-    ok_c = err < 0.08
-    print(f"[C] S(k) vs FT[g(r)] over {int(sel.sum())} shells "
-          f"(k >= 1.2/a): max |dS| = {err:.4f}  "
-          f"{'PASS' if ok_c else 'FAIL'} (band < 0.08)")
-    report["C_sk_gofr"] = dict(
-        max_abs_err=float(err), n_shells=int(sel.sum()),
-        k=[float(x) for x in kk[sel]],
-        s_positions=[float(x) for x in s_shells[sel]],
-        s_from_g=[float(x) for x in s_from_g[sel]], ok=bool(ok_c))
+    s_from_g = sinc_transform_of_g(g_acc[:n_gr], kk)
+    # below k ~ 1.2/a the r < L/2 truncation of the (g-1) tail bites;
+    # above k ~ 6/a the dr = 0.05 histogram undersamples the sinc
+    edges = np.arange(1.2, 6.01, 0.4)
+    bins = []
+    for lo, hi in zip(edges[:-1], edges[1:]):
+        m = (kk >= lo) & (kk < hi)
+        if m.sum() >= 2:
+            bins.append(dict(k_lo=float(lo), k_hi=float(hi),
+                             n=int(m.sum()),
+                             ds_mean=float((s_shells[m]
+                                            - s_from_g[m]).mean()),
+                             s_pos=float(s_shells[m].mean()),
+                             s_g=float(s_from_g[m].mean())))
+    err = max(abs(b["ds_mean"]) for b in bins)
+    rms = float(np.sqrt(np.mean([(b["ds_mean"]) ** 2 for b in bins])))
+    ok_c = err < 0.05
+    print(f"[C] S(k) vs FT[g(r)], {len(bins)} k-bins over "
+          f"[1.2, 6.0]/a: max |binned dS| = {err:.4f} (rms {rms:.4f})  "
+          f"{'PASS' if ok_c else 'FAIL'} (band < 0.05)")
+    report["C_sk_gofr"] = dict(max_abs_err=float(err), rms=rms,
+                               bins=bins, ok=bool(ok_c))
 
     # ---- D: dispersion through the real J_interval0.dat pipeline
     job = os.path.join(args.out, "dispersion_job")
@@ -293,6 +336,7 @@ def section_ad(args, report):
     np.savetxt(os.path.join(job, "J_interval0.dat"),
                np.concatenate(rows), fmt="%.8g", delimiter="\t")
     spec = lccf_spectrum(job, timestep=dt, max_shell=9)
+    d_om = float(spec["omega"][1] - spec["omega"][0])
     ok_d = True
     d_rows = []
     print("[D] longitudinal dispersion vs screened Bohm-Gross "
@@ -306,17 +350,23 @@ def section_ad(args, report):
         ratio = pk / th
         in_band = 0.72 < ratio < 1.25
         ok_d &= in_band
-        # transverse: no propagating shear at Gamma = 3
-        ok_d &= pt == 0.0
+        # transverse at Gamma = 3: no shear peak above the noise floor
+        # (an overdamped spectrum's argmax can land a bin or two up on
+        # finite statistics — 'propagating' means well-resolved, i.e.
+        # clear of the first few frequency bins)
+        ok_d &= pt <= 2.5 * d_om
         d_rows.append(dict(n2=int(q), k=float(k_phys),
                            omega_peak=float(pk), omega_theory=float(th),
                            ratio=float(ratio), omega_t=float(pt)))
         print(f"    |n|^2={q:2d}  k={k_phys:.3f}  omega={pk:.3f}  "
               f"theory={th:.3f}  ratio={ratio:.3f}  omega_T={pt:.3f}")
     # strongly coupled transverse branch: shear waves at Gamma = 50
+    # (longer anneal — a half-melted lattice at Gamma = 50 needs it)
     vs50, _, rs50, L50, t50 = md_trajectory(
-        n, 50.0, kappa, mc_steps=30_000 if not args.fast else 6_000,
-        equil_steps=400, record_steps=rec, seed=13, dt=dt)
+        n, 50.0, kappa, mc_steps=60_000 if not args.fast else 6_000,
+        equil_steps=800, record_steps=rec, seed=13, dt=dt)
+    print(f"    Gamma=50 run: realized T = {t50:.5f} "
+          f"(Gamma_eff {1.0 / t50:.1f})")
     job50 = os.path.join(args.out, "dispersion_job_g50")
     shutil.rmtree(job50, ignore_errors=True)
     os.makedirs(job50)
@@ -332,12 +382,13 @@ def section_ad(args, report):
     np.savetxt(os.path.join(job50, "J_interval0.dat"),
                np.concatenate(rows), fmt="%.8g", delimiter="\t")
     spec50 = lccf_spectrum(job50, timestep=dt, max_shell=16)
+    d_om50 = float(spec50["omega"][1] - spec50["omega"][0])
     k50 = 2.0 * np.pi * spec50["k"] / L50
-    shear = spec50["omega_peak_t"][(k50 > 0.8) & (k50 < 2.2)]
-    has_shear = bool((shear > 0).any())
+    shear = spec50["omega_peak_t"][(k50 > 0.6) & (k50 < 2.5)]
+    has_shear = bool((shear > 2.5 * d_om50).any())
     ok_d &= has_shear
     print(f"    Gamma=50 transverse branch at k~1/a: "
-          f"omega_T={[round(float(x),3) for x in shear[:5]]} -> "
+          f"omega_T={[round(float(x),3) for x in shear[:6]]} -> "
           f"propagating shear {'PASS' if has_shear else 'FAIL'}")
     print(f"[D] dispersion {'PASS' if ok_d else 'FAIL'} "
           f"(L band [0.72, 1.25]; omega_T = 0 at Gamma=3, > 0 at "
