@@ -413,7 +413,9 @@ class TestAnalysisPhysics:
         assert -1.7 < rep["B_hmp_anchor"]["exponent"] < -1.0
         for row in rep["D_dispersion"]["rows"]:
             assert 0.72 < row["ratio"] < 1.25, row
-            assert row["omega_t"] == 0.0, row   # no shear at Gamma=3
+            # no shear at Gamma=3: below the recorded window's noise
+            # floor (2.5 frequency bins ~ 0.4 omega_E)
+            assert row["omega_t"] <= 0.4, row
         assert rep["D_dispersion"]["gamma50_shear"] is True
 
 

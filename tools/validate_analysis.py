@@ -361,17 +361,21 @@ def section_ad(args, report):
         print(f"    |n|^2={q:2d}  k={k_phys:.3f}  omega={pk:.3f}  "
               f"theory={th:.3f}  ratio={ratio:.3f}  omega_T={pt:.3f}")
     # strongly coupled transverse branch: shear waves at Gamma = 50
-    # (longer anneal — a half-melted lattice at Gamma = 50 needs it)
+    # (longer anneal — a half-melted lattice at Gamma = 50 needs it —
+    # and a 2x window: the shear mode sits at omega ~ 0.3 omega_E, so
+    # the frequency bin must be fine enough to resolve it above the
+    # overdamped-noise floor)
+    rec50 = 2 * rec
     vs50, _, rs50, L50, t50 = md_trajectory(
         n, 50.0, kappa, mc_steps=60_000 if not args.fast else 6_000,
-        equil_steps=800, record_steps=rec, seed=13, dt=dt)
+        equil_steps=800, record_steps=rec50, seed=13, dt=dt)
     print(f"    Gamma=50 run: realized T = {t50:.5f} "
           f"(Gamma_eff {1.0 / t50:.1f})")
     job50 = os.path.join(args.out, "dispersion_job_g50")
     shutil.rmtree(job50, ignore_errors=True)
     os.makedirs(job50)
     rows = []
-    for j in range(0, rec, j_every):
+    for j in range(0, rec50, j_every):
         J = np.asarray(current_fourier(jnp.asarray(rs50[j]),
                                        jnp.asarray(vs50[j]),
                                        jnp.asarray(kv)))
