@@ -316,7 +316,8 @@ def section_ad(args, report):
                                bins=bins, ok=bool(ok_c))
 
     # ---- D: dispersion through the real J_interval0.dat pipeline
-    job = os.path.join(args.out, "dispersion_job")
+    job = os.path.join("/tmp/validate_analysis_cache",
+                       "dispersion_job")
     shutil.rmtree(job, ignore_errors=True)
     os.makedirs(job)
     j_every = 4
@@ -371,7 +372,8 @@ def section_ad(args, report):
         equil_steps=800, record_steps=rec50, seed=13, dt=dt)
     print(f"    Gamma=50 run: realized T = {t50:.5f} "
           f"(Gamma_eff {1.0 / t50:.1f})")
-    job50 = os.path.join(args.out, "dispersion_job_g50")
+    job50 = os.path.join("/tmp/validate_analysis_cache",
+                         "dispersion_job_g50")
     shutil.rmtree(job50, ignore_errors=True)
     os.makedirs(job50)
     rows = []
