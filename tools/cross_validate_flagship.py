@@ -41,12 +41,21 @@ def main(ref_dir: str) -> int:
         CoolingConfig, run)
 
     jobs = sorted(glob.glob(os.path.join(ref_dir, "job*")))
-    if jobs:   # pooled high-statistics mode
+    if jobs:   # pooled mode: match the reference family's own config
+        import re
         refs = [_ref_job(d) for d in jobs]
         n = min(len(e) for e, _ in refs)
         ref = np.mean([e[:n] for e, _ in refs], axis=0)
         ref_spd = np.mean([s for _, s in refs], axis=0)
-        cfgs = [CoolingConfig(n0=600, tmax=6.0, sample_freq=20,
+        # the reference encodes N0 in the family directory name
+        # (NumIons<N0>, SpeedUp.cpp:1153); tmax and sampleFreq are read
+        # off the pooled energies grid (dt = 0.002)
+        m = re.search(r"NumIons(\d+)", os.path.basename(
+            os.path.normpath(ref_dir)))
+        n0 = int(m.group(1)) if m else 600
+        sample_freq = int(round((ref[1, 0] - ref[0, 0]) / 0.002))
+        tmax = float(round(ref[-1, 0] / 0.02) * 0.02)
+        cfgs = [CoolingConfig(n0=n0, tmax=tmax, sample_freq=sample_freq,
                               use_pallas=False, dtype="float64", job=j)
                 for j in range(1, len(jobs) + 1)]
     else:

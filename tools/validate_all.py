@@ -67,14 +67,20 @@ def _compile(cpp: str, out: str, shim: bool) -> None:
 
 
 def _run_ref_jobs(binary: str, cwd: str, jobs, done_glob: str) -> None:
-    """Run reference jobs (sequential; one CPU core) unless their output
-    tree already exists."""
-    have = glob.glob(os.path.join(cwd, done_glob))
-    if len(have) >= len(jobs):
-        print(f"    reusing {len(have)} completed reference jobs")
-        return
+    """Run reference jobs (sequential; one CPU core), reusing completed
+    ones per job; a partial job directory is cleared first (the
+    reference binaries APPEND to their .dat streams — rerunning into a
+    partial tree would corrupt it).  ``done_glob`` must contain ``{j}``
+    for the job number."""
     env = dict(os.environ, OMP_NUM_THREADS="1")
     for j in jobs:
+        done = glob.glob(os.path.join(cwd, done_glob.format(j=j)))
+        if done:
+            print(f"    ref job {j}: reusing", flush=True)
+            continue
+        for jd in glob.glob(os.path.join(
+                cwd, os.path.dirname(done_glob.format(j=j)))):
+            shutil.rmtree(jd, ignore_errors=True)
         t0 = time.perf_counter()
         subprocess.run([binary, str(j)], cwd=cwd, env=env, check=True,
                        stdout=subprocess.DEVNULL,
@@ -88,8 +94,11 @@ def _run_ref_jobs(binary: str, cwd: str, jobs, done_glob: str) -> None:
 # to run the tool with its own defaults (self-automating tools).
 
 def prep_flagship(wd: str):
-    """Patch SpeedUp.cpp to the tool's matched single-job config
-    (N0=256, tmax=2, sampleFreq=10) and run job 1."""
+    """Patch SpeedUp.cpp to the matched shrunken config (N0=256,
+    tmax=2, sampleFreq=10) and run 3 jobs — the tool pools them (a
+    single N=256 job carries ~10-15% Ekin seed scatter, and the
+    reference seeds itself with time(NULL)+job, so every fresh binary
+    run is a new draw)."""
     binary = os.path.join(wd, "refflag")
     if not os.path.exists(binary):
         _patch(os.path.join(REF,
@@ -101,8 +110,9 @@ def prep_flagship(wd: str):
                  'char saveDirectory[256] = "refdata/";')],
                os.path.join(wd, "refflag.cpp"))
         _compile(os.path.join(wd, "refflag.cpp"), binary, shim=True)
-    _run_ref_jobs(binary, wd, [1], "refdata/*/job1/energies.dat")
-    return [glob.glob(os.path.join(wd, "refdata", "*", "job1"))[0]]
+    _run_ref_jobs(binary, wd, [1, 2, 3],
+                  "refdata/*/job{j}/energies.dat")
+    return [glob.glob(os.path.join(wd, "refdata", "*"))[0]]
 
 
 def prep_three_state(wd: str):
@@ -116,7 +126,8 @@ def prep_three_state(wd: str):
                  'char saveDirectory[256] = "refdata/";')],
                os.path.join(wd, "ref3.cpp"))
         _compile(os.path.join(wd, "ref3.cpp"), binary, shim=True)
-    _run_ref_jobs(binary, wd, [1], "refdata/*/job1/energies.dat")
+    _run_ref_jobs(binary, wd, [1],
+                  "refdata/*/job{j}/energies.dat")
     return [glob.glob(os.path.join(wd, "refdata", "*", "job1",
                                    "energies.dat"))[0]]
 
@@ -140,7 +151,7 @@ def prep_mc_tag_quad(wd: str):
                os.path.join(wd, "refquad.cpp"))
         _compile(os.path.join(wd, "refquad.cpp"), binary, shim=True)
     _run_ref_jobs(binary, wd, range(1, 9),
-                  "refdata/*/job8/taggedMoments.dat")
+                  "refdata/*/job{j}/taggedMoments.dat")
     return [glob.glob(os.path.join(wd, "refdata", "*"))[0]]
 
 
@@ -272,10 +283,19 @@ def main() -> int:
               f"({entry['wall_s']:.0f}s)", flush=True)
         results.append(entry)
 
+    # --only reruns merge into the existing report (step-keyed) so a
+    # repaired step updates the committed matrix instead of truncating it
+    path = os.path.join(args.out, "report.json")
+    if args.only and os.path.exists(path):
+        with open(path) as f:
+            prev = json.load(f)
+        merged = {r["name"]: r for r in prev.get("steps", [])}
+        merged.update({r["name"]: r for r in results})
+        results = list(merged.values())
     report = dict(ok=all(r["ok"] for r in results),
                   wall_s=round(time.perf_counter() - t_all, 1),
                   steps=results)
-    with open(os.path.join(args.out, "report.json"), "w") as f:
+    with open(path, "w") as f:
         json.dump(report, f, indent=1)
 
     md = ["# Validation matrix (tools/validate_all.py)", "",
