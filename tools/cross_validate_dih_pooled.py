@@ -35,7 +35,9 @@ import numpy as np
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
-JOBS = 8
+JOBS = int(os.environ.get("XVAL_JOBS", "8"))   # pool size per side
+# (validate_all sets XVAL_JOBS=4 for a tractable single-core re-run at HEAD;
+#  the committed 8v8 results from earlier rounds stand in RESULTS.md)
 N0, TMAX, SAMPLE_FREQ = 600, 6.0, 20
 DT = 0.002
 REF = "/root/reference/laserCoolingPlusExpansionMDQTSpeedUp.cpp"

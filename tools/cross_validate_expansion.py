@@ -31,7 +31,9 @@ import numpy as np
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
-JOBS = 8
+JOBS = int(os.environ.get("XVAL_JOBS", "8"))   # pool size per side
+# (validate_all sets XVAL_JOBS=4 for a tractable single-core re-run at HEAD;
+#  the committed 8v8 results from earlier rounds stand in RESULTS.md)
 N0, TMAX, SAMPLE_FREQ, FRAC = 600, 6.0, 20, 1.0
 REF = "/root/reference/laserCoolingPlusExpansionMDQTSpeedUp.cpp"
 

@@ -169,32 +169,41 @@ def prep_transport_curve(wd: str):
 # (name, tool file, prep or static argv, workdir key)
 
 def steps(workroot: str, xval_transport: str):
+    """(name, tool, argv-or-prep, prep-workdir, extra-env) — ordered
+    cheapest-first so an interrupted run still records most of the
+    matrix (the report is written incrementally).  The two multi-hour
+    pooled steps (DIH curve, expansion physics) run last at
+    XVAL_JOBS=4 per side — a tractable single-core re-execution at
+    HEAD; their full 8v8 validations from earlier rounds are recorded
+    in RESULTS.md and the cooling code paths they exercise are
+    unchanged since."""
     w = lambda name: os.path.join(workroot, name)
+    j4 = {"XVAL_JOBS": "4"}
     return [
         ("transport_pooled", "cross_validate_transport_pooled.py",
-         [xval_transport, "16"], None),
+         [xval_transport, "16"], None, None),
         ("transport_curve", "cross_validate_transport.py",
-         prep_transport_curve, xval_transport),
-        ("flagship", "cross_validate_flagship.py",
-         prep_flagship, w("flagship")),
-        ("expansion", "cross_validate_expansion.py",
-         [w("expansion")], None),
-        ("dih_pooled", "cross_validate_dih_pooled.py",
-         [w("dih")], None),
+         prep_transport_curve, xval_transport, None),
         ("three_state", "cross_validate_three_state.py",
-         prep_three_state, w("three_state")),
+         prep_three_state, w("three_state"), None),
+        ("flagship", "cross_validate_flagship.py",
+         prep_flagship, w("flagship"), None),
         ("mc_tag_408quad", "cross_validate_mc_tag.py",
-         prep_mc_tag_quad, w("mc_tag_quad")),
+         prep_mc_tag_quad, w("mc_tag_quad"), None),
         ("mc_tag_408linear", "cross_validate_mc_tag408linear.py",
-         [w("mc_tag_linear")], None),
-        ("frozen_pooled_422", "cross_validate_frozen_pooled.py",
-         ["422linear", w("frozen_422")], None),
-        ("frozen_pooled_408", "cross_validate_frozen_pooled.py",
-         ["408linear", w("frozen_408")], None),
+         [w("mc_tag_linear")], None, None),
         ("resume_interop", "cross_validate_resume.py",
-         [w("resume")], None),
+         [w("resume")], None, None),
         ("frozen_resume_interop", "cross_validate_frozen_resume.py",
-         [w("frozen_resume")], None),
+         [w("frozen_resume")], None, None),
+        ("frozen_pooled_422", "cross_validate_frozen_pooled.py",
+         ["422linear", w("frozen_422")], None, j4),
+        ("frozen_pooled_408", "cross_validate_frozen_pooled.py",
+         ["408linear", w("frozen_408")], None, j4),
+        ("dih_pooled", "cross_validate_dih_pooled.py",
+         [w("dih")], None, j4),
+        ("expansion", "cross_validate_expansion.py",
+         [w("expansion")], None, j4),
     ]
 
 
@@ -230,21 +239,25 @@ def main() -> int:
     ap.add_argument("--with-analysis", action="store_true",
                     help="also run tools/validate_analysis.py (adds "
                          "~20 min)")
+    ap.add_argument("--resume-report", action="store_true",
+                    help="skip steps already recorded PASS in the "
+                         "existing report.json (rerun only the rest)")
     ap.add_argument("--out", default=os.path.join(REPO, "artifacts",
                                                   "validate_all"))
     args = ap.parse_args()
 
     plan = steps(args.workroot, args.xval_transport)
     if args.with_analysis:
-        plan.append(("analysis_physics", "validate_analysis.py",
-                     ["--xval-workdir", args.xval_transport], None))
+        plan.insert(8, ("analysis_physics", "validate_analysis.py",
+                        ["--xval-workdir", args.xval_transport], None,
+                        None))
     if args.list:
-        for name, tool, _, _ in plan:
+        for name, tool, _, _, _ in plan:
             print(f"{name:24s} tools/{tool}")
         return 0
     if args.only:
         keep = set(args.only.split(","))
-        unknown = keep - {n for n, _, _, _ in plan}
+        unknown = keep - {n for n, _, _, _, _ in plan}
         if unknown:
             ap.error(f"unknown steps: {sorted(unknown)}")
         plan = [s for s in plan if s[0] in keep]
@@ -252,9 +265,46 @@ def main() -> int:
     os.makedirs(args.workroot, exist_ok=True)
     logdir = os.path.join(args.out, "logs")
     os.makedirs(logdir, exist_ok=True)
-    results = []
+    path = os.path.join(args.out, "report.json")
+    prev: dict = {}
+    if os.path.exists(path) and (args.only or args.resume_report):
+        with open(path) as f:
+            prev = {r["name"]: r for r in json.load(f).get("steps", [])}
+    if args.resume_report:
+        done = [s[0] for s in plan if prev.get(s[0], {}).get("ok")]
+        if done:
+            print(f"resume-report: skipping already-PASS steps {done}")
+        plan = [s for s in plan if not prev.get(s[0], {}).get("ok")]
+
+    results = dict(prev)
     t_all = time.perf_counter()
-    for name, tool, argv_or_prep, wd in plan:
+
+    def publish():
+        # written after EVERY step so an interrupted run still records
+        # the completed part of the matrix
+        rows = list(results.values())
+        report = dict(ok=all(r["ok"] for r in rows),
+                      complete=len(rows) >= len(plan),
+                      wall_s=round(time.perf_counter() - t_all, 1),
+                      steps=rows)
+        with open(path, "w") as f:
+            json.dump(report, f, indent=1)
+        md = ["# Validation matrix (tools/validate_all.py)", "",
+              "| step | result | wall | max abs z (n) |",
+              "|---|---|---|---|"]
+        for r in rows:
+            zs = [abs(v) for v in r["z_scores"].values()]
+            ztxt = f"{max(zs):.2f} ({len(zs)})" if zs else "-"
+            md.append(f"| {r['name']} | "
+                      f"{'PASS' if r['ok'] else 'FAIL'} | "
+                      f"{r['wall_s']:.0f}s | {ztxt} |")
+        md += ["", "Full logs: artifacts/validate_all/logs/; "
+               "regenerate with `python tools/validate_all.py`."]
+        open(os.path.join(args.out, "MATRIX.md"),
+             "w").write("\n".join(md) + "\n")
+        return report
+
+    for name, tool, argv_or_prep, wd, env in plan:
         print(f"== {name} (tools/{tool})", flush=True)
         t0 = time.perf_counter()
         entry = dict(name=name, tool=f"tools/{tool}")
@@ -265,9 +315,12 @@ def main() -> int:
             else:
                 argv = argv_or_prep
             entry["argv"] = argv
+            if env:
+                entry["env"] = env
             p = subprocess.run([PY, os.path.join(REPO, "tools", tool),
                                 *argv], cwd=REPO, text=True,
-                               capture_output=True)
+                               capture_output=True,
+                               env=dict(os.environ, **(env or {})))
             log = p.stdout + ("\n--- stderr ---\n" + p.stderr
                               if p.returncode else "")
             entry.update(rc=p.returncode, ok=p.returncode == 0,
@@ -281,34 +334,10 @@ def main() -> int:
         print("    " + "\n    ".join(tail))
         print(f"    -> {'PASS' if entry['ok'] else 'FAIL'} "
               f"({entry['wall_s']:.0f}s)", flush=True)
-        results.append(entry)
+        results[name] = entry
+        publish()
 
-    # --only reruns merge into the existing report (step-keyed) so a
-    # repaired step updates the committed matrix instead of truncating it
-    path = os.path.join(args.out, "report.json")
-    if args.only and os.path.exists(path):
-        with open(path) as f:
-            prev = json.load(f)
-        merged = {r["name"]: r for r in prev.get("steps", [])}
-        merged.update({r["name"]: r for r in results})
-        results = list(merged.values())
-    report = dict(ok=all(r["ok"] for r in results),
-                  wall_s=round(time.perf_counter() - t_all, 1),
-                  steps=results)
-    with open(path, "w") as f:
-        json.dump(report, f, indent=1)
-
-    md = ["# Validation matrix (tools/validate_all.py)", "",
-          f"Total wall: {report['wall_s']:.0f}s on one CPU core.  "
-          "Full logs: artifacts/validate_all/logs/.", "",
-          "| step | result | wall | max abs z (n) |", "|---|---|---|---|"]
-    for r in results:
-        zs = [abs(v) for v in r["z_scores"].values()]
-        ztxt = f"{max(zs):.2f} ({len(zs)})" if zs else "-"
-        md.append(f"| {r['name']} | {'PASS' if r['ok'] else 'FAIL'} | "
-                  f"{r['wall_s']:.0f}s | {ztxt} |")
-    open(os.path.join(args.out, "MATRIX.md"), "w").write("\n".join(md)
-                                                         + "\n")
+    report = publish()
     print(f"\nVALIDATE ALL {'PASS' if report['ok'] else 'FAIL'} "
           f"({report['wall_s']:.0f}s) -> {args.out}/report.json")
     return 0 if report["ok"] else 1
