@@ -126,9 +126,12 @@ def prep_three_state(wd: str):
                  'char saveDirectory[256] = "refdata/";')],
                os.path.join(wd, "ref3.cpp"))
         _compile(os.path.join(wd, "ref3.cpp"), binary, shim=True)
+    # the 3-state program nests two parameter levels
+    # (Om<..>/Det<..>NumIons<..>/jobJ, laserCoolNoPlasmaThreeState.cpp:
+    # 364-381)
     _run_ref_jobs(binary, wd, [1],
-                  "refdata/*/job{j}/energies.dat")
-    return [glob.glob(os.path.join(wd, "refdata", "*", "job1",
+                  "refdata/*/*/job{j}/energies.dat")
+    return [glob.glob(os.path.join(wd, "refdata", "*", "*", "job1",
                                    "energies.dat"))[0]]
 
 
