@@ -222,6 +222,8 @@ def scrape_z(log: str):
         if m:
             zs[m.group(1)] = float(m.group(2))
             continue
+        if "Sidak" in line or "bound" in line:
+            continue                 # threshold mentions, not z-scores
         m = _Z_INLINE.search(line)
         if m and "z" in line:
             zs.setdefault(f"line:{line.strip()[:60]}",
