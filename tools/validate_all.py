@@ -181,7 +181,14 @@ def steps(workroot: str, xval_transport: str):
     in RESULTS.md and the cooling code paths they exercise are
     unchanged since."""
     w = lambda name: os.path.join(workroot, name)
-    j4 = {"XVAL_JOBS": "4"}
+    # An exported XVAL_JOBS overrides every step's default pool size.
+    jn = lambda n: {"XVAL_JOBS": os.environ.get("XVAL_JOBS", str(n))}
+    j4 = jn(4)
+    # The frozen-pooled steps run at the committed 8v8 standard: they are
+    # cheap (~2-5 min/side), and at 4v4 the six-observable family-wise
+    # max|z| under a perfect null (~2.3, tails past 3) makes the tool's
+    # |z|<3 gate a coin flip on per-job sd estimates from k=4.
+    j8 = jn(8)
     return [
         ("transport_pooled", "cross_validate_transport_pooled.py",
          [xval_transport, "16"], None, None),
@@ -200,9 +207,9 @@ def steps(workroot: str, xval_transport: str):
         ("frozen_resume_interop", "cross_validate_frozen_resume.py",
          [w("frozen_resume")], None, None),
         ("frozen_pooled_422", "cross_validate_frozen_pooled.py",
-         ["422linear", w("frozen_422")], None, j4),
+         ["422linear", w("frozen_422")], None, j8),
         ("frozen_pooled_408", "cross_validate_frozen_pooled.py",
-         ["408linear", w("frozen_408")], None, j4),
+         ["408linear", w("frozen_408")], None, j8),
         ("dih_pooled", "cross_validate_dih_pooled.py",
          [w("dih")], None, j4),
         ("expansion", "cross_validate_expansion.py",
