@@ -37,6 +37,7 @@ def _ref_job(job_dir):
 def main(ref_dir: str) -> int:
     import jax
     jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_enable_x64", True)
     from mdqtplasmasims_tpu.experiments.laser_cooling import (
         CoolingConfig, run)
 

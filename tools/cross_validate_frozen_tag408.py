@@ -45,6 +45,7 @@ def ref_job(job_dir):
 def main(ref_family_dir: str) -> int:
     import jax
     jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_enable_x64", True)
     from mdqtplasmasims_tpu.experiments.frozen_tagging import (
         FrozenTagConfig, run)
 

@@ -53,6 +53,7 @@ def ref_job(job_dir):
 def main(ref_family_dir: str, variant: str = "408quad") -> int:
     import jax
     jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_enable_x64", True)
     from mdqtplasmasims_tpu.experiments.mc_qt_tagging import (
         MCTagConfig, run)
 

@@ -26,6 +26,7 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 def main(ref_energies: str) -> int:
     import jax
     jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_enable_x64", True)
     from mdqtplasmasims_tpu.experiments.three_state import (
         ThreeStateConfig, run)
 
