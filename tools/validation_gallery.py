@@ -18,7 +18,7 @@ Requires the validate_all workdirs (reference binaries already run):
   dih:      <workroot>/dih/refdata_dih/*/job*/energies.dat
   transport:<xval>/refdata/*/job*/{VAF.dat,pairPairCorrStepNum500.dat}
   frozen:   <workroot>/frozen_422/refdata_422linear/*/job*/taggedMoments.dat
-  3-state:  <workroot>/three_state/refdata/*/job1/energies.dat
+  3-state:  <workroot>/three_state/refdata/**/job1/energies.dat
 Panels whose reference tree is missing are skipped with a note.
 
 Usage: python tools/validation_gallery.py [--workroot /tmp/validate_all]
@@ -171,9 +171,12 @@ def panel_frozen(args, ax):
 
 
 def panel_three_state(args, ax):
+    # the 3-state reference nests TWO parameter directory levels
+    # (saveDirectory/Om<..>/Det<..>.../jobN, laserCoolNoPlasmaThreeState
+    # .cpp dirMaker) — match any depth
     ref_files = glob.glob(os.path.join(
-        args.workroot, "three_state", "refdata", "*", "job1",
-        "energies.dat"))
+        args.workroot, "three_state", "refdata", "**", "job1",
+        "energies.dat"), recursive=True)
     if not ref_files:
         return "three_state: no reference tree (run three_state)"
     from mdqtplasmasims_tpu.experiments.three_state import (
