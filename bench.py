@@ -14,6 +14,8 @@ timed before the first fetch.
 """
 
 import json
+import os
+import sys
 import time
 
 import jax
@@ -104,19 +106,30 @@ def main():
     # run() with the full .dat output tree, wall clock on a warm compile
     # cache — reported alongside the kernel-rate extrapolation instead
     # of letting the extrapolation stand in for the real wall
+    # The run is timed in a FRESH interpreter: this process has already
+    # fetched device data, which permanently degrades its dispatch
+    # latency to ~26 ms (CLAUDE.md axon quirk) — 375 segment dispatches
+    # would bill ~10 s of process-state artifact to the measurement.
     full_run_s = 0.0
     try:
-        import shutil
-        import tempfile
-
-        from mdqtplasmasims_tpu.experiments.laser_cooling import run
-        d = tempfile.mkdtemp(prefix="bench_full_")
-        fcfg = CoolingConfig(n0=3500, tmax=30.0, sample_freq=40,
-                             save_directory=d)
-        t0 = time.perf_counter()
-        run(fcfg)
-        full_run_s = time.perf_counter() - t0
-        shutil.rmtree(d, ignore_errors=True)
+        import subprocess
+        out = subprocess.run(
+            [sys.executable, "-c", (
+                "import tempfile, time, shutil\n"
+                "from mdqtplasmasims_tpu.experiments.laser_cooling import"
+                " CoolingConfig, run\n"
+                "d = tempfile.mkdtemp(prefix='bench_full_')\n"
+                "cfg = CoolingConfig(n0=3500, tmax=30.0, sample_freq=40,"
+                " save_directory=d)\n"
+                "t0 = time.perf_counter()\n"
+                "run(cfg)\n"
+                "print('FULL_RUN_S', time.perf_counter() - t0)\n"
+                "shutil.rmtree(d, ignore_errors=True)\n")],
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+            capture_output=True, text=True, timeout=600)
+        for ln in out.stdout.splitlines():
+            if ln.startswith("FULL_RUN_S"):
+                full_run_s = float(ln.split()[1])
     except Exception:
         pass
 
